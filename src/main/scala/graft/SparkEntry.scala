@@ -1,13 +1,459 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables
+import graft.ops._
+
+/** Driver contract: one batch query per implemented operator (SURVEY.md §2
+  * + the training-data-pipeline extensions), each with an equivalent DuckDB
+  * oracle in [[oracleSql]]. Streaming formulations of the same operators
+  * live under `graft.streaming` and are exercised by the test suite.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared fragments ----
+
+  /** Exact money arithmetic: decimal-cast before aggregation so the sum is
+    * order-independent (double summation is not associative; decimal is),
+    * then one cast to double at the end — bit-identical across engines.
+    */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount")).cast(DecimalType(18, 4))
+
+  private def events(t: Tables, typ: String): DataFrame =
+    t.events.filter(col("event_type") === typ)
+
+  private def embeddingsIdVec(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Flagship: sliding-window hot-item top-N (reference HotItemApp) on the
+    * events table. Driver smoke-checks rows > 0 at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_hot_items")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- windowed aggregations (reference A1–A8, W3/W4) ----
+    "q_pv_hourly" -> ((s, dir) => {
+      // A3/W4: tumbling-hour page views (PageViewApp)
+      WindowAggs.tumblingCount(events(Tables(s, dir), "view"), col("ts"), "1 hour")
+    }),
+    "q_uv_hourly" -> ((s, dir) => {
+      // A7: exact distinct visitors per hour (UniqueVisitorApp)
+      WindowAggs.tumblingCountDistinct(Tables(s, dir).events, col("ts"), "1 hour", col("user_id"))
+    }),
+    "q_uv_daily_approx" -> ((s, dir) => {
+      // A8: HLL++ approximate distinct (UniqueVisitorApp2's bloom filter)
+      WindowAggs.tumblingApproxDistinct(Tables(s, dir).events, col("ts"), "1 day", col("user_id"))
+    }),
+    "q_channel_stats" -> ((s, dir) => {
+      // A5: per-(channel,behavior) daily counts (channelApp, intended
+      // semantics — the reference's agg has a constant-1 bug, SURVEY §2.3)
+      val e = Tables(s, dir).events
+        .withColumn("k_bucket", get_json_object(col("props"), "$.k").cast("long") % 10)
+      WindowAggs.tumblingCount(e, col("ts"), "1 day", Seq(col("event_type"), col("k_bucket")))
+    }),
+    "q_hot_items" -> ((s, dir) => {
+      // A1 + T1 + W3: sliding 1h/5m counts, top-5 per window (HotItemApp)
+      val counts = WindowAggs.slidingCount(
+        events(Tables(s, dir), "click"), col("ts"), "1 hour", "5 minutes", Seq(col("user_id")))
+      TopN
+        .perPartition(counts, Seq(col("window_start")), Seq(col("cnt").desc, col("user_id").asc), 5)
+        .select(col("window_start"), col("user_id"), col("cnt"), col("rank"))
+    }),
+    "q_hot_pages" -> ((s, dir) => {
+      // A2 + T2: sliding 30m/10m counts per page (event_type as URL
+      // stand-in), top-3 per window (HotUrlApp)
+      val counts = WindowAggs.slidingCount(
+        Tables(s, dir).events, col("ts"), "30 minutes", "10 minutes", Seq(col("event_type")))
+      TopN
+        .perPartition(counts, Seq(col("window_start")), Seq(col("cnt").desc, col("event_type").asc), 3)
+        .select(col("window_start"), col("event_type"), col("cnt"), col("rank"))
+    }),
+
+    // ---- stateful sequence / threshold operators (C2–C7) ----
+    "q_ad_blacklist" -> ((s, dir) => {
+      // C2/A9: daily per-key threshold (AdClickApp blacklist)
+      Sequences
+        .dailyThreshold(Tables(s, dir).events, col("user_id"), col("ts"),
+          col("event_type") === "click", 2L)
+        .withColumnRenamed("key", "user_id")
+    }),
+    "q_login_fail" -> ((s, dir) => {
+      // C3/C4: two consecutive failures within a bound (LoginFailWithState2)
+      Sequences
+        .consecutiveMatches(Tables(s, dir).events, col("user_id"), col("ts"), col("event_id"),
+          col("event_type") === "error", n = 2, maxGapSec = 7200L)
+        .withColumnRenamed("key", "user_id")
+    }),
+    "q_login_fail3" -> ((s, dir) => {
+      // C5: times(3).consecutive().within(6h) (LoginFailwithStateCEP_More)
+      Sequences
+        .consecutiveMatches(Tables(s, dir).events, col("user_id"), col("ts"), col("event_id"),
+          col("event_type") === "error", n = 3, maxGapSec = 21600L)
+        .withColumnRenamed("key", "user_id")
+    }),
+    "q_order_timeout" -> ((s, dir) => {
+      // C6/C7: request→response with timeout (OrderTimeOutStateApp):
+      // signup = create, purchase = pay, 24h deadline
+      val t = Tables(s, dir)
+      val reqs = events(t, "signup")
+        .select(col("user_id").as("key"), col("event_id").as("id"), col("ts"))
+      val resps = events(t, "purchase").select(col("user_id").as("key"), col("ts"))
+      Sequences
+        .matchWithTimeout(reqs, resps, timeoutSec = 86400L)
+        .withColumnRenamed("key", "user_id")
+    }),
+
+    // ---- joins (J1/J2) ----
+    "q_interval_join" -> ((s, dir) => {
+      // J1: interval equi-join (PayReceiptWithJoinApp): each purchase with
+      // the user's clicks in the preceding 2h
+      val t = Tables(s, dir)
+      val p = events(t, "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val c = events(t, "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      Joins
+        .intervalJoin(p, c, col("p_user"), col("c_user"), col("p_ts"), col("c_ts"), -7200L, 0L)
+        .select(col("p_user").as("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
+    }),
+    "q_reconcile" -> ((s, dir) => {
+      // J2: two-stream reconciliation (PayReceiptWithConnectApp): purchases
+      // vs signups within ±24h; side outputs become the status column
+      val t = Tables(s, dir)
+      val p = events(t, "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val sg = events(t, "signup")
+        .select(col("user_id").as("s_user"), col("event_id").as("s_id"), col("ts").as("s_ts"))
+      Joins
+        .reconcile(p, sg, col("p_user"), col("s_user"), col("p_ts"), col("s_ts"), 86400L,
+          "matched", "pay_no_signup", "signup_no_pay")
+        .select(
+          coalesce(col("p_user"), col("s_user")).as("user_id"),
+          col("p_id"), col("s_id"), col("status"))
+    }),
+
+    // ---- relational core (scan/filter/agg/join pushdown surface) ----
+    "q1_pricing" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q3_segment_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(discPrice).cast("double").as("revenue"),
+          count_distinct(col("o_orderkey")).as("n_orders"))
+    }),
+    "q5_region_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // dims broadcast explicitly: at any scale region/nation/supplier are
+      // orders of magnitude smaller than the fact side
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+    }),
+    "q_top_orders" -> ((s, dir) => {
+      // T1 batch flavor on relational data: top-10 orders by price per priority
+      TopN
+        .perPartition(Tables(s, dir).orders, Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 10)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+    }),
+
+    // ---- dedup (training-data pipeline) ----
+    "d_dedup_exact" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.exact(t.documents, col("doc_id"), col("text"))
+    }),
+    "d_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6)
+    }),
+    "d_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashDedup(Tables(s, dir).documents, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6)
+    }),
+    "d_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables(s, dir).documents, col("doc_id"), col("text"), maxHamming = 3)
+    }),
+    "d_dedup_embed" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(embeddingsIdVec(Tables(s, dir)), 0.40)
+    }),
+
+    // ---- text analysis ----
+    "t_tokens" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+    "t_quality" -> ((s, dir) => {
+      TextOps
+        .qualitySignals(Tables(s, dir).documents, col("text"))
+        .select(
+          col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_alpha_chars").cast("long").as("n_alpha_chars"),
+          col("avg_token_len"),
+          col("stopword_ratio"))
+    }),
+    "t_langid" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+    }),
+    "t_fingerprint" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- similarity search ----
+    "s_knn_brute" -> ((s, dir) => {
+      val v = embeddingsIdVec(Tables(s, dir))
+      Similarity.bruteForceTopK(v, v.filter(col("id") < 10), k = 5)
+    }),
+    "s_knn_lsh" -> ((s, dir) => {
+      val v = embeddingsIdVec(Tables(s, dir))
+      Similarity.lshTopK(v, v.filter(col("id") < 10), dim = 64, nPlanes = 8, k = 5)
+    }),
+
+    // ---- multimodal plumbing ----
+    "m_binary_meta" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal
+        .imageMetaStub(docs, col("payload"))
+        .select(
+          col("doc_id"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("digest"),
+          (lit(64L) + pmod(col("n_bytes").cast("long"), lit(960L))).as("width"),
+          (lit(64L) + pmod(col("n_bytes").cast("long") * 7, lit(960L))).as("height"),
+          lit(3).as("channels"))
+    }),
+  )
+
+  // ---- DuckDB oracles ----
+  // Sliding windows: Spark's window(ts, size, slide) is epoch-aligned, so
+  // each row belongs to size/slide windows with
+  // start = slide*floor(epoch/slide) - i*slide, i ∈ [0, size/slide).
+  private def slidingOracle(
+      filter: String, keyExpr: String, keyName: String,
+      slideUs: Long, nWind: Int, topN: Int, cntOrder: String): String =
+    s"""WITH w AS (
+       |  SELECT make_timestamp((epoch_us(ts) // $slideUs - i) * $slideUs) AS window_start,
+       |         $keyExpr AS $keyName
+       |  FROM events CROSS JOIN (SELECT unnest(range($nWind)) AS i) offsets
+       |  $filter
+       |), c AS (
+       |  SELECT window_start, $keyName, count(*) AS cnt FROM w GROUP BY 1, 2
+       |)
+       |SELECT window_start, $keyName, cnt, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY window_start ORDER BY cnt $cntOrder, $keyName) AS rank
+       |  FROM c
+       |) ranked WHERE rank <= $topN""".stripMargin
+
+  private val tokensExpr = "string_split_regex(trim(text), '\\s+')"
+  private val stopList =
+    TextOps.EnStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+  private val stopCntExpr =
+    s"len(list_filter($tokensExpr, t -> t IN $stopList))"
+  private val fpExpr = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+  private val shinglesExpr =
+    """CASE WHEN len(w) >= 3
+      |  THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+      |  ELSE [array_to_string(w, ' ')] END""".stripMargin
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pv_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt
+        |FROM events WHERE event_type = 'view' GROUP BY 1""".stripMargin,
+    "q_uv_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, count(DISTINCT user_id) AS uv
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_channel_stats" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_hot_items" -> slidingOracle(
+      "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
+    "q_hot_pages" -> slidingOracle(
+      "", "event_type", "event_type", 600000000L, 3, 3, "DESC"),
+    "q_ad_blacklist" ->
+      """SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q_login_fail" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS m,
+        |    lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS pm,
+        |    lag(ts) OVER w AS pts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, pts AS first_ts, ts AS last_ts FROM o
+        |WHERE m = 1 AND pm = 1 AND epoch_us(ts) - epoch_us(pts) <= 7200000000""".stripMargin,
+    "q_login_fail3" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS m,
+        |    lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, 1) OVER w AS pm1,
+        |    lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, 2) OVER w AS pm2,
+        |    lag(ts, 2) OVER w AS pts2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, pts2 AS first_ts, ts AS last_ts FROM o
+        |WHERE m = 1 AND pm1 = 1 AND pm2 = 1
+        |  AND epoch_us(ts) - epoch_us(pts2) <= 21600000000""".stripMargin,
+    "q_order_timeout" ->
+      """WITH req AS (
+        |  SELECT user_id, event_id AS req_id, ts AS req_ts FROM events WHERE event_type = 'signup'
+        |), resp AS (
+        |  SELECT user_id, ts AS resp_ts FROM events WHERE event_type = 'purchase'
+        |), matched AS (
+        |  SELECT req.user_id, req.req_id, req.req_ts, min(resp.resp_ts) AS resp_ts
+        |  FROM req LEFT JOIN resp ON req.user_id = resp.user_id
+        |    AND resp.resp_ts > req.req_ts
+        |    AND epoch_us(resp.resp_ts) <= epoch_us(req.req_ts) + 86400000000
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, req_id, req_ts, resp_ts,
+        |  CASE WHEN resp_ts IS NOT NULL THEN 'matched' ELSE 'timeout' END AS status
+        |FROM matched""".stripMargin,
+    "q_interval_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+        |       p.ts AS p_ts, c.ts AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+    "q_reconcile" ->
+      """SELECT coalesce(p.user_id, sg.user_id) AS user_id,
+        |       p.event_id AS p_id, sg.event_id AS s_id,
+        |       CASE WHEN p.ts IS NOT NULL AND sg.ts IS NOT NULL THEN 'matched'
+        |            WHEN p.ts IS NOT NULL THEN 'pay_no_signup'
+        |            ELSE 'signup_no_pay' END AS status
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'signup') sg
+        |  ON p.user_id = sg.user_id
+        | AND abs(epoch_us(sg.ts) - epoch_us(p.ts)) <= 86400000000""".stripMargin,
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  sum(l_quantity) / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_segment_revenue" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderpriority""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+    "q_top_orders" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders
+        |) ranked WHERE rank <= 10""".stripMargin,
+    "d_dedup_exact" ->
+      s"""SELECT $fpExpr AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+    "d_dedup_ngram" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, $shinglesExpr AS sh FROM d
+         |)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.6""".stripMargin,
+    "t_tokens" ->
+      s"SELECT doc_id, len($tokensExpr) AS n_tokens FROM documents",
+    "t_quality" ->
+      s"""SELECT doc_id,
+         |  len($tokensExpr) AS n_tokens,
+         |  length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_alpha_chars,
+         |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |    / len($tokensExpr) AS avg_token_len,
+         |  CAST($stopCntExpr AS DOUBLE) / len($tokensExpr) AS stopword_ratio
+         |FROM documents""".stripMargin,
+    "t_langid" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN $stopCntExpr >= 2 THEN 'en' ELSE 'und' END AS lang_pred
+         |FROM documents""".stripMargin,
+    "t_fingerprint" ->
+      s"SELECT doc_id, $fpExpr AS fp FROM documents",
+    "s_knn_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10
+        |), sims AS (
+        |  SELECT query_id, v.vec_id AS nbr_id,
+        |    CAST(floor(list_cosine_similarity(qe, e) * 10000) AS BIGINT) AS sim
+        |  FROM q JOIN v ON v.vec_id <> query_id
+        |)
+        |SELECT query_id, rank, nbr_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM sims
+        |) ranked WHERE rank <= 5""".stripMargin,
+    "d_dedup_embed" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  CAST(floor(list_cosine_similarity(a.e, b.e) * 10000) AS BIGINT) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE CAST(floor(list_cosine_similarity(a.e, b.e) * 10000) AS BIGINT) >= 4000""".stripMargin,
+    "m_binary_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS digest,
+        |  64 + octet_length(encode(text)) % 960 AS width,
+        |  64 + (octet_length(encode(text)) * 7) % 960 AS height,
+        |  3 AS channels
+        |FROM documents""".stripMargin,
+  )
 }

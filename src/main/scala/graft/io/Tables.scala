@@ -1,0 +1,34 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated testdata layout
+  * (TESTDATA.md): one parquet file per table under a scale-factor dir.
+  *
+  * All reads go through `spark.read.parquet`, so Catalyst predicate
+  * pushdown / column pruning apply to every downstream query — at 100 TB
+  * the same call reads a partitioned parquet lake; nothing here assumes
+  * single-file layout.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read the raw int64 nanos and truncate to µs — exactly
+    * what DuckDB's reader does, so oracle timestamps stay bit-identical.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch formulations of the reference's per-key event-sequence state
+  * machines (SURVEY §2.7). The streaming formulations live in
+  * [[graft.streaming.StateMachines]]; these window-function versions are
+  * the oracle-checkable batch semantics of the same operators.
+  *
+  * Scale note: every op here is a single hash exchange on the key followed
+  * by a per-key sort — the minimal plan for order-dependent per-key logic.
+  * `lag` chains stay inside one `WindowExec`, so adding pattern length
+  * does not add shuffles.
+  */
+object Sequences {
+
+  /** N consecutive matching events per key, all within `maxGapSec` of the
+    * first, with no non-matching event in between (a non-match resets the
+    * run). Reference C3/C4/C5: consecutive login failures within a bound —
+    * `gmall-login-fail/.../app/LoginFailWithState2.java:52-79` (n=2),
+    * `LoginFailwithStateCEP.java:48-58` (strict `next` contiguity),
+    * `LoginFailwithStateCEP_More.java:46-53` (`times(n).consecutive()`).
+    *
+    * Emits one row per run-completing event: (key, first_ts, last_ts).
+    * `tie` must make the per-key ordering total (unique per key) for
+    * deterministic results.
+    */
+  def consecutiveMatches(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      pred: Column,
+      n: Int,
+      maxGapSec: Long): DataFrame = {
+    require(n >= 2, "a run needs at least 2 events")
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    val withFlags = df
+      .withColumn("__key", key)
+      .withColumn("__ts", ts)
+      .withColumn("__m", pred.cast("int"))
+    val allMatch = (1 until n)
+      .map(i => lag(col("__m"), i).over(w) === 1)
+      .foldLeft(col("__m") === 1)(_ && _)
+    val firstTs = lag(col("__ts"), n - 1).over(w)
+    // exact µs arithmetic (oracle-parity: DuckDB epoch_us)
+    val gapUs = unix_micros(col("__ts")) - unix_micros(firstTs)
+    withFlags
+      .withColumn("__ok", allMatch && gapUs <= maxGapSec * 1000000L)
+      .withColumn("__first", firstTs)
+      .filter(col("__ok"))
+      .select(col("__key").as("key"), col("__first").as("first_ts"), col("__ts").as("last_ts"))
+  }
+
+  /** Per-key daily threshold counter — reference C2/A9, the click-fraud
+    * blacklist (`gmall-market/.../app/AdClickApp.java:112-168`: ValueState
+    * count per (userId,adId), >threshold within one day → warn, state reset
+    * at midnight W8). Batch semantics: count matching events per (key, day)
+    * and keep groups at/over the threshold.
+    */
+  def dailyThreshold(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      pred: Column,
+      minCount: Long): DataFrame =
+    df.filter(pred)
+      .groupBy(key.as("key"), date_trunc("day", ts).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Request→response matching with timeout — reference C6/C7, the order
+    * create→pay monitor (`gmall-order-pay/.../app/OrderTimeOutStateApp.java:57-112`:
+    * create starts a 15-min event-time timer; pay in time → matched, else
+    * timeout side-output; CEP flavor `OrderTimeOutWithCepApp.java:53-76`).
+    *
+    * Batch semantics: for each request row, the earliest response with the
+    * same key in (req_ts, req_ts + timeoutSec] → status 'matched', else
+    * 'timeout' (the reference's "No Pay" side output collapses into a
+    * status column — the tagged-union encoding of Flink side outputs).
+    *
+    * `requests`/`responses` need columns: key, id, ts (pre-projected by the
+    * caller). The join is a key-equi join with a range predicate — at scale
+    * a plain shuffled hash join on key; the range prunes inside.
+    */
+  def matchWithTimeout(
+      requests: DataFrame,
+      responses: DataFrame,
+      timeoutSec: Long): DataFrame = {
+    val req = requests.select(
+      col("key").as("r_key"), col("id").as("req_id"), col("ts").as("req_ts"))
+    val resp = responses.select(
+      col("key").as("p_key"), col("ts").as("resp_ts"))
+    req
+      .join(
+        resp,
+        col("r_key") === col("p_key") &&
+          col("resp_ts") > col("req_ts") &&
+          unix_micros(col("resp_ts")) <= unix_micros(col("req_ts")) + timeoutSec * 1000000L,
+        "left_outer")
+      .groupBy(col("r_key").as("key"), col("req_id"), col("req_ts"))
+      .agg(min(col("resp_ts")).as("resp_ts"))
+      .withColumn("status", when(col("resp_ts").isNotNull, "matched").otherwise("timeout"))
+  }
+}

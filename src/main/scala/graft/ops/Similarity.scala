@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: random-
+  * hyperplane LSH bucketing so each probe only scans its bucket.
+  * All vector math is pure column expressions (`zip_with`/`aggregate`),
+  * codegen'd — no UDF, no driver-side collect.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential left fold —
+    * deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Quantize a similarity to integer basis points (floor(x*1e4)).
+    * Cross-engine float accumulation differs in final ulps; an integer
+    * quantization is hash-stable where a rounded double's bit pattern may
+    * not be. Ordering/thresholding happens on the quantized value.
+    */
+  def quantize(sim: Column): Column = floor(sim * 10000).cast("long")
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `corpus` and `queries` need (id, vec) columns; vec is cast to
+    * array<double>. The queries side is broadcast (small probe set against
+    * a huge corpus is the common shape), so the scan over the corpus is a
+    * single pass with no shuffle until the per-query top-k aggregation —
+    * which carries only k·|queries| rows.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col("id").as("nbr_id"), col("vec").cast("array<double>").as("nbr_vec"))
+    val q = queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("q_vec"))
+    val joined = c
+      .join(broadcast(q), if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
+      .withColumn("sim", quantize(cosine(col("q_vec"), col("nbr_vec"))))
+    TopN
+      .perPartition(
+        joined,
+        partition = Seq(col("query_id")),
+        order = Seq(col("sim").desc, col("nbr_id").asc),
+        n = k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: `planes(i)(j)` ∈ {-1, +1} via
+    * splitmix64 of (seed, i, j). Sign-random projections are enough for
+    * cosine LSH and keep the planes reproducible with no RNG state.
+    */
+  private def hyperplaneSign(seed: Long, plane: Int, dim: Int): Double = {
+    var z = seed + plane.toLong * 0x9e3779b97f4a7c15L + dim.toLong * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** LSH bucket id: `nPlanes`-bit signature of random-hyperplane signs. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
+    (0 until nPlanes)
+      .map { p =>
+        val proj = (0 until dim)
+          .map(j => element_at(vec, j + 1) * lit(hyperplaneSign(seed, p, j)))
+          .reduce(_ + _)
+        when(proj >= 0, lit(1L << p)).otherwise(0L)
+      }
+      .reduce(_.bitwiseOR(_))
+
+  /** Approximate top-k: probe only the query's LSH bucket. The bucket join
+    * is a hash exchange on the bucket id — each bucket holds ~N/2^planes
+    * vectors, so per-query work drops by that factor vs brute force.
+    * Recall is probabilistic (close vectors agree on sign bits w.h.p.).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      nPlanes: Int,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(
+      col("id").as("nbr_id"),
+      col("vec").cast("array<double>").as("nbr_vec"))
+      .withColumn("bucket", lshBucket(col("nbr_vec"), dim, nPlanes, seed))
+    val q = queries.select(
+      col("id").as("query_id"),
+      col("vec").cast("array<double>").as("q_vec"))
+      .withColumn("bucket", lshBucket(col("q_vec"), dim, nPlanes, seed))
+    val joined = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("sim", quantize(cosine(col("q_vec"), col("nbr_vec"))))
+    TopN
+      .perPartition(
+        joined,
+        partition = Seq(col("query_id")),
+        order = Seq(col("sim").desc, col("nbr_id").asc),
+        n = k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+    * Brute-force N²/2 comparison expressed as a self-join — correct
+    * baseline; for huge N switch blocking to [[lshBucket]] equality first
+    * (same verify step), trading recall for a 2^planes fan-in cut.
+    */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val v = df.select(col("id"), col("vec").cast("array<double>").as("v"))
+    v.as("l")
+      .join(v.as("r"), col("l.id") < col("r.id"))
+      .withColumn("sim", quantize(cosine(col("l.v"), col("r.v"))))
+      .filter(col("sim") >= lit((threshold * 10000).toLong))
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("sim"))
+  }
+}

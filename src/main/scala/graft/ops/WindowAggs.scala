@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time window aggregations.
+  *
+  * Re-expresses the reference's incremental window counts
+  * (`gmall-user-behavior/.../app/HotItemApp.java:62,76-110` sliding count
+  * per item; `gmall-network-flow/.../app/PageViewApp.java:57-60` tumbling
+  * PV; `gmall-market/.../app/AdClickApp.java:63-66` sliding count per
+  * province; `gmall-market/.../app/channelApp.java:42-72` per
+  * (channel,behavior); `gmall-network-flow/.../app/UniqueVisitorApp.java:53-79`
+  * exact UV; `UniqueVisitorApp2.java:93-167` bloom-approx UV) as declarative
+  * `groupBy(window(...))` aggregations. Catalyst plans these as
+  * partial+final `HashAggregate` around a single hash exchange — the same
+  * two-phase shape the reference hand-codes with
+  * `AggregateFunction.add/merge` — so at scale the shuffle carries only
+  * pre-aggregated (window,key) partials, not raw events.
+  *
+  * Results are flattened: the `window` struct becomes a `window_start`
+  * timestamp column so outputs are plain relational rows (oracle- and
+  * sink-friendly).
+  */
+object WindowAggs {
+
+  private def flatten(df: DataFrame): DataFrame =
+    df.withColumn("window_start", col("window.start")).drop("window")
+
+  /** Tumbling-window row count per key (reference A3/W4). */
+  def tumblingCount(
+      df: DataFrame,
+      ts: Column,
+      size: String,
+      keys: Seq[Column] = Nil,
+      countName: String = "cnt"): DataFrame =
+    flatten(
+      df.groupBy(window(ts, size) +: keys: _*)
+        .agg(count(lit(1)).as(countName)))
+
+  /** Sliding-window row count per key (reference A1/A2/A5/A6/W3).
+    * Each row lands in size/slide windows; the explode happens inside
+    * Spark's `TimeWindowing` rule before partial aggregation, so the
+    * blow-up never crosses the shuffle un-aggregated.
+    */
+  def slidingCount(
+      df: DataFrame,
+      ts: Column,
+      size: String,
+      slide: String,
+      keys: Seq[Column] = Nil,
+      countName: String = "cnt"): DataFrame =
+    flatten(
+      df.groupBy(window(ts, size, slide) +: keys: _*)
+        .agg(count(lit(1)).as(countName)))
+
+  /** Exact distinct count per tumbling window (reference A7 — the
+    * HashSet-per-window UV). Spark plans count_distinct as a two-level
+    * aggregate (dedup then count) — bounded by distinct cardinality,
+    * not event count, per partition.
+    */
+  def tumblingCountDistinct(
+      df: DataFrame,
+      ts: Column,
+      size: String,
+      distinctCol: Column,
+      keys: Seq[Column] = Nil,
+      countName: String = "uv"): DataFrame =
+    flatten(
+      df.groupBy(window(ts, size) +: keys: _*)
+        .agg(count_distinct(distinctCol).as(countName)))
+
+  /** Approximate distinct count (HLL++) per tumbling window — the
+    * scale path for reference A8 (`UniqueVisitorApp2`'s hand-rolled
+    * Redis-bitmap bloom filter). Constant memory per (window,key)
+    * regardless of cardinality; rsd defaults to Spark's 5%.
+    */
+  def tumblingApproxDistinct(
+      df: DataFrame,
+      ts: Column,
+      size: String,
+      distinctCol: Column,
+      rsd: Double = 0.05,
+      keys: Seq[Column] = Nil,
+      countName: String = "uv_approx"): DataFrame =
+    flatten(
+      df.groupBy(window(ts, size) +: keys: _*)
+        .agg(approx_count_distinct(distinctCol, rsd).as(countName)))
+}
