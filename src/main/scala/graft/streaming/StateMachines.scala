@@ -1,0 +1,269 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Generic keyed event shape for the stateful operators: the reference's
+  * seven input POJOs (SURVEY §1) all collapse to (key, event-time, kind,
+  * id) for state-machine purposes — key = the `keyBy` field, kind = the
+  * discriminating string (eventType/behavior), id = a payload identifier
+  * carried through to outputs.
+  */
+case class KeyedEvent(key: String, ts: Timestamp, kind: String, id: String)
+
+/** Tagged-union output row — the Spark encoding of Flink side outputs
+  * (reference S6, `ctx.output(OutputTag, ...)`): one stream, a `tag`
+  * column, split by `filter` at the sink (see [[SideOutputs]]).
+  */
+case class TaggedRow(key: String, tag: String, first_ts: Timestamp, last_ts: Timestamp, info: String)
+
+/** Event-time state machines over `flatMapGroupsWithState` — the genuinely
+  * custom layer (SURVEY §2.7): Flink `KeyedProcessFunction`/CEP semantics
+  * re-expressed on Spark's streaming state store.
+  *
+  * Ordering contract: handlers sort each micro-batch's per-key events by
+  * (ts, id) before folding them into state. Cross-batch order is the
+  * source's responsibility (the reference assumes in-order streams —
+  * ascending-timestamp watermarks, SURVEY §2.6 W1); events arriving in a
+  * later batch with an older timestamp than already-folded state are folded
+  * as-is, matching Flink's behavior for its `AscendingTimestampExtractor`
+  * apps.
+  *
+  * Scale: state lives in the executor state store, partitioned by key hash
+  * — one exchange per stateful op, identical to the reference's `keyBy`.
+  * State per key is O(pattern length) or O(open requests), never O(events).
+  */
+object StateMachines {
+
+  private def sorted(events: Iterator[KeyedEvent]): Seq[KeyedEvent] =
+    events.toSeq.sortBy(e => (e.ts.getTime, e.id))
+
+  // ---- C3/C4/C5: n consecutive matches within a gap ----
+
+  /** Last up-to-(n-1) matching event times (epoch ms) + the id of the run's
+    * first event. A non-match clears the run — the reference's
+    * "no success in between" rule (`LoginFailWithState2.java:52-79`).
+    */
+  case class RunState(matchTimes: List[Long], firstId: String)
+
+  /** Streaming form of [[graft.ops.Sequences.consecutiveMatches]]
+    * (reference C3/C4/C5 — consecutive login failures;
+    * `gmall-login-fail/.../LoginFailWithState2.java:72`,
+    * `LoginFailwithStateCEP_More.java:46-53`). Sliding emission: every
+    * event completing an n-run within `maxGapSec` of its first emits
+    * (key, first_ts, last_ts) tagged "warn" — same rows as the batch
+    * window-function formulation.
+    */
+  def consecutiveMatches(
+      events: Dataset[KeyedEvent],
+      matchKind: String,
+      n: Int,
+      maxGapSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
+    require(n >= 2, "a run needs at least 2 events")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RunState, TaggedRow](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout)((key, it, state) => {
+        var st = state.getOption.getOrElse(RunState(Nil, ""))
+        val out = Seq.newBuilder[TaggedRow]
+        for (e <- sorted(it)) {
+          if (e.kind == matchKind) {
+            val times = (st.matchTimes :+ e.ts.getTime).takeRight(n)
+            val firstId = if (st.matchTimes.isEmpty) e.id else st.firstId
+            if (times.length == n && e.ts.getTime - times.head <= maxGapSec * 1000L)
+              out += TaggedRow(key, "warn", new Timestamp(times.head), e.ts, firstId)
+            st = RunState(times.takeRight(n - 1), firstId)
+          } else st = RunState(Nil, "")
+        }
+        state.update(st)
+        out.result().iterator
+      })
+  }
+
+  // ---- C2/A9/W8: daily threshold blacklist ----
+
+  /** (utc day start ms, count so far today, warned already). */
+  case class DayCountState(dayStartMs: Long, cnt: Long, warned: Boolean)
+
+  /** Streaming click-fraud blacklist (reference C2 —
+    * `gmall-market/.../AdClickApp.java:112-168`): per key, count matching
+    * events per UTC day; events before the threshold pass through
+    * (tag "pass"), the event crossing it emits one "warn", later events
+    * that day are suppressed. The daily reset is event-time day rollover
+    * (the intended semantics of the reference's buggy W8 midnight timer,
+    * `AdClickApp.java:141` — SURVEY §2.6).
+    */
+  def dailyThreshold(
+      events: Dataset[KeyedEvent],
+      matchKind: String,
+      threshold: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DayCountState, TaggedRow](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout)((key, it, state) => {
+        var st = state.getOption.getOrElse(DayCountState(-1L, 0L, warned = false))
+        val out = Seq.newBuilder[TaggedRow]
+        for (e <- sorted(it) if e.kind == matchKind) {
+          val day = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
+          if (day != st.dayStartMs) st = DayCountState(day, 0L, warned = false)
+          st = st.copy(cnt = st.cnt + 1)
+          if (st.cnt < threshold)
+            out += TaggedRow(key, "pass", e.ts, e.ts, e.id)
+          else if (!st.warned) {
+            out += TaggedRow(key, "warn", new Timestamp(st.dayStartMs), e.ts, s"count=${st.cnt}")
+            st = st.copy(warned = true)
+          } // else: suppressed, the blacklist's whole point
+        }
+        state.update(st)
+        out.result().iterator
+      })
+  }
+
+  // ---- C6/C7: request→response with timeout ----
+
+  /** Open requests: (id, request ts ms), earliest first. */
+  case class PendingState(pending: List[(String, Long)])
+
+  /** Streaming order-timeout monitor (reference C6/C7 —
+    * `gmall-order-pay/.../OrderTimeOutStateApp.java:57-112`: create starts
+    * a 15-min event-time timer, pay in time → matched, timer fires → "No
+    * Pay" side output; CEP flavor `OrderTimeOutWithCepApp.java:53-76`).
+    *
+    * `reqKind` events open a request; a `respKind` event matches the
+    * earliest open request within (req_ts, req_ts+timeoutSec] → "matched".
+    * Requests whose deadline the watermark has passed emit "timeout" —
+    * the event-time timer re-expressed as `GroupStateTimeout
+    * .EventTimeTimeout` + `setTimeoutTimestamp`, so a key with no further
+    * traffic still times out.
+    */
+  def matchWithTimeout(
+      events: Dataset[KeyedEvent],
+      reqKind: String,
+      respKind: String,
+      timeoutSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutMs = timeoutSec * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PendingState, TaggedRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        var pending = state.getOption.map(_.pending).getOrElse(Nil)
+        val out = Seq.newBuilder[TaggedRow]
+        for (e <- sorted(it)) e.kind match {
+          case k if k == reqKind =>
+            pending = (pending :+ (e.id, e.ts.getTime)).sortBy(_._2)
+          case k if k == respKind =>
+            pending.find { case (_, reqMs) =>
+              e.ts.getTime > reqMs && e.ts.getTime <= reqMs + timeoutMs
+            } match {
+              case Some(hit @ (reqId, reqMs)) =>
+                out += TaggedRow(key, "matched", new Timestamp(reqMs), e.ts, reqId)
+                pending = pending.filterNot(_ == hit)
+              case None => // unmatched response: reference J2's "No Payed But Receipt" analog
+                out += TaggedRow(key, "resp_no_req", e.ts, e.ts, e.id)
+            }
+          case _ => ()
+        }
+        // flush requests the watermark has expired (including on timer fire)
+        val wm = state.getCurrentWatermarkMs()
+        val (expired, open) = pending.partition { case (_, reqMs) => reqMs + timeoutMs < wm }
+        for ((reqId, reqMs) <- expired)
+          out += TaggedRow(key, "timeout", new Timestamp(reqMs), new Timestamp(reqMs + timeoutMs), reqId)
+        if (open.isEmpty) state.remove()
+        else {
+          state.update(PendingState(open))
+          state.setTimeoutTimestamp(open.map(_._2).min + timeoutMs)
+        }
+        out.result().iterator
+      })
+  }
+
+  // ---- J2: two-stream reconciliation ----
+
+  /** Unmatched events per side: (id, ts ms). */
+  case class ReconcileState(left: List[(String, Long)], right: List[(String, Long)])
+
+  /** Streaming two-stream reconciliation (reference J2 —
+    * `gmall-order-pay/.../PayReceiptWithConnectApp.java:62-157`: two keyed
+    * streams connected, per-side ValueState + event-time timers; match →
+    * "Payed And Receipt", expiry → per-side side outputs).
+    *
+    * Feed it the UNION of both streams tagged by kind (`leftKind` /
+    * `rightKind`) — the tagged-union encoding of Flink's `connect`. A
+    * left/right pair within ±`toleranceSec` → "matched"; events the
+    * watermark expires unmatched → "left_only" / "right_only" (the
+    * reference's two side outputs, minus its inverted-null-check NPE bug —
+    * SURVEY §2.4).
+    */
+  def reconcile(
+      events: Dataset[KeyedEvent],
+      leftKind: String,
+      rightKind: String,
+      toleranceSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tolMs = toleranceSec * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ReconcileState, TaggedRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        var st = state.getOption.getOrElse(ReconcileState(Nil, Nil))
+        val out = Seq.newBuilder[TaggedRow]
+        def tryMatch(ts: Long, other: List[(String, Long)]): (Option[(String, Long)], List[(String, Long)]) =
+          other.find { case (_, o) => Math.abs(o - ts) <= tolMs } match {
+            case Some(hit) => (Some(hit), other.filterNot(_ == hit))
+            case None      => (None, other)
+          }
+        for (e <- sorted(it)) {
+          if (e.kind == leftKind) {
+            val (hit, rest) = tryMatch(e.ts.getTime, st.right)
+            hit match {
+              case Some((rid, rms)) =>
+                out += TaggedRow(key, "matched", e.ts, new Timestamp(rms), s"${e.id}|$rid")
+                st = st.copy(right = rest)
+              case None => st = st.copy(left = st.left :+ (e.id, e.ts.getTime))
+            }
+          } else if (e.kind == rightKind) {
+            val (hit, rest) = tryMatch(e.ts.getTime, st.left)
+            hit match {
+              case Some((lid, lms)) =>
+                out += TaggedRow(key, "matched", new Timestamp(lms), e.ts, s"$lid|${e.id}")
+                st = st.copy(left = rest)
+              case None => st = st.copy(right = st.right :+ (e.id, e.ts.getTime))
+            }
+          }
+        }
+        val wm = state.getCurrentWatermarkMs()
+        val (lExp, lOpen) = st.left.partition { case (_, ms) => ms + tolMs < wm }
+        val (rExp, rOpen) = st.right.partition { case (_, ms) => ms + tolMs < wm }
+        for ((id, ms) <- lExp) out += TaggedRow(key, "left_only", new Timestamp(ms), new Timestamp(ms), id)
+        for ((id, ms) <- rExp) out += TaggedRow(key, "right_only", new Timestamp(ms), new Timestamp(ms), id)
+        if (lOpen.isEmpty && rOpen.isEmpty) state.remove()
+        else {
+          state.update(ReconcileState(lOpen, rOpen))
+          state.setTimeoutTimestamp((lOpen ++ rOpen).map(_._2).min + tolMs)
+        }
+        out.result().iterator
+      })
+  }
+}

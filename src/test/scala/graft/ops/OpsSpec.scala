@@ -1,0 +1,253 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Batch operator specs on tiny in-memory data. Scenario rows mirror the
+  * reference's curated CSV inputs (SURVEY §5): consecutive-fail bursts,
+  * create-without-pay orders, unmatched receipts.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ---- WindowAggs ----
+
+  test("tumblingCount counts rows per hour window") {
+    val df = Seq(
+      ("2020-01-01 10:05:00", "a"),
+      ("2020-01-01 10:55:00", "b"),
+      ("2020-01-01 11:05:00", "c"))
+      .toDF("t", "v")
+      .withColumn("t", col("t").cast("timestamp"))
+    val got = WindowAggs
+      .tumblingCount(df, col("t"), "1 hour")
+      .orderBy("window_start")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(0)))
+    assert(got.toSeq == Seq(("2020-01-01 10:00:00.0", 2L), ("2020-01-01 11:00:00.0", 1L)))
+  }
+
+  test("slidingCount lands each row in size/slide windows") {
+    val df = Seq(("2020-01-01 10:30:00", "a")).toDF("t", "v")
+      .withColumn("t", col("t").cast("timestamp"))
+    val got = WindowAggs.slidingCount(df, col("t"), "1 hour", "15 minutes")
+    assert(got.count() == 4) // one row appears in 60/15 = 4 windows
+  }
+
+  test("tumblingCountDistinct counts distinct users") {
+    val df = Seq(
+      ("2020-01-01 10:05:00", 1L),
+      ("2020-01-01 10:15:00", 1L),
+      ("2020-01-01 10:25:00", 2L))
+      .toDF("t", "u")
+      .withColumn("t", col("t").cast("timestamp"))
+    val got = WindowAggs.tumblingCountDistinct(df, col("t"), "1 hour", col("u")).collect()
+    assert(got.head.getLong(0) == 2L)
+  }
+
+  // ---- TopN ----
+
+  test("TopN.perPartition ranks within each partition, deterministic ties") {
+    val df = Seq(("p1", "x", 10), ("p1", "y", 30), ("p1", "z", 20), ("p2", "q", 1))
+      .toDF("p", "item", "cnt")
+    val got = TopN
+      .perPartition(df, Seq(col("p")), Seq(col("cnt").desc, col("item").asc), 2)
+      .select("p", "item", "rank")
+      .as[(String, String, Long)]
+      .collect()
+      .toSet
+    assert(got == Set(("p1", "y", 1L), ("p1", "z", 2L), ("p2", "q", 1L)))
+  }
+
+  // ---- Sequences (C2/C3/C5/C6 batch semantics) ----
+
+  test("consecutiveMatches finds fail-fail runs within gap, success resets") {
+    // the LoginLog scenario: two fails 1s apart -> warn; fail,success,fail -> no warn
+    val df = Seq(
+      ("u1", "2020-01-01 00:00:00", "e1", "fail"),
+      ("u1", "2020-01-01 00:00:01", "e2", "fail"),
+      ("u2", "2020-01-01 00:00:00", "e3", "fail"),
+      ("u2", "2020-01-01 00:00:01", "e4", "success"),
+      ("u2", "2020-01-01 00:00:02", "e5", "fail"),
+      ("u3", "2020-01-01 00:00:00", "e6", "fail"),
+      ("u3", "2020-01-01 01:00:00", "e7", "fail")) // gap > 2s
+      .toDF("k", "t", "id", "kind")
+      .withColumn("t", col("t").cast("timestamp"))
+    val got = Sequences
+      .consecutiveMatches(df, col("k"), col("t"), col("id"), col("kind") === "fail", 2, 2L)
+      .as[(String, Timestamp, Timestamp)]
+      .collect()
+    assert(got.toSeq == Seq(("u1", ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:01"))))
+  }
+
+  test("consecutiveMatches n=3 needs three in a row") {
+    val df = Seq(
+      ("u1", "2020-01-01 00:00:00", "a", "fail"),
+      ("u1", "2020-01-01 00:00:01", "b", "fail"),
+      ("u1", "2020-01-01 00:00:02", "c", "fail"))
+      .toDF("k", "t", "id", "kind")
+      .withColumn("t", col("t").cast("timestamp"))
+    assert(Sequences.consecutiveMatches(
+      df, col("k"), col("t"), col("id"), col("kind") === "fail", 3, 10L).count() == 1)
+    assert(Sequences.consecutiveMatches(
+      df, col("k"), col("t"), col("id"), col("kind") === "fail", 4, 10L).count() == 0)
+  }
+
+  test("dailyThreshold keeps only keys at/over the threshold per day") {
+    val df = Seq(
+      ("u1", "2020-01-01 10:00:00", "click"),
+      ("u1", "2020-01-01 11:00:00", "click"),
+      ("u1", "2020-01-02 10:00:00", "click"), // next day: count resets
+      ("u2", "2020-01-01 10:00:00", "click"))
+      .toDF("k", "t", "kind")
+      .withColumn("t", col("t").cast("timestamp"))
+    val got = Sequences
+      .dailyThreshold(df, col("k"), col("t"), col("kind") === "click", 2L)
+      .select("key", "cnt").as[(String, Long)].collect()
+    assert(got.toSeq == Seq(("u1", 2L)))
+  }
+
+  test("matchWithTimeout: pay in time matched, no pay times out") {
+    // the OrderLog scenario: o1 created+paid in window, o2 never paid,
+    // o3 paid too late
+    val reqs = Seq(
+      ("o1", "r1", "2020-01-01 00:00:00"),
+      ("o2", "r2", "2020-01-01 00:00:00"),
+      ("o3", "r3", "2020-01-01 00:00:00"))
+      .toDF("key", "id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val resps = Seq(
+      ("o1", "2020-01-01 00:10:00"),
+      ("o3", "2020-01-01 01:00:00"))
+      .toDF("key", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Sequences
+      .matchWithTimeout(reqs, resps, timeoutSec = 900L)
+      .select("key", "status").as[(String, String)].collect().toSet
+    assert(got == Set(("o1", "matched"), ("o2", "timeout"), ("o3", "timeout")))
+  }
+
+  // ---- Joins ----
+
+  test("intervalJoin keeps pairs inside the time range only") {
+    val l = Seq(("k1", "p1", "2020-01-01 02:00:00"))
+      .toDF("lk", "lid", "lts").withColumn("lts", col("lts").cast("timestamp"))
+    val r = Seq(
+      ("k1", "c1", "2020-01-01 01:30:00"), // inside [-2h, 0]
+      ("k1", "c2", "2020-01-01 02:30:00"), // after: out
+      ("k1", "c3", "2019-12-31 23:00:00")) // too early: out
+      .toDF("rk", "rid", "rts").withColumn("rts", col("rts").cast("timestamp"))
+    val got = Joins
+      .intervalJoin(l, r, col("lk"), col("rk"), col("lts"), col("rts"), -7200L, 0L)
+      .select("lid", "rid").as[(String, String)].collect()
+    assert(got.toSeq == Seq(("p1", "c1")))
+  }
+
+  test("reconcile emits matched plus both side-output tags") {
+    // the PayReceipt scenario: tx1 both sides, tx2 pay only, tx3 receipt only
+    val l = Seq(("tx1", "p1", "2020-01-01 00:00:00"), ("tx2", "p2", "2020-01-01 00:00:00"))
+      .toDF("lk", "lid", "lts").withColumn("lts", col("lts").cast("timestamp"))
+    val r = Seq(("tx1", "r1", "2020-01-01 00:00:03"), ("tx3", "r3", "2020-01-01 00:00:00"))
+      .toDF("rk", "rid", "rts").withColumn("rts", col("rts").cast("timestamp"))
+    val got = Joins
+      .reconcile(l, r, col("lk"), col("rk"), col("lts"), col("rts"), 5L,
+        "matched", "pay_no_receipt", "receipt_no_pay")
+      .select("status").as[String].collect().sorted
+    assert(got.toSeq == Seq("matched", "pay_no_receipt", "receipt_no_pay"))
+  }
+
+  // ---- Dedup ----
+
+  test("exact dedup groups identical normalized text") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, col("doc_id"), lower(col("text")))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds the planted near-dup pair only") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and often" // 1 word off
+    val c = "completely different text with no overlap at all whatsoever here"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH candidates contain the true near-dup; verify filters rest") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and often"
+    val c = "completely different text with no overlap at all whatsoever here"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.minhashDedup(df, col("doc_id"), col("text"), 3, 64, 16, 0.5)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhashPairs: near-identical docs within hamming bound") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, a), (2L, a), (3L, "unrelated words entirely disjoint from others")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, col("doc_id"), col("text"), 3)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L))) // identical text -> hamming 0
+  }
+
+  // ---- Similarity ----
+
+  test("bruteForceTopK returns k nearest by cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val got = Similarity
+      .bruteForceTopK(vecs, vecs.filter(col("id") === 0), k = 2)
+      .select("nbr_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("native CosineSim equals HOF formulation bit-for-bit") {
+    val df = Seq((Array(0.1, 0.2, 0.7), Array(0.3, 0.9, 0.11))).toDF("a", "b")
+    val hof = df.select(
+      (Similarity.dot(col("a"), col("b")) /
+        (Similarity.l2norm(col("a")) * Similarity.l2norm(col("b")))).as("c"))
+      .head().getDouble(0)
+    val native = df.select(Similarity.cosine(col("a"), col("b")).as("c")).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(hof) == java.lang.Double.doubleToLongBits(native))
+  }
+
+  // ---- TextOps ----
+
+  test("quality signals and langid on english vs noise") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "zzz qqq")).toDF("doc_id", "text")
+    val q = TextOps.qualitySignals(df, col("text"))
+      .select("doc_id", "n_tokens", "stopword_ratio").as[(Long, Int, Double)].collect().toMap2
+    assert(q(1L) == ((6, 3.0 / 6)))
+    assert(q(2L) == ((2, 0.0)))
+    val langs = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(langs == Map(1L -> "en", 2L -> "und"))
+  }
+
+  test("shingleHashRows matches wordShingles content") {
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo")).toDF("doc_id", "text")
+    val viaRows = TextOps.shingleHashRows(df, col("doc_id"), col("text"), 3)
+      .distinct().groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val viaArray = df.select(col("doc_id"),
+      size(TextOps.wordShingles(col("text"), 3)).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaRows == viaArray)
+    assert(viaRows == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  private implicit class TripleOps[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** MemoryStream-driven specs for the stateful streaming operators —
+  * explicit event-sequence scenarios (SURVEY §5: fail-fail-success,
+  * create-no-pay, pay-no-receipt) with manual watermark advancement via
+  * later sentinel events.
+  */
+class StateMachinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ev(key: String, t: String, kind: String, id: String): KeyedEvent =
+    KeyedEvent(key, ts(t), kind, id)
+
+  /** Run a bounded scenario through a streaming op: feed batches, advance
+    * the watermark past everything with a sentinel key, collect rows.
+    */
+  private def runScenario(
+      batches: Seq[Seq[KeyedEvent]],
+      name: String)(op: Dataset[KeyedEvent] => Dataset[TaggedRow]): Seq[TaggedRow] = {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val q = op(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      for (b <- batches) { input.addData(b); q.processAllAvailable() }
+      // two empty-ish batches so the final watermark is computed AND acted on
+      input.addData(Seq(ev("__sentinel", "2030-01-01 00:00:00", "noop", "s")))
+      q.processAllAvailable()
+      input.addData(Seq(ev("__sentinel", "2030-01-01 00:00:01", "noop", "s2")))
+      q.processAllAvailable()
+      spark.table(name).as[TaggedRow].collect().toSeq.filterNot(_.key == "__sentinel")
+    } finally q.stop()
+  }
+
+  test("consecutiveMatches(stream): fail-fail warns, success resets, across batches") {
+    val out = runScenario(
+      Seq(
+        Seq(
+          ev("u1", "2020-01-01 00:00:00", "fail", "e1"),
+          ev("u2", "2020-01-01 00:00:00", "fail", "e3")),
+        Seq( // run continues across micro-batches via state
+          ev("u1", "2020-01-01 00:00:01", "fail", "e2"),
+          ev("u2", "2020-01-01 00:00:01", "success", "e4"),
+          ev("u2", "2020-01-01 00:00:02", "fail", "e5"))),
+      "sm_consec")(StateMachines.consecutiveMatches(_, "fail", 2, 2L))
+    assert(out.map(r => (r.key, r.first_ts, r.last_ts)) ==
+      Seq(("u1", ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:01"))))
+  }
+
+  test("consecutiveMatches(stream) equals batch formulation on same input") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      ev("a", "2020-01-01 00:00:00", "fail", "1"),
+      ev("a", "2020-01-01 00:00:01", "fail", "2"),
+      ev("a", "2020-01-01 00:00:02", "fail", "3"),
+      ev("a", "2020-01-01 00:00:05", "success", "4"),
+      ev("a", "2020-01-01 00:00:06", "fail", "5"),
+      ev("b", "2020-01-01 00:00:00", "fail", "6"),
+      ev("b", "2020-01-01 00:00:04", "fail", "7")) // gap > 2s: no warn
+    val streamed = runScenario(Seq(events.take(3), events.drop(3)), "sm_equiv")(
+      StateMachines.consecutiveMatches(_, "fail", 2, 2L))
+      .map(r => (r.key, r.first_ts, r.last_ts)).toSet
+    val batch = graft.ops.Sequences
+      .consecutiveMatches(
+        events.toDF(), col("key"), col("ts"), col("id"), col("kind") === "fail", 2, 2L)
+      .as[(String, Timestamp, Timestamp)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2) // a:(0,1), a:(1,2)
+  }
+
+  test("dailyThreshold(stream): passes below, warns once, suppresses after, resets next day") {
+    val out = runScenario(
+      Seq(Seq(
+        ev("u1", "2020-01-01 10:00:00", "click", "c1"),
+        ev("u1", "2020-01-01 11:00:00", "click", "c2"),
+        ev("u1", "2020-01-01 12:00:00", "click", "c3"),
+        ev("u1", "2020-01-02 09:00:00", "click", "c4"))),
+      "sm_daily")(StateMachines.dailyThreshold(_, "click", 2L))
+    val tags = out.map(r => (r.tag, r.info))
+    assert(tags == Seq(
+      ("pass", "c1"),          // below threshold
+      ("warn", "count=2"),     // crossing
+      // c3 suppressed
+      ("pass", "c4")))         // next day: reset
+  }
+
+  test("matchWithTimeout(stream): in-time match, watermark-driven timeout") {
+    val out = runScenario(
+      Seq(
+        Seq(
+          ev("o1", "2020-01-01 00:00:00", "create", "r1"),
+          ev("o2", "2020-01-01 00:00:00", "create", "r2")),
+        Seq(ev("o1", "2020-01-01 00:10:00", "pay", "p1"))),
+      "sm_timeout")(StateMachines.matchWithTimeout(_, "create", "pay", 900L))
+    val byTag = out.groupBy(_.tag)
+    assert(byTag("matched").map(r => (r.key, r.info)) == Seq(("o1", "r1")))
+    assert(byTag("timeout").map(r => (r.key, r.info)) == Seq(("o2", "r2")))
+  }
+
+  test("matchWithTimeout(stream): late pay is not matched (already timed out)") {
+    val out = runScenario(
+      Seq(
+        Seq(ev("o3", "2020-01-01 00:00:00", "create", "r3")),
+        Seq(ev("o3", "2020-01-01 02:00:00", "pay", "p3"))), // far past 15min deadline
+      "sm_latepay")(StateMachines.matchWithTimeout(_, "create", "pay", 900L))
+    assert(out.map(_.tag).sorted == Seq("resp_no_req", "timeout"))
+  }
+
+  test("reconcile(stream): matched pair plus left_only and right_only side outputs") {
+    val out = runScenario(
+      Seq(Seq(
+        ev("tx1", "2020-01-01 00:00:00", "pay", "p1"),
+        ev("tx1", "2020-01-01 00:00:03", "receipt", "r1"),
+        ev("tx2", "2020-01-01 00:00:00", "pay", "p2"),
+        ev("tx3", "2020-01-01 00:00:00", "receipt", "r3"))),
+      "sm_reconcile")(StateMachines.reconcile(_, "pay", "receipt", 5L))
+    val tags = out.map(r => (r.key, r.tag)).toSet
+    assert(tags == Set(("tx1", "matched"), ("tx2", "left_only"), ("tx3", "right_only")))
+    assert(out.find(_.tag == "matched").get.info == "p1|r1")
+  }
+}
