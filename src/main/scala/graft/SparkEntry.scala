@@ -200,6 +200,11 @@ object SparkEntry {
     "d_dedup_embed" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(embeddingsIdVec(Tables(s, dir)), 0.40)
     }),
+    "d_dedup_embed_lsh" -> ((s, dir) => {
+      // scale path of d_dedup_embed: LSH-blocked candidates, exact verify;
+      // probabilistic recall -> rows-only check (no oracle)
+      Similarity.cosineNearDupPairsLSH(embeddingsIdVec(Tables(s, dir)), 0.40, dim = 64)
+    }),
 
     // ---- text analysis ----
     "t_tokens" -> ((s, dir) => {

@@ -131,4 +131,41 @@ object Similarity {
       .filter(col("sim") >= lit((threshold * 10000).toLong))
       .select(col("l.id").as("a"), col("r.id").as("b"), col("sim"))
   }
+
+  /** LSH-blocked near-dup pairs — the scale path for
+    * [[cosineNearDupPairs]]: candidates must share at least one of
+    * `nTables` sign-hash buckets (multi-table LSH: OR over tables recovers
+    * the recall a single bucketing loses), then exact cosine verification
+    * on candidates only. Same output schema/quantization as brute force,
+    * probabilistic recall. The pair space is an equi-join on (table,
+    * bucket), i.e. hash-partitioned shuffles — never N².
+    */
+  def cosineNearDupPairsLSH(
+      df: DataFrame,
+      threshold: Double,
+      dim: Int,
+      nPlanes: Int = 8,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val v = df.select(col("id"), col("vec").cast("array<double>").as("v"))
+    // candidates carry only ids through the bucket join + distinct (arrays
+    // never cross that exchange); vectors join back for verification
+    val banded = v.select(
+      col("id"),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col("v"), dim, nPlanes, seed + t * 7919L)): _*)).as(Seq("tbl", "bucket")))
+    banded
+      .as("l")
+      .join(
+        banded.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+      .join(v.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(v.select(col("id").as("b"), col("v").as("vb")), "b")
+      .withColumn("sim", quantize(cosine(col("va"), col("vb"))))
+      .filter(col("sim") >= lit((threshold * 10000).toLong))
+      .select(col("a"), col("b"), col("sim"))
+  }
 }

@@ -212,6 +212,19 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("cosineNearDupPairsLSH finds identical and near-identical vectors") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),                       // identical to 0
+      (2L, Array(0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, -0.5f)),
+      (3L, Array(-1.0f, 1.0f, -1.0f, 1.0f, -1.0f, 1.0f, -1.0f, 1.0f)))
+      .toDF("id", "vec")
+    val got = Similarity.cosineNearDupPairsLSH(vecs, 0.9, dim = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("native CosineSim equals HOF formulation bit-for-bit") {
     val df = Seq((Array(0.1, 0.2, 0.7), Array(0.3, 0.9, 0.11))).toDF("a", "b")
     val hof = df.select(
