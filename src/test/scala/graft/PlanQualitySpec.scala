@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties the engine depends
+  * on (pushdown, broadcast placement, partial aggregation, windowed top-N
+  * pruning) must survive refactors. These read `executedPlan`, not timings —
+  * deterministic at any scale factor.
+  */
+class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter and column pruning reach the parquet scan (q_pv_hourly)") {
+    val p = plan("q_pv_hourly")
+    assert(p.contains("EqualTo(event_type,view)") && p.contains("PushedFilters"),
+      s"filter not pushed:\n$p")
+    // only the needed 2 of 6 columns are read
+    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string>"), p)
+  }
+
+  test("q5 keeps the fact table unshuffled: dims broadcast, one agg exchange") {
+    val p = plan("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5, p)
+    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle exchange (final agg):\n$p")
+  }
+
+  test("windowed counts pre-aggregate before the shuffle (q_hot_items)") {
+    val p = plan("q_hot_items")
+    // map-side combine: a partial count below the agg exchange
+    assert(p.contains("functions=[partial_count(1)]"), s"no map-side combine:\n$p")
+    // rank<=N pruned on BOTH sides of the rank shuffle (Partial+Final)
+    assert(p.contains("row_number(), 5, Partial") && p.contains("row_number(), 5, Final"), p)
+  }
+
+  test("interval join is an equi-join on the key, not a cross product") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ngram dedup joins on hashed long keys, not shingle strings") {
+    val p = plan("d_dedup_ngram")
+    assert(!p.contains("Sort [s#"), "") // cheap sanity: key is the hashed col
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("brute-force knn broadcasts the probe side; only pruned top-k crosses the shuffle") {
+    val p = plan("s_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // probe broadcast x corpus scan
+    // exactly one shuffle, and it sits between the Final and Partial
+    // group-limits (top-down print): the N x Q pair stream is pruned to
+    // top-k per partition BEFORE crossing the exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.indexOf("row_number(), 5, Final") < p.indexOf("Exchange hashpartitioning") &&
+      p.indexOf("Exchange hashpartitioning") < p.indexOf("row_number(), 5, Partial"), p)
+  }
+}
