@@ -50,6 +50,11 @@ object SparkEntry {
       // A8: HLL++ approximate distinct (UniqueVisitorApp2's bloom filter)
       WindowAggs.tumblingApproxDistinct(Tables(s, dir).events, col("ts"), "1 day", col("user_id"))
     }),
+    "q_uv_daily_bloom" -> ((s, dir) => {
+      // A8 parity path: the reference's own bloom-bitmap structure as a
+      // typed Aggregator (rows-only check: estimate, not exact)
+      WindowAggs.tumblingBloomDistinct(Tables(s, dir).events, col("ts"), "1 day", col("user_id"))
+    }),
     "q_channel_stats" -> ((s, dir) => {
       // A5: per-(channel,behavior) daily counts (channelApp, intended
       // semantics — the reference's agg has a constant-1 bug, SURVEY §2.3)

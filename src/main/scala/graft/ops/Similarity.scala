@@ -74,16 +74,15 @@ object Similarity {
     if ((z & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** LSH bucket id: `nPlanes`-bit signature of random-hyperplane signs. */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
-    (0 until nPlanes)
-      .map { p =>
-        val proj = (0 until dim)
-          .map(j => element_at(vec, j + 1) * lit(hyperplaneSign(seed, p, j)))
-          .reduce(_ + _)
-        when(proj >= 0, lit(1L << p)).otherwise(0L)
-      }
-      .reduce(_.bitwiseOR(_))
+  /** LSH bucket id: `nPlanes`-bit signature of random-hyperplane signs.
+    * Native codegen'd expression ([[org.apache.spark.sql.graft
+    * .SignProjectionBucket]]) with the sign matrix baked in at plan time;
+    * same per-plane fold order as the column-tree formulation it replaced.
+    */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    val signs = Array.tabulate(nPlanes * dim)(i => hyperplaneSign(seed, i / dim, i % dim))
+    org.apache.spark.sql.graft.VectorFunctions.signProjectionBucket(vec, signs, nPlanes, dim)
+  }
 
   /** Approximate top-k: probe only the query's LSH bucket. The bucket join
     * is a hash exchange on the bucket id — each bucket holds ~N/2^planes

@@ -86,4 +86,21 @@ object WindowAggs {
     flatten(
       df.groupBy(window(ts, size) +: keys: _*)
         .agg(approx_count_distinct(distinctCol, rsd).as(countName)))
+
+  /** Bloom-filter distinct estimate per tumbling window — the reference
+    * A8's own data structure as a typed [[BloomDistinct]] Aggregator
+    * (bitmap merges map-side, fill-ratio collision correction). Prefer
+    * [[tumblingApproxDistinct]] (HLL++) unless bloom semantics are wanted.
+    */
+  def tumblingBloomDistinct(
+      df: DataFrame,
+      ts: Column,
+      size: String,
+      distinctCol: Column,
+      numBits: Int = 1 << 20,
+      keys: Seq[Column] = Nil,
+      countName: String = "uv_bloom"): DataFrame =
+    flatten(
+      df.groupBy(window(ts, size) +: keys: _*)
+        .agg(BloomDistinct.bloomDistinct(distinctCol, numBits).as(countName)))
 }

@@ -4,11 +4,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /** Cosine similarity of two array<double> vectors as a single fused,
   * whole-stage-codegen'd pass: one loop accumulates dot, |a|², |b|².
@@ -73,9 +73,76 @@ case class CosineSim(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket id of an array<double> vector: bit p of the
+  * result is the sign of `vec · signs[p]`. The sign matrix is baked into
+  * the expression at plan time, so the generated code is one tight
+  * dims×planes loop — replacing an `element_at`-per-term column tree
+  * (nPlanes × dim terms) that bloated codegen.
+  *
+  * Accumulation per plane is a sequential left fold over dims — bit-equal
+  * to the `(0 until dim).map(...).reduce(_ + _)` formulation it replaced.
+  * Vectors shorter than `dim` treat missing trailing dims as 0.
+  */
+case class SignProjectionBucket(child: Expression, signs: Array[Double], nPlanes: Int, dim: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(signs.length == nPlanes * dim, "signs must be nPlanes*dim")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_projection_bucket"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var j = 0
+      while (j < n) { proj += x.getDouble(j) * signs(p * dim + j); j += 1 }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val proj = ctx.freshName("proj")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |final int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double $proj = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $proj += $v.getDouble($j) * $signsRef[$p * $dim + $j];
+         |  }
+         |  if ($proj >= 0) $bucket |= (1L << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[CosineSim]]: `cosineSim($"a", $"b")`. */
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for [[SignProjectionBucket]]. */
+  def signProjectionBucket(vec: Column, signs: Array[Double], nPlanes: Int, dim: Int): Column =
+    ExpressionUtils.column(
+      SignProjectionBucket(ExpressionUtils.expression(vec), signs, nPlanes, dim))
 }

@@ -197,6 +197,15 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L))) // identical text -> hamming 0
   }
 
+  test("bloomDistinct estimates within ~2% of exact at 10k distinct") {
+    val df = spark.range(10000).select((col("id") % 5000).as("v"),
+      lit("2020-01-01 10:00:00").cast("timestamp").as("t"))
+    val est = WindowAggs
+      .tumblingBloomDistinct(df, col("t"), "1 hour", col("v"))
+      .select("uv_bloom").as[Long].head()
+    assert(math.abs(est - 5000L) <= 100L, s"estimate $est vs exact 5000")
+  }
+
   // ---- Similarity ----
 
   test("bruteForceTopK returns k nearest by cosine") {
