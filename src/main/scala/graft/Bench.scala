@@ -15,10 +15,14 @@ object Bench {
     // one untimed scan so session/scheduler warmup doesn't land on the
     // first query's number
     graft.io.Tables(spark, sfDir).events.count()
+    // noop sink: forces every output column to be computed (a bare count()
+    // would let Catalyst prune projection-only work to a row count)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -159,6 +159,18 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("matched", "pay_no_receipt", "receipt_no_pay"))
   }
 
+  test("apacheLog parses the reference's log line shape; malformed -> nulls") {
+    val lines = Seq(
+      "83.149.9.216 10001 - 17/05/2015:10:05:03 +0000 GET /presentations/x.png",
+      "a b c not-a-date e f g", // enough fields, bad date -> null ts, no throw
+      "garbage").toDF("value")
+    val got = graft.io.LogParse.apacheLog(lines, col("value"))
+    val ok = got.filter(col("ts").isNotNull)
+      .select("ip", "user_id", "method", "url").as[(String, String, String, String)].head()
+    assert(ok == (("83.149.9.216", "10001", "GET", "/presentations/x.png")))
+    assert(got.filter(col("ts").isNull).count() == 2) // malformed rows survive as nulls
+  }
+
   // ---- Dedup ----
 
   test("exact dedup groups identical normalized text") {
