@@ -216,6 +216,10 @@ object SparkEntry {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
+    "t_tokens_bpe" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))
+    }),
     "t_quality" -> ((s, dir) => {
       TextOps
         .qualitySignals(Tables(s, dir).documents, col("text"))
@@ -224,7 +228,8 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n_tokens"),
           col("n_alpha_chars").cast("long").as("n_alpha_chars"),
           col("avg_token_len"),
-          col("stopword_ratio"))
+          col("stopword_ratio"),
+          col("punct_ratio"))
     }),
     "t_langid" -> ((s, dir) => {
       Tables(s, dir).documents
@@ -421,13 +426,19 @@ object SparkEntry {
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.6""".stripMargin,
     "t_tokens" ->
       s"SELECT doc_id, len($tokensExpr) AS n_tokens FROM documents",
+    "t_tokens_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
     "t_quality" ->
       s"""SELECT doc_id,
          |  len($tokensExpr) AS n_tokens,
          |  length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_alpha_chars,
          |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
          |    / len($tokensExpr) AS avg_token_len,
-         |  CAST($stopCntExpr AS DOUBLE) / len($tokensExpr) AS stopword_ratio
+         |  CAST($stopCntExpr AS DOUBLE) / len($tokensExpr) AS stopword_ratio,
+         |  CAST(length(regexp_replace(trim(text), '[A-Za-z0-9\\s]+', '', 'g')) AS DOUBLE)
+         |    / length(regexp_replace(trim(text), '\\s+', '', 'g')) AS punct_ratio
          |FROM documents""".stripMargin,
     "t_langid" ->
       s"""SELECT doc_id,

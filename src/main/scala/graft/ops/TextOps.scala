@@ -20,6 +20,14 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword token estimate: alphanumeric runs and individual
+    * punctuation marks each count as one token — the usual cheap proxy for
+    * a byte-pair tokenizer's output length (run-splitting is where most
+    * BPE merges saturate). Pure regex count, codegen'd, engine-portable.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
   /** Count of tokens that are English stopwords. */
   def stopwordCount(text: Column): Column = {
     val stop = EnStopwords
@@ -36,6 +44,10 @@ object TextOps {
       .withColumn("n_alpha_chars", length(regexp_replace(trim(text), "\\s+", "")))
       .withColumn("avg_token_len", col("n_alpha_chars").cast("double") / col("n_tokens"))
       .withColumn("stopword_ratio", stopwordCount(text).cast("double") / col("n_tokens"))
+      .withColumn(
+        "punct_ratio",
+        length(regexp_replace(trim(text), "[A-Za-z0-9\\s]+", "")).cast("double") /
+          col("n_alpha_chars"))
   }
 
   /** Stopword-density language ID: enough English function words → 'en'.

@@ -54,6 +54,45 @@ object WindowAggs {
       df.groupBy(window(ts, size, slide) +: keys: _*)
         .agg(count(lit(1)).as(countName)))
 
+  /** Pane-based sliding count — same rows as [[slidingCount]], different
+    * physical shape for scale: aggregate per slide-aligned pane (tumbling)
+    * FIRST, then explode each pane into the size/slide windows it belongs
+    * to and sum. The first shuffle carries one partial per (pane, key)
+    * instead of size/slide window-expanded partials, so for a 1h/5m window
+    * the event-grain exchange shrinks 12×; the second exchange is bounded
+    * by panes × keys, not events. Requires size % slide == 0 (windows are
+    * then pane-aligned, so membership is identical row- or pane-grain).
+    */
+  def slidingCountPanes(
+      df: DataFrame,
+      ts: Column,
+      size: String,
+      slide: String,
+      keys: Seq[Column] = Nil,
+      countName: String = "cnt"): DataFrame = {
+    val sizeUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(size))
+    val slideUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(slide))
+    def us(i: org.apache.spark.unsafe.types.CalendarInterval): Long = {
+      require(i.months == 0, "calendar-month windows not supported")
+      i.days * 86400000000L + i.microseconds
+    }
+    val (szUs, slUs) = (us(sizeUs), us(slideUs))
+    require(szUs % slUs == 0, "size must be a multiple of slide for pane aggregation")
+    val nPanes = (szUs / slUs).toInt
+    val panes = df
+      .groupBy((window(ts, slide) +: keys): _*)
+      .agg(count(lit(1)).as("__pane_cnt"))
+      .withColumn("__pane_start", unix_micros(col("window.start")))
+      .drop("window")
+    panes
+      .withColumn("__i", explode(sequence(lit(0), lit(nPanes - 1))))
+      .withColumn("window_start", timestamp_micros(col("__pane_start") - col("__i") * slUs))
+      .groupBy(col("window_start") +: keys.map(k => col(k.toString)): _*)
+      .agg(sum(col("__pane_cnt")).as(countName))
+  }
+
   /** Exact distinct count per tumbling window (reference A7 — the
     * HashSet-per-window UV). Spark plans count_distinct as a two-level
     * aggregate (dedup then count) — bounded by distinct cardinality,

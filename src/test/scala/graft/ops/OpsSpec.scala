@@ -39,6 +39,21 @@ class OpsSpec extends SparkSpec {
     assert(got.count() == 4) // one row appears in 60/15 = 4 windows
   }
 
+  test("slidingCountPanes emits exactly the rows of slidingCount (testdata sf0.001)") {
+    val events = graft.io.Tables(spark, "/root/testdata/sf0.001").events
+      .filter(col("event_type") === "click")
+    val viaExpand = WindowAggs
+      .slidingCount(events, col("ts"), "1 hour", "5 minutes", Seq(col("user_id")))
+      .select("window_start", "user_id", "cnt")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val viaPanes = WindowAggs
+      .slidingCountPanes(events, col("ts"), "1 hour", "5 minutes", Seq(col("user_id")))
+      .select("window_start", "user_id", "cnt")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(viaPanes == viaExpand)
+    assert(viaPanes.nonEmpty)
+  }
+
   test("tumblingCountDistinct counts distinct users") {
     val df = Seq(
       ("2020-01-01 10:05:00", 1L),
