@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Output paths (reference §2.1 S5 generalized): the reference only ever
+  * `print()`s; a real deployment lands results in partitioned parquet (or
+  * kafka). Helpers keep the partitioning decision explicit — at 100 TB an
+  * unpartitioned write is unreadable downstream.
+  */
+object Sinks {
+
+  /** Batch: partitioned parquet. Partition columns should be low-
+    * cardinality (date / hour buckets), never high-cardinality keys —
+    * one directory per value.
+    */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Streaming: append-mode partitioned parquet with a processing-time
+    * trigger; exactly-once via the checkpoint. Returns the un-started
+    * writer so callers can override options before `.start()`.
+    */
+  def streamingParquet(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      partitionCols: Seq[String] = Nil,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] = {
+    val w = df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+}
