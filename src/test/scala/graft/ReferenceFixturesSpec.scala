@@ -116,6 +116,24 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("937166|1715", 121L)))
   }
 
+  test("AdClickLog: full adClickAnalytics pipeline — warn once, suppress, count the rest") {
+    import graft.streaming.{KeyedEvent, Pipelines}
+    // batch execution of the streaming pipeline (flatMapGroupsWithState
+    // runs per-group in batch): key=(user|ad), id carries the province
+    val events = adClicks.select(
+      concat_ws("|", col("userId"), col("adId")).as("key"),
+      col("ts"),
+      lit("click").as("kind"),
+      col("province").as("id")).as[KeyedEvent]
+    val (counts, warnings) = Pipelines.adClickAnalytics(
+      events, threshold = 100L, size = "1 hour", slide = "1 hour")
+    val warns = warnings.select("key").as[String].collect()
+    assert(warns.toSeq == Seq("937166|1715"))
+    // 143 clicks total; the tripped pair contributes its 99 pre-threshold
+    // passes, the 100th becomes the warning, 21 are suppressed
+    assert(counts.agg(sum("cnt")).as[Long].head() == 121L)
+  }
+
   test("AdClickLog: province counts match hand-tally") {
     val got = adClicks.groupBy("province").count().as[(String, Long)].collect().toMap
     assert(got == Map(
