@@ -31,4 +31,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Register every table as a temp view so the engine's full surface is
+    * reachable from plain `spark.sql(...)` — the DataFrame ops and SQL
+    * compile to the same plans.
+    */
+  def registerAll(): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(n => t(n).createOrReplaceTempView(n))
+    events.createOrReplaceTempView("events")
+    documents.createOrReplaceTempView("documents")
+    embeddings.createOrReplaceTempView("embeddings")
+  }
 }

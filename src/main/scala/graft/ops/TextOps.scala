@@ -46,8 +46,11 @@ object TextOps {
       .withColumn("stopword_ratio", stopwordCount(text).cast("double") / col("n_tokens"))
       .withColumn(
         "punct_ratio",
-        length(regexp_replace(trim(text), "[A-Za-z0-9\\s]+", "")).cast("double") /
-          col("n_alpha_chars"))
+        // null (not ANSI divide-by-zero) for whitespace-only docs
+        when(
+          col("n_alpha_chars") > 0,
+          length(regexp_replace(trim(text), "[A-Za-z0-9\\s]+", "")).cast("double") /
+            col("n_alpha_chars").cast("double")))
   }
 
   /** Stopword-density language ID: enough English function words → 'en'.

@@ -49,6 +49,14 @@ object Sources {
       .option("startingOffsets", startingOffsets)
       .load()
 
+  /** Parse a kafka-shaped frame's binary `value` as CSV into `schema`'s
+    * columns (the reference's manual `split(",")` bean parsing, P1, done by
+    * `from_csv`). Malformed rows yield null columns, not job failures.
+    */
+  def parseCsvValue(df: DataFrame, schema: StructType): DataFrame =
+    df.select(from_csv(col("value").cast("string"), schema, Map.empty[String, String]).as("r"))
+      .select(col("r.*"))
+
   /** S4: deterministic synthetic behavior stream — the reference's
     * `MarketBehaviorSource` (`gmall-market/.../source/MarketBehaviorSource
     * .java:16-46`: random user/behavior/channel every 100 ms) on the rate

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+
+/** Edge-input robustness: empty frames and degenerate values must flow
+  * through every operator as empty/null results, never exceptions — at
+  * 100 TB a poison row or an empty partition cannot kill the job.
+  */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyEvents = Seq.empty[(String, java.sql.Timestamp, String, String)]
+    .toDF("k", "ts", "kind", "id")
+
+  test("window aggs, sequences, topN, joins on empty input -> empty output") {
+    assert(WindowAggs.tumblingCount(emptyEvents, col("ts"), "1 hour").count() == 0)
+    assert(WindowAggs.slidingCountPanes(
+      emptyEvents, col("ts"), "1 hour", "5 minutes", Seq(col("k"))).count() == 0)
+    assert(Sequences.consecutiveMatches(
+      emptyEvents, col("k"), col("ts"), col("id"), col("kind") === "x", 2, 2L).count() == 0)
+    assert(TopN.perPartition(emptyEvents, Seq(col("k")), Seq(col("ts").desc), 5).count() == 0)
+    val e2 = emptyEvents.select(col("k").as("key"), col("id"), col("ts"))
+    assert(Sequences.matchWithTimeout(e2, e2.select(col("key"), col("ts")), 60L).count() == 0)
+  }
+
+  test("dedup + text ops on empty and whitespace-only documents") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one real doc here")).toDF("doc_id", "text")
+    assert(Dedup.exact(docs, col("doc_id"), col("text")).count() > 0)
+    // empty/whitespace docs produce the degenerate single shingle, no throw
+    assert(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5).count() == 1)
+    assert(Dedup.minhashDedup(docs, col("doc_id"), col("text"), 3, 64, 16, 0.5).count() == 1)
+    val q = TextOps.qualitySignals(docs, col("text"))
+      .select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    assert(q(3L) == 4)
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(Dedup.simhashPairs(empty, col("doc_id"), col("text"), 3).count() == 0)
+  }
+
+  test("kafka-shaped csv value parsing: good and malformed rows") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("item_id", LongType),
+      StructField("behavior", StringType)))
+    val raw = Seq("1,100,pv", "not,numeric,x", "short").toDF("v")
+      .select(col("v").cast("binary").as("value"))
+    val got = graft.streaming.Sources.parseCsvValue(raw, schema)
+    assert(got.count() == 3)
+    assert(got.filter(col("user_id").isNotNull).count() == 1) // only the good row
+  }
+
+  test("SQL surface: registered views answer plain SQL") {
+    graft.io.Tables(spark, "/root/testdata/sf0.001").registerAll()
+    val n = spark.sql(
+      """SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""")
+      .as[Long].head()
+    assert(n > 0)
+    assert(spark.sql("SELECT count(*) FROM events").as[Long].head() > 0)
+  }
+}

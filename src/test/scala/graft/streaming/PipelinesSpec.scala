@@ -53,6 +53,19 @@ class PipelinesSpec extends SparkSpec {
     assert(got == Set(("wechat", "CLICK", 2L)))
   }
 
+  test("hotUrls pipeline: raw apache log lines to ranked urls") {
+    val lines = Seq(
+      "1.1.1.1 u1 - 17/05/2015:10:00:01 +0000 GET /a",
+      "1.1.1.2 u2 - 17/05/2015:10:00:02 +0000 GET /a",
+      "1.1.1.3 u3 - 17/05/2015:10:00:03 +0000 GET /b",
+      "1.1.1.4 u4 - 17/05/2015:10:00:04 +0000 POST /a") // POST filtered out
+      .toDF("value")
+    val parsed = graft.io.LogParse.apacheLog(lines, col("value"))
+    val got = Pipelines.hotUrls(parsed, n = 1, size = "10 minutes", slide = "10 minutes")
+      .select("url", "cnt").as[(String, Long)].collect()
+    assert(got.toSeq == Seq(("/a", 2L)))
+  }
+
   test("file-stream replay of events equals batch windowed count (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = graft.io.Tables(spark, dir).events
