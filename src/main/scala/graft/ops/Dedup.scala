@@ -193,19 +193,33 @@ object Dedup {
     * over a per-row array), then OR the sign bits back into one long.
     */
   def simhashDocs(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // Lane-packed vote counting: 16 sums of 4×16-bit lanes instead of 64
+    // single-bit sums (4× fewer aggregate updates). Lane j of sum g counts
+    // tokens whose hash bit (g + 16·j) is set; no cross-lane carry while a
+    // doc has < 2^16 distinct tokens (far beyond any real document —
+    // tokens are distinct'd first). Bit set in the final hash iff set-count
+    // · 2 > n, identical to the ±1-vote sign rule.
+    val h = col("h")
     val votes = df
       .select(id.as("doc_id"), explode(array_distinct(TextOps.tokens(text))).as("t"))
       .withColumn("h", xxhash64(col("t")))
       .groupBy(col("doc_id"))
       .agg(
-        sum(when(col("h").bitwiseAND(1L) === 1, 1L).otherwise(-1L)).as("v0"),
-        (1 until 64).map { bit =>
-          sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$bit")
+        count(lit(1)).as("n"),
+        (0 until 16).map { g =>
+          sum(
+            (0 until 4)
+              .map(j => shiftrightunsigned(h, g + 16 * j).bitwiseAND(1L) * lit(1L << (16 * j)))
+              .reduce(_ + _)).as(s"p$g")
         }: _*)
     votes.select(
       col("doc_id"),
       (0 until 64)
-        .map(bit => when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L))
+        .map { bit =>
+          val setCnt = shiftrightunsigned(col(s"p${bit % 16}"), 16 * (bit / 16))
+            .bitwiseAND(0xffffL)
+          when(setCnt * 2 > col("n"), lit(1L << bit)).otherwise(0L)
+        }
         .reduce(_.bitwiseOR(_))
         .as("sh"))
   }

@@ -114,6 +114,35 @@ class StateMachinesSpec extends SparkSpec {
     assert(out.map(_.tag).sorted == Seq("resp_no_req", "timeout"))
   }
 
+  test("chained stateful query: blacklist stage feeding windowed agg (AdClickApp shape)") {
+    // two stateful operators in ONE streaming query — the reference's
+    // back-to-back keyBy topology (SURVEY §3 entry point 2)
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[KeyedEvent]
+    val tagged = StateMachines.dailyThreshold(input.toDS(), "click", 3L)
+    val counts = tagged.filter(col("tag") === "pass")
+      .withWatermark("last_ts", "0 seconds")
+      .groupBy(window(col("last_ts"), "1 hour"), col("info"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = counts.writeStream.format("memory").queryName("sm_chain")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        ev("u1", "2020-01-01 10:00:00", "click", "beijing"),
+        ev("u1", "2020-01-01 10:10:00", "click", "beijing"),
+        ev("u2", "2020-01-01 10:20:00", "click", "shanghai")))
+      q.processAllAvailable()
+      input.addData(Seq(ev("u9", "2020-01-01 13:00:00", "click", "henan")))
+      q.processAllAvailable()
+      input.addData(Seq(ev("u9", "2020-01-01 13:00:01", "click", "henan")))
+      q.processAllAvailable()
+      val got = spark.table("sm_chain").select("info", "cnt")
+        .as[(String, Long)].collect().toMap
+      assert(got == Map("beijing" -> 2L, "shanghai" -> 1L)) // 13:00 window not final yet
+    } finally q.stop()
+  }
+
   test("reconcile(stream): matched pair plus left_only and right_only side outputs") {
     val out = runScenario(
       Seq(Seq(
