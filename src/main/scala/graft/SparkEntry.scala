@@ -249,6 +249,12 @@ object SparkEntry {
       val v = embeddingsIdVec(Tables(s, dir))
       Similarity.lshTopK(v, v.filter(col("id") < 10), dim = 64, nPlanes = 8, k = 5)
     }),
+    "s_knn_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN (rows-only: k-means assignment is
+      // approximate); nProbe=2 of 16 lists ~ 8x scan reduction
+      val v = embeddingsIdVec(Tables(s, dir))
+      Similarity.ivfTopK(v, v.filter(col("id") < 10), nLists = 16, nProbe = 2, k = 5)
+    }),
 
     // ---- multimodal plumbing ----
     "m_binary_meta" -> ((s, dir) => {

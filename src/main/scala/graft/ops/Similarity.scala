@@ -117,6 +117,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path: k-means centroids partition the corpus into `nLists` lists;
+    * each query scans only its `nProbe` nearest lists. `nProbe == nLists`
+    * degenerates to exact brute force (the recall knob is explicit).
+    *
+    * Shuffle shape: one k-means fit (sampled), one pass assigning corpus
+    * vectors to lists (broadcast centroids, native cosine argmax), then a
+    * (list-id) equi-join of probes against lists — hash-partitioned, never
+    * all-pairs. List sizes ~N/nLists; skewed lists are AQE's problem.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      nLists: Int,
+      nProbe: Int,
+      k: Int,
+      seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col("id").as("nbr_id"), col("vec").cast("array<double>").as("nbr_vec"))
+    val km = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(20).setFeaturesCol("feat")
+      .fit(c.select(array_to_vector(col("nbr_vec")).as("feat")))
+    val cents = km.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }.toSeq
+    val centDf = c.sparkSession.createDataFrame(cents).toDF("list_id", "cent")
+
+    def nearestLists(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
+      df.join(broadcast(centDf))
+        .withColumn("__sim", cosine(col(vecCol), col("cent")))
+        .withColumn(
+          "__r",
+          row_number().over(Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("list_id"))))
+        .filter(col("__r") <= n)
+        .drop("cent", "__sim", "__r")
+
+    val listed = nearestLists(c, "nbr_id", "nbr_vec", 1)
+    val q = queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("q_vec"))
+    val probes = nearestLists(q, "query_id", "q_vec", nProbe)
+    val joined = probes
+      .join(listed, "list_id")
+      .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
+      .withColumn("sim", quantize(cosine(col("q_vec"), col("nbr_vec"))))
+    TopN
+      .perPartition(joined, Seq(col("query_id")), Seq(col("sim").desc, col("nbr_id").asc), k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
     * Brute-force N²/2 comparison expressed as a self-join — correct
     * baseline; for huge N switch blocking to [[lshBucket]] equality first

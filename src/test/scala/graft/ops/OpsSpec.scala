@@ -248,6 +248,25 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("ivfTopK with full probing equals brute force; partial probing is subset") {
+    val t = graft.io.Tables(spark, "/root/testdata/sf0.001")
+    val v = t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val probes = v.filter(col("id") < 5)
+    val brute = Similarity.bruteForceTopK(v, probes, k = 3)
+      .select("query_id", "rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    val ivfFull = Similarity.ivfTopK(v, probes, nLists = 8, nProbe = 8, k = 3)
+      .select("query_id", "rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    assert(ivfFull == brute) // nProbe == nLists degenerates to exact
+    val ivfPartial = Similarity.ivfTopK(v, probes, nLists = 8, nProbe = 3, k = 3)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    // partial probing trades recall for scan volume: decent overlap with
+    // the true top-k expected at nProbe=3/8
+    val bruteParts = brute.map(r => (r._1, r._3))
+    assert(ivfPartial.nonEmpty)
+    assert((ivfPartial & bruteParts).size * 10 >= bruteParts.size * 4,
+      s"recall too low: ${(ivfPartial & bruteParts).size}/${bruteParts.size}")
+  }
+
   test("cosineNearDupPairsLSH finds identical and near-identical vectors") {
     val vecs = Seq(
       (0L, Array.fill(8)(0.5f)),
