@@ -62,6 +62,12 @@ object SparkEntry {
         .withColumn("k_bucket", get_json_object(col("props"), "$.k").cast("long") % 10)
       WindowAggs.tumblingCount(e, col("ts"), "1 day", Seq(col("event_type"), col("k_bucket")))
     }),
+    "q_sessions" -> ((s, dir) => {
+      // sessionization: per-user sessions closed by 30 min inactivity
+      WindowAggs
+        .sessionCount(Tables(s, dir).events, col("ts"), "30 minutes", Seq(col("user_id")))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("cnt"))
+    }),
     "q_hot_items" -> ((s, dir) => {
       // A1 + T1 + W3: sliding 1h/5m counts, top-5 per window (HotItemApp)
       val counts = WindowAggs.slidingCount(
@@ -317,6 +323,22 @@ object SparkEntry {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |       count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS cnt
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_hot_items" -> slidingOracle(
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
     "q_hot_pages" -> slidingOracle(

@@ -126,6 +126,25 @@ object WindowAggs {
       df.groupBy(window(ts, size) +: keys: _*)
         .agg(approx_count_distinct(distinctCol, rsd).as(countName)))
 
+  /** Per-key sessionization: count events per session, where a session
+    * closes after `gap` of inactivity. Spark-native `session_window`
+    * (merging window state in streaming; a sort-based merge in batch) —
+    * the operator a training-data pipeline needs for behavioral
+    * sequences and the reference's user-analytics theme lacks. One hash
+    * exchange on the keys, like every windowed agg here.
+    */
+  def sessionCount(
+      df: DataFrame,
+      ts: Column,
+      gap: String,
+      keys: Seq[Column] = Nil,
+      countName: String = "cnt"): DataFrame =
+    df.groupBy(session_window(ts, gap) +: keys: _*)
+      .agg(count(lit(1)).as(countName))
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
   /** Bloom-filter distinct estimate per tumbling window — the reference
     * A8's own data structure as a typed [[BloomDistinct]] Aggregator
     * (bitmap merges map-side, fill-ratio collision correction). Prefer

@@ -95,6 +95,56 @@ class EventTimeStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order rows inside the watermark delay are counted (W2 semantics)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    val q = EventTimeStreams
+      .windowedCount(input.toDF(), "ts", "2 seconds", "1 minute")
+      .writeStream.format("memory").queryName("wc_ooo").outputMode("append").start()
+    try {
+      input.addData(Seq(TsEvent(ts("2020-01-01 10:00:30"), 1, "v")))
+      q.processAllAvailable()
+      // 2s out of order, still ahead of watermark (10:00:28): counted
+      input.addData(Seq(TsEvent(ts("2020-01-01 10:00:29"), 2, "v")))
+      q.processAllAvailable()
+      input.addData(Seq(TsEvent(ts("2020-01-01 10:05:00"), 3, "v")))
+      q.processAllAvailable()
+      input.addData(Seq(TsEvent(ts("2020-01-01 10:06:00"), 4, "v")))
+      q.processAllAvailable()
+      val got = spark.table("wc_ooo").select("window_start", "cnt")
+        .as[(Timestamp, Long)].collect().toMap
+      assert(got(ts("2020-01-01 10:00:00")) == 2L)
+    } finally q.stop()
+  }
+
+  test("streaming top-N via foreachBatch ranks each finalized window") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    val counts = EventTimeStreams
+      .windowedCount(input.toDF(), "ts", "0 seconds", "1 hour", keys = Seq(col("user")))
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, Long, Long)]
+    val batcher = EventTimeStreams.topNPerWindowBatcher(
+      Seq("window_start"), Seq(col("cnt").desc, col("user").asc), 1) { ranked =>
+      sunk ++= ranked.select("window_start", "user", "rank")
+        .as[(Timestamp, Long, Long)].collect()
+    }
+    val q = counts.writeStream.outputMode("append").foreachBatch(batcher).start()
+    try {
+      input.addData(Seq(
+        TsEvent(ts("2020-01-01 10:00:00"), 7, "a"),
+        TsEvent(ts("2020-01-01 10:30:00"), 7, "a"),
+        TsEvent(ts("2020-01-01 10:40:00"), 8, "a")))
+      q.processAllAvailable()
+      input.addData(Seq(TsEvent(ts("2020-01-01 12:00:00"), 9, "a")))
+      q.processAllAvailable()
+      input.addData(Seq(TsEvent(ts("2020-01-01 13:00:00"), 9, "a")))
+      q.processAllAvailable()
+      // the finalized 10:00 window ranks user 7 (2 events) first
+      assert(sunk.toSeq.contains((ts("2020-01-01 10:00:00"), 7L, 1L)))
+      assert(!sunk.toSeq.exists(r => r._1 == ts("2020-01-01 10:00:00") && r._3 > 1L))
+    } finally q.stop()
+  }
+
   test("side-output split separates tags") {
     val df = Seq(("k1", "pass"), ("k2", "warn"), ("k3", "pass")).toDF("key", "tag")
     val parts = SideOutputs.split(df, Seq("pass", "warn"))
