@@ -81,6 +81,13 @@ object Sequences {
     * 'timeout' (the reference's "No Pay" side output collapses into a
     * status column — the tagged-union encoding of Flink side outputs).
     *
+    * Semantics note: this SQL-tractable batch form lets one response
+    * satisfy several requests on the same key; the streaming form
+    * ([[graft.streaming.StateMachines.matchWithTimeout]]) consumes a
+    * response on match — the reference's exact state-machine behavior.
+    * With at most one open request per key (the reference's orderId keying)
+    * the two coincide.
+    *
     * `requests`/`responses` need columns: key, id, ts (pre-projected by the
     * caller). The join is a key-equi join with a range predicate — at scale
     * a plain shuffled hash join on key; the range prunes inside.

@@ -181,9 +181,11 @@ object StateMachines {
             }
           case _ => ()
         }
-        // flush requests the watermark has expired (including on timer fire)
+        // flush requests the watermark has expired (including on timer
+        // fire); <= so a deadline equal to the watermark fires now (Flink
+        // timer semantics) and never re-arms at-or-behind the watermark
         val wm = state.getCurrentWatermarkMs()
-        val (expired, open) = pending.partition { case (_, reqMs) => reqMs + timeoutMs < wm }
+        val (expired, open) = pending.partition { case (_, reqMs) => reqMs + timeoutMs <= wm }
         for ((reqId, reqMs) <- expired)
           out += TaggedRow(key, "timeout", new Timestamp(reqMs), new Timestamp(reqMs + timeoutMs), reqId)
         if (open.isEmpty) state.remove()
@@ -254,8 +256,8 @@ object StateMachines {
           }
         }
         val wm = state.getCurrentWatermarkMs()
-        val (lExp, lOpen) = st.left.partition { case (_, ms) => ms + tolMs < wm }
-        val (rExp, rOpen) = st.right.partition { case (_, ms) => ms + tolMs < wm }
+        val (lExp, lOpen) = st.left.partition { case (_, ms) => ms + tolMs <= wm }
+        val (rExp, rOpen) = st.right.partition { case (_, ms) => ms + tolMs <= wm }
         for ((id, ms) <- lExp) out += TaggedRow(key, "left_only", new Timestamp(ms), new Timestamp(ms), id)
         for ((id, ms) <- rExp) out += TaggedRow(key, "right_only", new Timestamp(ms), new Timestamp(ms), id)
         if (lOpen.isEmpty && rOpen.isEmpty) state.remove()
