@@ -205,6 +205,12 @@ object SparkEntry {
       Dedup.minhashDedup(Tables(s, dir).documents, col("doc_id"), col("text"),
         shingleLen = 3, k = 64, bands = 16, threshold = 0.6)
     }),
+    "d_dedup_clusters" -> ((s, dir) => {
+      // near-dup clustering: connected components over the (lossless)
+      // ngram pair list; cluster_id = min doc id in the component
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6))
+    }),
     "d_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Tables(s, dir).documents, col("doc_id"), col("text"), maxHamming = 3)
     }),
@@ -452,6 +458,25 @@ object SparkEntry {
          |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) > 0
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.6""".stripMargin,
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, $shinglesExpr AS sh FROM d
+         |), p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.6
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+         |), lab(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
+         |)
+         |SELECT id, min(l) AS cluster_id FROM lab GROUP BY id""".stripMargin,
     "t_tokens" ->
       s"SELECT doc_id, len($tokensExpr) AS n_tokens FROM documents",
     "t_tokens_bpe" ->

@@ -184,6 +184,57 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---- near-dup clustering ----
+
+  /** Connected components over a near-dup pair list: every doc in a
+    * component gets the component's minimum doc id as `cluster_id` — the
+    * canonical-representative step a dedup pipeline runs after pair
+    * generation (keep cluster_id == doc_id, drop the rest).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(component diameter) rounds (near-dup clusters are shallow; the
+    * `maxIter` bound guards pathological chains). Each round is one
+    * hash-exchange join + aggregate over the edge list — the standard
+    * scalable CC shape, no driver-side graph.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — it is re-joined every round, and
+    // leaving it lazy would re-run the whole upstream pair generation
+    // per iteration
+    val edges = pairs
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels
+        .join(viaNeighbors, labels("id") === col("id2"), "left_outer")
+        .select(
+          col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        // cut lineage per round: iterative self-joins otherwise stack
+        // exponentially deep plans
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per doc: per bit, sum ±1 votes weighted by token-hash

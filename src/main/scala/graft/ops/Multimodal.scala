@@ -54,7 +54,7 @@ object Multimodal {
     * frame index — the explode happens before any heavy decode so a real
     * decoder would only touch sampled frames.
     */
-  def sampleFrames(df: DataFrame, payload: Column, everyNth: Int, totalFrames: Column): DataFrame =
+  def sampleFrames(df: DataFrame, everyNth: Int, totalFrames: Column): DataFrame =
     df.withColumn(
       "frame_idx",
       explode(sequence(lit(0), greatest(totalFrames - 1, lit(0)), lit(everyNth))))

@@ -38,7 +38,7 @@ class MultimodalSpec extends SparkSpec {
   test("sampleFrames explodes every-nth frame index before any decode") {
     val df = Seq((1L, "vid".getBytes("UTF-8"), 10)).toDF("id", "payload", "n_frames")
     val got = Multimodal
-      .sampleFrames(df, col("payload"), everyNth = 3, col("n_frames"))
+      .sampleFrames(df, everyNth = 3, col("n_frames"))
       .select("frame_idx").as[Int].collect().toSeq
     assert(got == Seq(0, 3, 6, 9))
   }

@@ -206,6 +206,14 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("connectedComponents: chain merges into one cluster, islands stay apart") {
+    // 1-2, 2-3, 3-4 chain + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash LSH candidates contain the true near-dup; verify filters rest") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and often"
