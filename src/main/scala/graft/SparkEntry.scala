@@ -223,6 +223,19 @@ object SparkEntry {
       Similarity.cosineNearDupPairsLSH(embeddingsIdVec(Tables(s, dir)), 0.40, dim = 64)
     }),
 
+    // ---- sampling / splitting ----
+    "p_sample" -> ((s, dir) => {
+      // deterministic 10% Bernoulli sample of documents by doc_id hash
+      Sampling.sample(Tables(s, dir).documents, col("doc_id"), 0.1)
+        .select(col("doc_id"))
+    }),
+    "p_split" -> ((s, dir) => {
+      // deterministic 90/10 train/eval split labels
+      Sampling.split(Tables(s, dir).documents, col("doc_id"),
+          Seq("train" -> 0.9, "eval" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+    }),
+
     // ---- text analysis ----
     "t_tokens" -> ((s, dir) => {
       Tables(s, dir).documents
@@ -477,6 +490,16 @@ object SparkEntry {
          |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
          |)
          |SELECT id, min(l) AS cluster_id FROM lab GROUP BY id""".stripMargin,
+    "p_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      / 281474976710656.0 < 0.1""".stripMargin,
+    "p_split" ->
+      """SELECT CASE
+        |    WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |         / 281474976710656.0 < 0.9 THEN 'train' ELSE 'eval' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
     "t_tokens" ->
       s"SELECT doc_id, len($tokensExpr) AS n_tokens FROM documents",
     "t_tokens_bpe" ->

@@ -235,6 +235,25 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup removal: MinHash-LSH pairs → connected
+    * components → keep only each cluster's canonical (minimum-id) doc.
+    * Docs in no near-dup pair pass through untouched (left-anti join
+    * against the non-canonical cluster members).
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    val pairs = minhashDedup(df, id, text, shingleLen, k, bands, threshold, seed)
+    val losers = connectedComponents(pairs).filter(col("id") =!= col("cluster_id"))
+    df.join(losers, id === losers("id"), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per doc: per bit, sum ±1 votes weighted by token-hash

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * All decisions hash the row's stable key (never `rand()`): re-running
+  * the pipeline — or running it on another engine — assigns every row the
+  * same way, which is what makes train/eval splits reproducible and
+  * leakage-auditable. md5 (bit-specified everywhere) is the hash so
+  * external systems can replicate the assignment; per-row, shuffle-free.
+  */
+object Sampling {
+
+  /** Uniform [0,1) from the first 12 hex chars of md5(key) — 48 bits. */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("double") /
+      lit(281474976710656.0d) // 2^48
+
+  /** Deterministic Bernoulli sample: keep rows with hashUnit < fraction. */
+  def sample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(hashUnit(key) < fraction)
+
+  /** Deterministic split label over cumulative weight buckets, e.g.
+    * `split(df, $"doc_id", Seq("train" -> 0.9, "eval" -> 0.1))`.
+    */
+  def split(df: DataFrame, key: Column, buckets: Seq[(String, Double)]): DataFrame = {
+    val total = buckets.map(_._2).sum
+    val cuts = buckets.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val u = hashUnit(key)
+    val label = buckets.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(buckets.last._1)) { case (acc, (name, cut)) =>
+        when(u < cut, name).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+}

