@@ -139,7 +139,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col("id").as("nbr_id"), col("vec").cast("array<double>").as("nbr_vec"))
     val km = new KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(20).setFeaturesCol("feat")
+      .setK(nLists).setSeed(seed).setMaxIter(10).setTol(1e-3).setFeaturesCol("feat")
       .fit(c.select(array_to_vector(col("nbr_vec")).as("feat")))
     val cents = km.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }.toSeq
     val centDf = c.sparkSession.createDataFrame(cents).toDF("list_id", "cent")

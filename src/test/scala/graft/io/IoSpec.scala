@@ -1,0 +1,57 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitionedParquet round-trips with partition pruning") {
+    val tmp = Files.createTempDirectory("graft-sink").toString
+    val df = Seq((1L, "2020-01-01", 10.0), (2L, "2020-01-02", 20.0))
+      .toDF("id", "day", "v")
+    Sinks.partitionedParquet(df, tmp, Seq("day"))
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == 2)
+    // partition filter prunes to one directory
+    val pruned = back.filter(col("day") === "2020-01-02")
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(2L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+  }
+
+  test("csvStream reads schema'd files as micro-batches") {
+    val tmp = Files.createTempDirectory("graft-csvstream")
+    Files.writeString(tmp.resolve("a.csv"), "1,pv\n2,buy\n")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("behavior", StringType)))
+    val stream = graft.streaming.Sources.csvStream(spark, tmp.toString, schema)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("csv_in").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("csv_in").count() == 2)
+      Files.writeString(tmp.resolve("b.csv"), "3,pv\n")
+      q.processAllAvailable()
+      assert(spark.table("csv_in").count() == 3) // new file picked up
+    } finally q.stop()
+  }
+
+  test("streamingParquet sink lands append-mode files exactly once") {
+    val in = Files.createTempDirectory("graft-spq-in")
+    val out = Files.createTempDirectory("graft-spq-out").toString
+    val ckpt = Files.createTempDirectory("graft-spq-ck").toString
+    Files.writeString(in.resolve("a.csv"), "1,x\n2,y\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val stream = graft.streaming.Sources.csvStream(spark, in.toString, schema)
+    val q = Sinks.streamingParquet(stream, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}
