@@ -86,6 +86,24 @@ object EventTimeStreams {
       .withColumn("window_start", col("__w.start"))
       .drop("__w")
 
+  /** Streaming exact content dedup — the streaming half of
+    * [[graft.ops.Dedup.exact]]: keep the first-seen row per content
+    * fingerprint, with state bounded by the watermark (a duplicate
+    * arriving later than `delay` after the original will pass through —
+    * the unbounded-state alternative is not viable on an infinite
+    * stream; widen `delay` to widen the dedup horizon).
+    */
+  def streamingExactDedup(
+      stream: DataFrame,
+      tsCol: String,
+      delay: String,
+      fingerprint: Column): DataFrame =
+    stream
+      .withColumn("__fp", fingerprint)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Per-window top-N for streams (reference T1/T2 — the
     * `KeyedProcessFunction` buffer/sort/emit-on-timer at
     * `HotItemApp.java:116-190`): rank the completed micro-batch of window

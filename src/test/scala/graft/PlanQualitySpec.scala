@@ -41,6 +41,17 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("row_number(), 5, Partial") && p.contains("row_number(), 5, Final"), p)
   }
 
+  test("sessionization is one exchange on the grouping keys") {
+    val p = plan("q_sessions")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("SessionWindow") || p.contains("session_window"), p)
+  }
+
+  test("deterministic sampling stays a scan + filter (no shuffle)") {
+    val p = plan("p_sample")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("interval join is an equi-join on the key, not a cross product") {
     val p = plan("q_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

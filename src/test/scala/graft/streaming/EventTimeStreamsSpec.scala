@@ -145,6 +145,25 @@ class EventTimeStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops duplicate fingerprints within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    val out = EventTimeStreams.streamingExactDedup(
+      input.toDF(), "ts", "10 minutes", col("kind"))
+    val q = out.writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        TsEvent(ts("2020-01-01 10:00:00"), 1, "docA"),
+        TsEvent(ts("2020-01-01 10:00:10"), 2, "docA"), // dup content
+        TsEvent(ts("2020-01-01 10:00:20"), 3, "docB")))
+      q.processAllAvailable()
+      input.addData(Seq(TsEvent(ts("2020-01-01 10:01:00"), 4, "docA"))) // still in horizon
+      q.processAllAvailable()
+      val got = spark.table("sdedup").select("user").as[Long].collect().toSet
+      assert(got == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("side-output split separates tags") {
     val df = Seq(("k1", "pass"), ("k2", "warn"), ("k3", "pass")).toDF("key", "tag")
     val parts = SideOutputs.split(df, Seq("pass", "warn"))
