@@ -79,6 +79,50 @@ class StateMachinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dailyThreshold warn days equal batch formulation") {
+    forAllSeeded(scenarioGen(Seq("click", "view")), 15) { (sc, i) =>
+      val streamed = runStream(sc, s"prop_daily_$i")(
+        StateMachines.dailyThreshold(_, "click", 3L))
+        .filter(_.tag == "warn")
+        .map(r => (r.key, r.first_ts)) // first_ts = utc day start
+        .sorted
+      val batch = graft.ops.Sequences
+        .dailyThreshold(sc.events.toDF(), col("key"), col("ts"), col("kind") === "click", 3L)
+        .select("key", "day").as[(String, Timestamp)].collect().toSeq.sorted
+      assert(streamed == batch, s"seed=$i events=${sc.events}")
+    }
+  }
+
+  test("property: reconcile tags match greedy in-memory replay") {
+    forAllSeeded(scenarioGen(Seq("pay", "receipt")), 15) { (sc, i) =>
+      val streamed = runStream(sc, s"prop_rec_$i")(
+        StateMachines.reconcile(_, "pay", "receipt", 2L))
+        .map(r => (r.key, r.tag, r.info)).sorted
+      val oracle = sc.events.groupBy(_.key).toSeq.flatMap { case (key, evs) =>
+        var left = Vector.empty[(String, Long)]
+        var right = Vector.empty[(String, Long)]
+        val out = Seq.newBuilder[(String, String, String)]
+        for (e <- evs.sortBy(ev => (ev.ts.getTime, ev.id))) {
+          val ms = e.ts.getTime
+          if (e.kind == "pay") right.find { case (_, o) => Math.abs(o - ms) <= 2000L } match {
+            case Some(hit) =>
+              out += ((key, "matched", s"${e.id}|${hit._1}")); right = right.filterNot(_ == hit)
+            case None => left :+= (e.id, ms)
+          }
+          else left.find { case (_, o) => Math.abs(o - ms) <= 2000L } match {
+            case Some(hit) =>
+              out += ((key, "matched", s"${hit._1}|${e.id}")); left = left.filterNot(_ == hit)
+            case None => right :+= (e.id, ms)
+          }
+        }
+        left.foreach { case (id, _) => out += ((key, "left_only", id)) }
+        right.foreach { case (id, _) => out += ((key, "right_only", id)) }
+        out.result()
+      }.sorted
+      assert(streamed == oracle, s"seed=$i events=${sc.events}")
+    }
+  }
+
   test("property: matchWithTimeout matches in-memory oracle") {
     forAllSeeded(scenarioGen(Seq("req", "resp")), 20) { (sc, i) =>
       val streamed = runStream(sc, s"prop_mt_$i")(
