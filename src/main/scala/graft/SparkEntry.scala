@@ -223,6 +223,16 @@ object SparkEntry {
       Similarity.cosineNearDupPairsLSH(embeddingsIdVec(Tables(s, dir)), 0.40, dim = 64)
     }),
 
+    "d_decontaminate" -> ((s, dir) => {
+      // cross-corpus contamination sweep: odd-id docs as "train", even-id
+      // as "eval" (deterministic stand-ins for two real corpora)
+      val docs = Tables(s, dir).documents
+      Dedup.crossCorpusNearDups(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), 3, 0.5)
+    }),
+
     // ---- sampling / splitting ----
     "p_sample" -> ((s, dir) => {
       // deterministic 10% Bernoulli sample of documents by doc_id hash
@@ -460,6 +470,19 @@ object SparkEntry {
     "d_dedup_exact" ->
       s"""SELECT $fpExpr AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
+    "d_decontaminate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, $shinglesExpr AS sh FROM d
+         |)
+         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
     "d_dedup_ngram" ->
       s"""WITH d AS (
          |  SELECT doc_id, $tokensExpr AS w FROM documents

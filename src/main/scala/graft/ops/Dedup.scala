@@ -184,6 +184,41 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus contamination check: pairs (train doc, eval doc) with
+    * word-n-gram Jaccard ≥ threshold — the decontamination sweep run
+    * before training to catch eval examples leaked into the corpus. Same
+    * lossless shared-shingle blocking as [[ngramJaccardPairs]], but across
+    * two frames: the shuffle keys are shingle hashes, so corpus sizes can
+    * be wildly asymmetric (huge train, small eval) without a plan change —
+    * AQE will broadcast the eval side's exploded shingles when small.
+    */
+  def crossCorpusNearDups(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      threshold: Double): DataFrame = {
+    def exploded(df: DataFrame) = TextOps
+      .shingleHashRows(df, id, text, n)
+      .distinct()
+      .withColumn(
+        "n_sh",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    exploded(train)
+      .as("l")
+      .join(exploded(eval).as("r"), col("l.s") === col("r.s"))
+      .groupBy(
+        col("l.doc_id").as("train_id"),
+        col("r.doc_id").as("eval_id"),
+        col("l.n_sh").as("na"),
+        col("r.n_sh").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+  }
+
   // ---- near-dup clustering ----
 
   /** Connected components over a near-dup pair list: every doc in a

@@ -206,6 +206,17 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("crossCorpusNearDups flags the leaked eval doc only") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val leak = "the quick brown fox jumps over the lazy dog again and often"
+    val clean = "completely different text with no overlap at all whatsoever here"
+    val train = Seq((1L, a)).toDF("doc_id", "text")
+    val eval = Seq((100L, leak), (101L, clean)).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(train, eval, col("doc_id"), col("text"), 3, 0.5)
+      .select("train_id", "eval_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 100L)))
+  }
+
   test("dropNearDuplicates keeps one canonical doc per cluster, others intact") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and often"
