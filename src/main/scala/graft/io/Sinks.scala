@@ -20,6 +20,22 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed managed table: pre-hash the data into `nBuckets` files per
+    * partition on the join/agg key. Two tables bucketed the same way
+    * sort-merge join with ZERO exchanges — the co-located-join layout for
+    * fact tables that join repeatedly on the same key at 100 TB (pay the
+    * shuffle once at write time, never at read time).
+    */
+  def bucketedTable(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** Streaming: append-mode partitioned parquet with a processing-time
     * trigger; exactly-once via the checkpoint. Returns the un-started
     * writer so callers can override options before `.start()`.

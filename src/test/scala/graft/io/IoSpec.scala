@@ -24,6 +24,29 @@ class IoSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    for (t <- Seq("bkt_a", "bkt_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) { // leftover location from a crashed run blocks CREATE
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val a = spark.range(1000).select(col("id"), (col("id") * 2).as("x"))
+    val b = spark.range(1000).select(col("id"), (col("id") * 3).as("y"))
+    Sinks.bucketedTable(a, "bkt_a", "id", 4, sortCol = Some("id"))
+    Sinks.bucketedTable(b, "bkt_b", "id", 4, sortCol = Some("id"))
+    // hint the merge join (tiny test tables would broadcast otherwise —
+    // at fact-table scale SMJ is what the planner picks on its own)
+    val joined = spark.table("bkt_a").hint("merge").join(spark.table("bkt_b"), "id")
+    assert(joined.count() == 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+  }
+
   test("csvStream reads schema'd files as micro-batches") {
     val tmp = Files.createTempDirectory("graft-csvstream")
     Files.writeString(tmp.resolve("a.csv"), "1,pv\n2,buy\n")
