@@ -22,6 +22,14 @@ object Sampling {
   def sample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(hashUnit(key) < fraction)
 
+  /** Cap each key's contribution at `n` rows (e.g. at most n docs per
+    * domain — source-balance capping). Deterministic: rows are ranked by
+    * `order` (include a unique tiebreaker). A thin alias over
+    * [[TopN.perPartition]] — same WindowGroupLimit-pruned plan.
+    */
+  def capPerKey(df: DataFrame, key: Column, order: Seq[Column], n: Int): DataFrame =
+    TopN.perPartition(df, Seq(key), order, n).drop("rank")
+
   /** Deterministic split label over cumulative weight buckets, e.g.
     * `split(df, $"doc_id", Seq("train" -> 0.9, "eval" -> 0.1))`.
     */

@@ -241,6 +241,13 @@ class OpsSpec extends SparkSpec {
     assert(s1.forall(id => true)) // stability asserted above
   }
 
+  test("capPerKey limits per-key rows deterministically") {
+    val df = Seq(("d1", 1L), ("d1", 2L), ("d1", 3L), ("d2", 9L)).toDF("domain", "doc")
+    val got = Sampling.capPerKey(df, col("domain"), Seq(col("doc").asc), 2)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("d1", 1L), ("d1", 2L), ("d2", 9L)))
+  }
+
   test("connectedComponents: chain merges into one cluster, islands stay apart") {
     // 1-2, 2-3, 3-4 chain + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")

@@ -145,6 +145,27 @@ class EventTimeStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update mode re-emits revised window counts for allowed-late rows (W6/T2 mapping)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    val q = EventTimeStreams
+      .windowedCount(input.toDF(), "ts", "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wc_upd").outputMode("update").start()
+    try {
+      input.addData(Seq(TsEvent(ts("2020-01-01 10:05:00"), 1, "v")))
+      q.processAllAvailable()
+      // late row still inside the 10-min delay: window count is REVISED
+      input.addData(Seq(TsEvent(ts("2020-01-01 10:01:00"), 2, "v")))
+      q.processAllAvailable()
+      val emissions = spark.table("wc_upd")
+        .select("window_start", "cnt").as[(Timestamp, Long)].collect().toSeq
+      // update mode emitted the window twice: cnt=1 then revised cnt=2 —
+      // Flink's allowed-lateness re-fire, last-write-wins at the sink
+      assert(emissions.sorted == Seq(
+        (ts("2020-01-01 10:00:00"), 1L), (ts("2020-01-01 10:00:00"), 2L)))
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops duplicate fingerprints within the watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[TsEvent]
