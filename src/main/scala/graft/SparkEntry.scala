@@ -78,8 +78,9 @@ object SparkEntry {
     }),
     "q_hot_pages" -> ((s, dir) => {
       // A2 + T2: sliding 30m/10m counts per page (event_type as URL
-      // stand-in), top-3 per window (HotUrlApp)
-      val counts = WindowAggs.slidingCount(
+      // stand-in), top-3 per window (HotUrlApp). Pane formulation — same
+      // rows as slidingCount (oracle-checked), smaller event-grain shuffle
+      val counts = WindowAggs.slidingCountPanes(
         Tables(s, dir).events, col("ts"), "30 minutes", "10 minutes", Seq(col("event_type")))
       TopN
         .perPartition(counts, Seq(col("window_start")), Seq(col("cnt").desc, col("event_type").asc), 3)

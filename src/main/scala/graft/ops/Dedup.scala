@@ -244,21 +244,23 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    def propagate(ls: org.apache.spark.sql.DataFrame) = {
       val viaNeighbors = edges
-        .join(labels, edges("src") === labels("id"))
+        .join(ls, edges("src") === ls("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels
-        .join(viaNeighbors, labels("id") === col("id2"), "left_outer")
+      ls.join(viaNeighbors, ls("id") === col("id2"), "left_outer")
         .select(
           col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        // cut lineage per round: iterative self-joins otherwise stack
-        // exponentially deep plans
-        .localCheckpoint()
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // two propagation hops per materialization + convergence check —
+      // halves the driver round-trips; lineage cut per round so iterative
+      // self-joins don't stack exponentially deep plans
+      val next = propagate(propagate(labels)).localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "old"), "id")
         .filter(col("cluster_id") =!= col("old"))
