@@ -122,6 +122,10 @@ object Similarity {
     * each query scans only its `nProbe` nearest lists. `nProbe == nLists`
     * degenerates to exact brute force (the recall knob is explicit).
     *
+    * Assignment is cosine-argmax against the k-means anchors (spherical-
+    * kmeans-style; the fit itself is euclidean — anchors only need to be
+    * consistent between corpus and probes, which they are by construction).
+    *
     * Shuffle shape: one k-means fit (sampled), one pass assigning corpus
     * vectors to lists (broadcast centroids, native cosine argmax), then a
     * (list-id) equi-join of probes against lists — hash-partitioned, never
