@@ -37,12 +37,23 @@ case class TaggedRow(key: String, tag: String, first_ts: Timestamp, last_ts: Tim
   */
 object StateMachines {
 
+  // All state/time arithmetic is in epoch MICROSECONDS: java.sql.Timestamp
+  // carries microsecond event times (getTime alone truncates to millis,
+  // which a multi-batch replay of real data exposed as first_ts drift).
+  private def usOf(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+    t
+  }
+
   private def sorted(events: Iterator[KeyedEvent]): Seq[KeyedEvent] =
-    events.toSeq.sortBy(e => (e.ts.getTime, e.id))
+    events.toSeq.sortBy(e => (usOf(e.ts), e.id))
 
   // ---- C3/C4/C5: n consecutive matches within a gap ----
 
-  /** Last up-to-(n-1) matching event times (epoch ms) + the id of the run's
+  /** Last up-to-(n-1) matching event times (epoch us) + the id of the run's
     * first event. A non-match clears the run — the reference's
     * "no success in between" rule (`LoginFailWithState2.java:52-79`).
     */
@@ -75,10 +86,10 @@ object StateMachines {
         val out = Seq.newBuilder[TaggedRow]
         for (e <- sorted(it)) {
           if (e.kind == matchKind) {
-            val times = (st.matchTimes :+ e.ts.getTime).takeRight(n)
+            val times = (st.matchTimes :+ usOf(e.ts)).takeRight(n)
             val firstId = if (st.matchTimes.isEmpty) e.id else st.firstId
-            if (times.length == n && e.ts.getTime - times.head <= maxGapSec * 1000L)
-              out += TaggedRow(key, "warn", new Timestamp(times.head), e.ts, firstId)
+            if (times.length == n && usOf(e.ts) - times.head <= maxGapSec * 1000000L)
+              out += TaggedRow(key, "warn", tsOf(times.head), e.ts, firstId)
             st = RunState(times.takeRight(n - 1), firstId)
           } else st = RunState(Nil, "")
         }
@@ -89,7 +100,7 @@ object StateMachines {
 
   // ---- C2/A9/W8: daily threshold blacklist ----
 
-  /** (utc day start ms, count so far today, warned already). */
+  /** (utc day start epoch-us, count so far today, warned already). */
   case class DayCountState(dayStartMs: Long, cnt: Long, warned: Boolean)
 
   /** Streaming click-fraud blacklist (reference C2 —
@@ -107,7 +118,7 @@ object StateMachines {
       watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val dayMs = 86400000L
+    val dayUs = 86400000000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
@@ -117,13 +128,13 @@ object StateMachines {
         var st = state.getOption.getOrElse(DayCountState(-1L, 0L, warned = false))
         val out = Seq.newBuilder[TaggedRow]
         for (e <- sorted(it) if e.kind == matchKind) {
-          val day = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
+          val day = Math.floorDiv(usOf(e.ts), dayUs) * dayUs
           if (day != st.dayStartMs) st = DayCountState(day, 0L, warned = false)
           st = st.copy(cnt = st.cnt + 1)
           if (st.cnt < threshold)
             out += TaggedRow(key, "pass", e.ts, e.ts, e.id)
           else if (!st.warned) {
-            out += TaggedRow(key, "warn", new Timestamp(st.dayStartMs), e.ts, s"count=${st.cnt}")
+            out += TaggedRow(key, "warn", tsOf(st.dayStartMs), e.ts, s"count=${st.cnt}")
             st = st.copy(warned = true)
           } // else: suppressed, the blacklist's whole point
         }
@@ -134,7 +145,7 @@ object StateMachines {
 
   // ---- C6/C7: request→response with timeout ----
 
-  /** Open requests: (id, request ts ms), earliest first. */
+  /** Open requests: (id, request ts epoch-us), earliest first. */
   case class PendingState(pending: List[(String, Long)])
 
   /** Streaming order-timeout monitor (reference C6/C7 —
@@ -157,7 +168,7 @@ object StateMachines {
       watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val timeoutMs = timeoutSec * 1000L
+    val timeoutUs = timeoutSec * 1000000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
@@ -168,13 +179,13 @@ object StateMachines {
         val out = Seq.newBuilder[TaggedRow]
         for (e <- sorted(it)) e.kind match {
           case k if k == reqKind =>
-            pending = (pending :+ (e.id, e.ts.getTime)).sortBy(_._2)
+            pending = (pending :+ (e.id, usOf(e.ts))).sortBy(_._2)
           case k if k == respKind =>
-            pending.find { case (_, reqMs) =>
-              e.ts.getTime > reqMs && e.ts.getTime <= reqMs + timeoutMs
+            pending.find { case (_, reqUs) =>
+              usOf(e.ts) > reqUs && usOf(e.ts) <= reqUs + timeoutUs
             } match {
-              case Some(hit @ (reqId, reqMs)) =>
-                out += TaggedRow(key, "matched", new Timestamp(reqMs), e.ts, reqId)
+              case Some(hit @ (reqId, reqUs)) =>
+                out += TaggedRow(key, "matched", tsOf(reqUs), e.ts, reqId)
                 pending = pending.filterNot(_ == hit)
               case None => // unmatched response: reference J2's "No Payed But Receipt" analog
                 out += TaggedRow(key, "resp_no_req", e.ts, e.ts, e.id)
@@ -184,14 +195,15 @@ object StateMachines {
         // flush requests the watermark has expired (including on timer
         // fire); <= so a deadline equal to the watermark fires now (Flink
         // timer semantics) and never re-arms at-or-behind the watermark
-        val wm = state.getCurrentWatermarkMs()
-        val (expired, open) = pending.partition { case (_, reqMs) => reqMs + timeoutMs <= wm }
-        for ((reqId, reqMs) <- expired)
-          out += TaggedRow(key, "timeout", new Timestamp(reqMs), new Timestamp(reqMs + timeoutMs), reqId)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (expired, open) = pending.partition { case (_, reqUs) => reqUs + timeoutUs <= wmUs }
+        for ((reqId, reqUs) <- expired)
+          out += TaggedRow(key, "timeout", tsOf(reqUs), tsOf(reqUs + timeoutUs), reqId)
         if (open.isEmpty) state.remove()
         else {
           state.update(PendingState(open))
-          state.setTimeoutTimestamp(open.map(_._2).min + timeoutMs)
+          // ceil to ms so the timer never fires before the us deadline
+          state.setTimeoutTimestamp((open.map(_._2).min + timeoutUs + 999L) / 1000L)
         }
         out.result().iterator
       })
@@ -199,7 +211,7 @@ object StateMachines {
 
   // ---- J2: two-stream reconciliation ----
 
-  /** Unmatched events per side: (id, ts ms). */
+  /** Unmatched events per side: (id, ts epoch-us). */
   case class ReconcileState(left: List[(String, Long)], right: List[(String, Long)])
 
   /** Streaming two-stream reconciliation (reference J2 —
@@ -222,7 +234,7 @@ object StateMachines {
       watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val tolMs = toleranceSec * 1000L
+    val tolUs = toleranceSec * 1000000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
@@ -232,38 +244,38 @@ object StateMachines {
         var st = state.getOption.getOrElse(ReconcileState(Nil, Nil))
         val out = Seq.newBuilder[TaggedRow]
         def tryMatch(ts: Long, other: List[(String, Long)]): (Option[(String, Long)], List[(String, Long)]) =
-          other.find { case (_, o) => Math.abs(o - ts) <= tolMs } match {
+          other.find { case (_, o) => Math.abs(o - ts) <= tolUs } match {
             case Some(hit) => (Some(hit), other.filterNot(_ == hit))
             case None      => (None, other)
           }
         for (e <- sorted(it)) {
           if (e.kind == leftKind) {
-            val (hit, rest) = tryMatch(e.ts.getTime, st.right)
+            val (hit, rest) = tryMatch(usOf(e.ts), st.right)
             hit match {
-              case Some((rid, rms)) =>
-                out += TaggedRow(key, "matched", e.ts, new Timestamp(rms), s"${e.id}|$rid")
+              case Some((rid, rus)) =>
+                out += TaggedRow(key, "matched", e.ts, tsOf(rus), s"${e.id}|$rid")
                 st = st.copy(right = rest)
-              case None => st = st.copy(left = st.left :+ (e.id, e.ts.getTime))
+              case None => st = st.copy(left = st.left :+ (e.id, usOf(e.ts)))
             }
           } else if (e.kind == rightKind) {
-            val (hit, rest) = tryMatch(e.ts.getTime, st.left)
+            val (hit, rest) = tryMatch(usOf(e.ts), st.left)
             hit match {
-              case Some((lid, lms)) =>
-                out += TaggedRow(key, "matched", new Timestamp(lms), e.ts, s"$lid|${e.id}")
+              case Some((lid, lus)) =>
+                out += TaggedRow(key, "matched", tsOf(lus), e.ts, s"$lid|${e.id}")
                 st = st.copy(left = rest)
-              case None => st = st.copy(right = st.right :+ (e.id, e.ts.getTime))
+              case None => st = st.copy(right = st.right :+ (e.id, usOf(e.ts)))
             }
           }
         }
-        val wm = state.getCurrentWatermarkMs()
-        val (lExp, lOpen) = st.left.partition { case (_, ms) => ms + tolMs <= wm }
-        val (rExp, rOpen) = st.right.partition { case (_, ms) => ms + tolMs <= wm }
-        for ((id, ms) <- lExp) out += TaggedRow(key, "left_only", new Timestamp(ms), new Timestamp(ms), id)
-        for ((id, ms) <- rExp) out += TaggedRow(key, "right_only", new Timestamp(ms), new Timestamp(ms), id)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (lExp, lOpen) = st.left.partition { case (_, us) => us + tolUs <= wmUs }
+        val (rExp, rOpen) = st.right.partition { case (_, us) => us + tolUs <= wmUs }
+        for ((id, us) <- lExp) out += TaggedRow(key, "left_only", tsOf(us), tsOf(us), id)
+        for ((id, us) <- rExp) out += TaggedRow(key, "right_only", tsOf(us), tsOf(us), id)
         if (lOpen.isEmpty && rOpen.isEmpty) state.remove()
         else {
           state.update(ReconcileState(lOpen, rOpen))
-          state.setTimeoutTimestamp((lOpen ++ rOpen).map(_._2).min + tolMs)
+          state.setTimeoutTimestamp(((lOpen ++ rOpen).map(_._2).min + tolUs + 999L) / 1000L)
         }
         out.result().iterator
       })
