@@ -69,8 +69,12 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"), col("cnt"))
     }),
     "q_hot_items" -> ((s, dir) => {
-      // A1 + T1 + W3: sliding 1h/5m counts, top-5 per window (HotItemApp)
-      val counts = WindowAggs.slidingCount(
+      // A1 + T1 + W3: sliding 1h/5m counts, top-5 per window (HotItemApp).
+      // Pane formulation: aggregate per 5m pane first, then roll panes into
+      // windows — the event-grain exchange is 12× smaller than the
+      // window-expand shape (same rows; equivalence oracle-checked here and
+      // pane≡expand asserted in OpsSpec).
+      val counts = WindowAggs.slidingCountPanes(
         events(Tables(s, dir), "click"), col("ts"), "1 hour", "5 minutes", Seq(col("user_id")))
       TopN
         .perPartition(counts, Seq(col("window_start")), Seq(col("cnt").desc, col("user_id").asc), 5)

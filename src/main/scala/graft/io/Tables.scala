@@ -24,6 +24,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read the raw int64 nanos and truncate to µs — exactly
     * what DuckDB's reader does, so oracle timestamps stay bit-identical.
+    *
+    * NOTE: this sets `spark.sql.legacy.parquet.nanosAsLong` SESSION-WIDE
+    * (nano-timestamp columns in any later parquet read surface as raw
+    * longs instead of erroring). It cannot be save/restored around the
+    * call: the returned frame is lazy and the conf is read again at
+    * execution time, so restoring it would break the scan. There is no
+    * per-read option for this legacy flag in Spark 4.1.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -226,50 +226,90 @@ object Dedup {
     * canonical-representative step a dedup pipeline runs after pair
     * generation (keep cluster_id == doc_id, drop the rest).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; converges
-    * in O(component diameter) rounds (near-dup clusters are shallow; the
-    * `maxIter` bound guards pathological chains). Each round is one
-    * hash-exchange join + aggregate over the edge list — the standard
-    * scalable CC shape, no driver-side graph.
+    * Algorithm: hash-min label propagation with pointer jumping — each
+    * round every node takes the min of its own and its neighbors' labels
+    * (one edge join + aggregate), then the label map is composed with
+    * itself twice (two node-sized self-joins), so the distance a label
+    * travels per round multiplies instead of incrementing: O(log diameter)
+    * rounds, not O(diameter). No driver-side graph; per-round work is
+    * hash-partitioned joins only.
+    *
+    * Fault tolerance: when the SparkContext has a checkpoint dir
+    * configured (`sc.setCheckpointDir`), per-round materialization uses
+    * reliable `checkpoint()` — executor loss mid-loop replays from the
+    * checkpoint store. Without one (local test mode) it falls back to
+    * `localCheckpoint()`. The convergence flag is computed inside the
+    * round's plan and read off the materialized result, so no extra join
+    * or recompute per round.
+    *
+    * @throws IllegalStateException if maxIter rounds pass without
+    *         convergence — a silent non-minimal labeling would corrupt
+    *         downstream dedup, so this fails loudly instead.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithStats(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus (rounds used, converged) — the stats the
+    * convergence spec and capacity planning read.
+    */
+  def connectedComponentsWithStats(
+      pairs: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int, Boolean) = {
+    val sc = pairs.sparkSession.sparkContext
+    def materialize(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the edge list once — it is re-joined every round, and
     // leaving it lazy would re-run the whole upstream pair generation
     // per iteration
-    val edges = pairs
-      .select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val edges = materialize(
+      pairs
+        .select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-    def propagate(ls: org.apache.spark.sql.DataFrame) = {
-      val viaNeighbors = edges
-        .join(ls, edges("src") === ls("id"))
-        .groupBy(col("dst").as("id2"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      ls.join(viaNeighbors, ls("id") === col("id2"), "left_outer")
-        .select(
-          col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // two propagation hops per materialization + convergence check —
-      // halves the driver round-trips; lineage cut per round so iterative
-      // self-joins don't stack exponentially deep plans
-      val next = propagate(propagate(labels)).localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      // 1 propagation hop: min over neighborhood labels
+      val nbrMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      var stepped = labels
+        .join(nbrMin, labels("id") === col("id2"), "left_outer")
+        .select(
+          col("id"),
+          col("cluster_id").as("old"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("lbl"))
+      // 2 pointer jumps: lbl := lbl(lbl) — labels only decrease and stay
+      // inside the component, so composing the map with itself is safe and
+      // roughly doubles how far a min has spread, per jump
+      for (_ <- 0 until 2) {
+        val m = stepped.select(col("id").as("jid"), col("lbl").as("jl"))
+        stepped = stepped
+          .join(m, stepped("lbl") === m("jid"), "left_outer")
+          .select(
+            stepped("id"),
+            stepped("old"),
+            least(stepped("lbl"), coalesce(col("jl"), stepped("lbl"))).as("lbl"))
+      }
+      val next = materialize(
+        stepped.select(
+          col("id"),
+          col("lbl").as("cluster_id"),
+          (col("lbl") < col("old")).as("__changed")))
+      // read convergence off the already-materialized round — a limit-1
+      // scan of checkpointed data, not a recompute
+      converged = next.filter(col("__changed")).limit(1).isEmpty
+      labels = next.drop("__changed")
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — labels would be " +
+          "non-minimal; raise maxIter")
+    (labels, iter, converged)
   }
 
   /** End-to-end near-dup removal: MinHash-LSH pairs → connected

@@ -70,6 +70,10 @@ object WindowAggs {
       slide: String,
       keys: Seq[Column] = Nil,
       countName: String = "cnt"): DataFrame = {
+    if (df.isStreaming)
+      // two chained aggregations are not supported in streaming append
+      // mode; the expand shape pre-aggregates map-side there anyway
+      return slidingCount(df, ts, size, slide, keys, countName)
     val sizeUs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(size))
     val slideUs = org.apache.spark.sql.catalyst.util.IntervalUtils
@@ -81,15 +85,23 @@ object WindowAggs {
     val (szUs, slUs) = (us(sizeUs), us(slideUs))
     require(szUs % slUs == 0, "size must be a multiple of slide for pane aggregation")
     val nPanes = (szUs / slUs).toInt
+    // Re-grouping in the second aggregation needs stable names for the key
+    // expressions (a computed key like get_json_object(...)%10 has no
+    // addressable name). Alias each key in the FIRST aggregation to the
+    // name Spark itself would give it — schema.fieldNames on a probe
+    // select — so bare columns keep their names and computed keys get the
+    // same auto-generated name slidingCount would produce.
+    val keyNames = if (keys.isEmpty) Nil else df.select(keys: _*).schema.fieldNames.toSeq
+    val namedKeys = keys.zip(keyNames).map { case (k, n) => k.as(n) }
     val panes = df
-      .groupBy((window(ts, slide) +: keys): _*)
+      .groupBy((window(ts, slide) +: namedKeys): _*)
       .agg(count(lit(1)).as("__pane_cnt"))
       .withColumn("__pane_start", unix_micros(col("window.start")))
       .drop("window")
     panes
       .withColumn("__i", explode(sequence(lit(0), lit(nPanes - 1))))
       .withColumn("window_start", timestamp_micros(col("__pane_start") - col("__i") * slUs))
-      .groupBy(col("window_start") +: keys.map(k => col(k.toString)): _*)
+      .groupBy(col("window_start") +: keyNames.map(col): _*)
       .agg(sum(col("__pane_cnt")).as(countName))
   }
 

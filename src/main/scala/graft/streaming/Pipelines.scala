@@ -28,7 +28,7 @@ object Pipelines {
       n: Int = 5,
       size: String = "1 hour",
       slide: String = "5 minutes"): DataFrame = {
-    val counts = graft.ops.WindowAggs.slidingCount(
+    val counts = graft.ops.WindowAggs.slidingCountPanes(
       behaviors.filter(col("behavior") === "pv"), col("ts"), size, slide, Seq(col("item_id")))
     TopN.perPartition(counts, Seq(col("window_start")),
       Seq(col("cnt").desc, col("item_id").asc), n)
@@ -43,7 +43,7 @@ object Pipelines {
       n: Int = 5,
       size: String = "10 minutes",
       slide: String = "5 seconds"): DataFrame = {
-    val counts = graft.ops.WindowAggs.slidingCount(
+    val counts = graft.ops.WindowAggs.slidingCountPanes(
       logs.filter(col("method") === "GET"), col("ts"), size, slide, Seq(col("url")))
     TopN.perPartition(counts, Seq(col("window_start")), Seq(col("cnt").desc, col("url").asc), n)
   }

@@ -101,7 +101,7 @@ object StateMachines {
   // ---- C2/A9/W8: daily threshold blacklist ----
 
   /** (utc day start epoch-us, count so far today, warned already). */
-  case class DayCountState(dayStartMs: Long, cnt: Long, warned: Boolean)
+  case class DayCountState(dayStartUs: Long, cnt: Long, warned: Boolean)
 
   /** Streaming click-fraud blacklist (reference C2 —
     * `gmall-market/.../AdClickApp.java:112-168`): per key, count matching
@@ -129,12 +129,12 @@ object StateMachines {
         val out = Seq.newBuilder[TaggedRow]
         for (e <- sorted(it) if e.kind == matchKind) {
           val day = Math.floorDiv(usOf(e.ts), dayUs) * dayUs
-          if (day != st.dayStartMs) st = DayCountState(day, 0L, warned = false)
+          if (day != st.dayStartUs) st = DayCountState(day, 0L, warned = false)
           st = st.copy(cnt = st.cnt + 1)
           if (st.cnt < threshold)
             out += TaggedRow(key, "pass", e.ts, e.ts, e.id)
           else if (!st.warned) {
-            out += TaggedRow(key, "warn", tsOf(st.dayStartMs), e.ts, s"count=${st.cnt}")
+            out += TaggedRow(key, "warn", tsOf(st.dayStartUs), e.ts, s"count=${st.cnt}")
             st = st.copy(warned = true)
           } // else: suppressed, the blacklist's whole point
         }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * external oracles are unchanged.
   *
   * Mismatched lengths use the common prefix; null elements are treated as
-  * 0.0 (embedding columns are non-null in practice).
+  * 0.0 (embedding columns are non-null in practice). A zero-norm (or
+  * empty) vector yields 0.0, not NaN — downstream `floor(sim*1e4)`
+  * casts would throw under ANSI mode on a NaN, letting one degenerate
+  * embedding row kill a whole near-dup/kNN job.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression
@@ -44,7 +47,7 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,7 +67,8 @@ case class CosineSim(left: Expression, right: Expression)
          |  final double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
