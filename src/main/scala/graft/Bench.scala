@@ -51,8 +51,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
+    // a partial total must never be comparable to a complete one: any
+    // failure nulls the headline value (per-query numbers stay reported)
+    val value = if (failed > 0) "null" else total.toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"steady-state","cold_sec":$coldSec,"failed":$failed}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"steady-state","cold_sec":$coldSec,"failed":$failed}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

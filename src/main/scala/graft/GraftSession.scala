@@ -10,8 +10,16 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql.shuffle.partitions` is only a starting hint.
   */
 object GraftSession {
-  def builder(master: String = "local[32]"): SparkSession.Builder =
-    SparkSession
+
+  /** @param rocksdbStateStore use RocksDB-backed streaming state
+    *   (spills to local disk; the right provider once keyed state exceeds
+    *   executor heap — SURVEY §4). Default stays the in-memory HDFS-backed
+    *   provider, which is faster for small state.
+    */
+  def builder(
+      master: String = "local[32]",
+      rocksdbStateStore: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .master(master)
       .appName("graft")
@@ -21,6 +29,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // reliable checkpoint() files (the CC loop writes one per round) are
+      // deleted once their RDD is GC'd instead of accumulating forever
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    if (rocksdbStateStore)
+      b.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else b
+  }
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

@@ -92,7 +92,13 @@ object WindowAggs {
     // select — so bare columns keep their names and computed keys get the
     // same auto-generated name slidingCount would produce.
     val keyNames = if (keys.isEmpty) Nil else df.select(keys: _*).schema.fieldNames.toSeq
+    require(keyNames.distinct.size == keyNames.size,
+      s"key expressions must have distinct names, got $keyNames — alias the duplicates")
     val namedKeys = keys.zip(keyNames).map { case (k, n) => k.as(n) }
+    // backtick-quote when re-referencing: auto-generated names of computed
+    // keys (e.g. get_json_object(props, '$.k')) contain dots, which a bare
+    // col() would parse as nested-field access
+    def quoted(n: String): Column = col("`" + n.replace("`", "``") + "`")
     val panes = df
       .groupBy((window(ts, slide) +: namedKeys): _*)
       .agg(count(lit(1)).as("__pane_cnt"))
@@ -101,7 +107,7 @@ object WindowAggs {
     panes
       .withColumn("__i", explode(sequence(lit(0), lit(nPanes - 1))))
       .withColumn("window_start", timestamp_micros(col("__pane_start") - col("__i") * slUs))
-      .groupBy(col("window_start") +: keyNames.map(col): _*)
+      .groupBy(col("window_start") +: keyNames.map(quoted): _*)
       .agg(sum(col("__pane_cnt")).as(countName))
   }
 

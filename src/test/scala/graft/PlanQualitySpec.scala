@@ -41,6 +41,18 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("row_number(), 5, Partial") && p.contains("row_number(), 5, Final"), p)
   }
 
+  test("q_hot_items keeps the pane shape: no event-grain window Expand") {
+    // the pane formulation's whole point: events aggregate once per 5m pane
+    // (tumbling), then panes explode 12x — never a 12-way Expand of raw
+    // events before the first aggregate (what slidingCount would plan)
+    val p = plan("q_hot_items")
+    assert(!p.contains("Expand"), s"event-grain window expand crept back in:\n$p")
+    // the pane->window explode (Generate) must sit ABOVE the first
+    // (partial) aggregate, i.e. appear before it in the top-down print
+    assert(p.indexOf("Generate explode") >= 0, p)
+    assert(p.indexOf("Generate explode") < p.lastIndexOf("partial_count"), p)
+  }
+
   test("sessionization is one exchange on the grouping keys") {
     val p = plan("q_sessions")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)

@@ -54,6 +54,26 @@ class OpsSpec extends SparkSpec {
     assert(viaPanes.nonEmpty)
   }
 
+  test("slidingCountPanes accepts computed keys whose auto-names contain dots") {
+    // get_json_object auto-generates a name with dots/parens; the second
+    // groupBy must re-reference it quoted, not as nested-field access
+    val df = Seq(
+      ("2020-01-01 10:02:00", """{"k": 7}"""),
+      ("2020-01-01 10:03:00", """{"k": 7}"""),
+      ("2020-01-01 10:07:00", """{"k": 3}"""))
+      .toDF("t", "props")
+      .withColumn("t", col("t").cast("timestamp"))
+    val got = WindowAggs
+      .slidingCountPanes(df, col("t"), "10 minutes", "5 minutes",
+        Seq(get_json_object(col("props"), "$.k")))
+      .collect()
+    assert(got.map(_.getLong(2)).sum == 6) // 3 rows x 2 windows each
+    intercept[IllegalArgumentException] {
+      WindowAggs.slidingCountPanes(df, col("t"), "10 minutes", "5 minutes",
+        Seq(col("props"), col("props")))
+    }
+  }
+
   test("tumblingCountDistinct counts distinct users") {
     val df = Seq(
       ("2020-01-01 10:05:00", 1L),
