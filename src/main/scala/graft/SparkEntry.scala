@@ -207,6 +207,9 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6)
     }),
     "d_dedup_minhash" -> ((s, dir) => {
+      // Acceptance bar (ApproxGatesSpec, same params, sf0.01): output ⊆
+      // d_dedup_ngram (exact-Jaccard verify ⇒ precision 1) and pair recall
+      // ≥ 0.9 vs the lossless ngram pairs (measured 1.0).
       Dedup.minhashDedup(Tables(s, dir).documents, col("doc_id"), col("text"),
         shingleLen = 3, k = 64, bands = 16, threshold = 0.6)
     }),
@@ -217,6 +220,10 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6))
     }),
     "d_dedup_simhash" -> ((s, dir) => {
+      // Acceptance bar (ApproxGatesSpec, sf0.01): 4×16-bit band blocking is
+      // LOSSLESS for hamming ≤ 3 (pigeonhole: ≤3 flipped bits leave ≥1 of 4
+      // bands exact), so output ≡ brute-force all-pairs
+      // bit_count(sh_l XOR sh_r) <= 3 — asserted as set equality.
       Dedup.simhashPairs(Tables(s, dir).documents, col("doc_id"), col("text"), maxHamming = 3)
     }),
     "d_dedup_embed" -> ((s, dir) => {
@@ -224,8 +231,15 @@ object SparkEntry {
     }),
     "d_dedup_embed_lsh" -> ((s, dir) => {
       // scale path of d_dedup_embed: LSH-blocked candidates, exact verify;
-      // probabilistic recall -> rows-only check (no oracle)
-      Similarity.cosineNearDupPairsLSH(embeddingsIdVec(Tables(s, dir)), 0.40, dim = 64)
+      // probabilistic recall -> rows-only check (no oracle).
+      // Acceptance bar (ApproxGatesSpec, same params, sf0.01): output ⊆
+      // brute-force pairs (exact cosine verify ⇒ precision 1) and pair
+      // recall ≥ 0.9 (measured 0.932 at 4 planes × 16 tables; the round-2
+      // default of 8 planes × 4 tables measured 0.119 — the testdata
+      // embeddings are near-uniform, so a loose 0.40 threshold needs
+      // shallow planes + many tables; see docs/SCALE.md).
+      Similarity.cosineNearDupPairsLSH(embeddingsIdVec(Tables(s, dir)), 0.40, dim = 64,
+        nPlanes = 4, nTables = 16)
     }),
 
     "d_decontaminate" -> ((s, dir) => {
@@ -286,8 +300,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(v, v.filter(col("id") < 10), k = 5)
     }),
     "s_knn_lsh" -> ((s, dir) => {
+      // Acceptance bar (ApproxGatesSpec, same params, sf0.01): recall@5
+      // ≥ 0.9 vs s_knn_brute (measured 0.92 at 4 planes × 16 tables; the
+      // round-2 single-table formulation measured 0.02 — multi-table OR
+      // amplification is what makes sign-LSH usable here).
       val v = embeddingsIdVec(Tables(s, dir))
-      Similarity.lshTopK(v, v.filter(col("id") < 10), dim = 64, nPlanes = 8, k = 5)
+      Similarity.lshTopK(v, v.filter(col("id") < 10), dim = 64, nPlanes = 4, k = 5,
+        nTables = 16)
     }),
     "s_knn_ivf" -> ((s, dir) => {
       // IVF coarse-quantizer ANN (rows-only: k-means assignment is
