@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Tables
+
+/** Deterministic acceptance gates for the four `no_oracle` approximate
+  * queries (d_dedup_minhash, d_dedup_simhash, d_dedup_embed_lsh,
+  * s_knn_lsh), run at the EXACT parameters SparkEntry declares, on the
+  * sf0.01 testdata the driver's correctness gate uses. These are the bars
+  * the SparkEntry comments cite: a parameter regression (e.g. back to the
+  * round-2 recall-0.119/0.02 LSH configs) fails this suite.
+  *
+  * Precision is enforced as a SUBSET assertion (every emitted pair passes
+  * the exact verify, so emitted ⊆ exact ⇒ precision 1); recall as a floor
+  * against the exact pair set.
+  */
+class ApproxGatesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val t = Tables(spark, dir)
+  private lazy val v =
+    t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+    if (truth.isEmpty) 1.0 else (got & truth).size.toDouble / truth.size
+
+  test("d_dedup_simhash: 4x16-bit banding == brute-force hamming<=3 (set equality)") {
+    // Pigeonhole: <=3 flipped bits leave >=1 of the 4 16-bit bands exact,
+    // so the banded blocking is lossless — asserted as strict equality,
+    // not a recall floor.
+    val banded = pairs(Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), 3))
+    val sh = Dedup.simhashDocs(t.documents, col("doc_id"), col("text"))
+    val brute = pairs(
+      sh.as("l")
+        .join(sh.as("r"), col("l.doc_id") < col("r.doc_id"))
+        .filter(bit_count(col("l.sh").bitwiseXOR(col("r.sh"))) <= 3)
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")))
+    assert(brute.nonEmpty, "gate is vacuous: no hamming<=3 pairs in testdata")
+    assert(banded == brute)
+  }
+
+  test("d_dedup_minhash: output subset of lossless ngram pairs, recall >= 0.9") {
+    // SparkEntry params: shingleLen=3, k=64, bands=16, threshold=0.6
+    val truth = pairs(Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), 3, 0.6))
+    val got = pairs(Dedup.minhashDedup(
+      t.documents, col("doc_id"), col("text"), shingleLen = 3, k = 64, bands = 16,
+      threshold = 0.6))
+    assert(truth.nonEmpty, "gate is vacuous: no ngram pairs in testdata")
+    assert(got.subsetOf(truth), s"precision violated: ${(got -- truth).take(5)}")
+    assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
+  }
+
+  test("d_dedup_embed_lsh: output subset of brute pairs, recall >= 0.9 at 4 planes x 16 tables") {
+    // SparkEntry params: threshold=0.40, dim=64, nPlanes=4, nTables=16
+    val truth = pairs(Similarity.cosineNearDupPairs(v, 0.40))
+    val got = pairs(
+      Similarity.cosineNearDupPairsLSH(v, 0.40, dim = 64, nPlanes = 4, nTables = 16))
+    assert(truth.nonEmpty, "gate is vacuous: no near-dup pairs in testdata")
+    assert(got.subsetOf(truth), s"precision violated: ${(got -- truth).take(5)}")
+    assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
+  }
+
+  test("s_knn_lsh: recall@5 >= 0.9 vs brute force at 4 planes x 16 tables") {
+    // SparkEntry params: probes id<10, k=5, dim=64, nPlanes=4, nTables=16
+    def knnPairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probes = v.filter(col("id") < 10)
+    val truth = knnPairs(Similarity.bruteForceTopK(v, probes, k = 5))
+    val got = knnPairs(Similarity.lshTopK(v, probes, dim = 64, nPlanes = 4, k = 5, nTables = 16))
+    assert(truth.nonEmpty, "gate is vacuous: no knn pairs")
+    assert(recall(got, truth) >= 0.9, s"recall@5 ${recall(got, truth)} < 0.9")
+  }
+}
