@@ -40,7 +40,11 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // q_*_stream queries are correctness-gate replays (file-source
+    // micro-batches, ~0.3 s trigger cadence each): their wall time
+    // measures the replay harness's scheduling, not engine throughput, so
+    // the bench covers the batch headline queries and reports the skips.
+    val (streamNames, names) = SparkEntry.queries.keys.toSeq.sorted.partition(_.endsWith("_stream"))
     val tCold = System.nanoTime()
     val cold = names.map(n => n -> runOne(n)).toMap // warm pass (also sanity)
     val coldSec = (System.nanoTime() - tCold) / 1e9
@@ -54,8 +58,9 @@ object Bench {
     // a partial total must never be comparable to a complete one: any
     // failure nulls the headline value (per-query numbers stay reported)
     val value = if (failed > 0) "null" else total.toString
+    val skipped = streamNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"steady-state","cold_sec":$coldSec,"failed":$failed}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"steady-state","cold_sec":$coldSec,"failed":$failed,"skipped_stream_replays":$skipped}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

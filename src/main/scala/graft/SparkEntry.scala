@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Tables
 import graft.ops._
+import graft.streaming.{Replay, StateMachines}
 
 /** Driver contract: one batch query per implemented operator (SURVEY.md §2
   * + the training-data-pipeline extensions), each with an equivalent DuckDB
@@ -29,6 +30,31 @@ object SparkEntry {
 
   private def embeddingsIdVec(t: Tables): DataFrame =
     t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** events in the [[graft.streaming.KeyedEvent]] shape the streaming
+    * state machines consume (key = user, kind = event_type). */
+  private def keyedEventsFrame(t: Tables): DataFrame =
+    t.events.select(
+      col("user_id").cast("string").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"))
+
+  /** Deterministic first event of `typ` per user (min (ts, event_id)) in
+    * KeyedEvent shape — the one-open-request-per-key restriction under
+    * which the streaming greedy matchers coincide with SQL-expressible
+    * batch semantics (the reference's own shape: it keys C6–C8 by orderId
+    * / txId, exactly one request per key).
+    */
+  private def firstPerUser(t: Tables, typ: String): DataFrame =
+    TopN
+      .perPartition(
+        events(t, typ), Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc), 1)
+      .select(
+        col("user_id").cast("string").as("key"),
+        col("ts"),
+        col("event_type").as("kind"),
+        col("event_id").cast("string").as("id"))
 
   /** Flagship: sliding-window hot-item top-N (reference HotItemApp) on the
     * events table. Driver smoke-checks rows > 0 at sf0.001.
@@ -89,6 +115,114 @@ object SparkEntry {
       TopN
         .perPartition(counts, Seq(col("window_start")), Seq(col("cnt").desc, col("event_type").asc), 3)
         .select(col("window_start"), col("event_type"), col("cnt"), col("rank"))
+    }),
+
+    // ---- streaming formulations on the correctness record ----
+    // Each q_*_stream replays the REAL events table through the streaming
+    // operator (file source, ~10 time-ordered micro-batches, watermark +
+    // state store — see [[graft.streaming.Replay]]) and is hash-compared
+    // against the same DuckDB oracle as its batch twin: streaming == batch
+    // on the driver's record, not just in specs.
+    "q_pv_hourly_stream" -> ((s, dir) => {
+      // A3/W4 streaming: watermarked tumbling count in append mode.
+      // Sentinels must reach the AGGREGATE, not just the watermark node —
+      // Catalyst pushes a kind-filter below EventTimeWatermark, which
+      // would filter the sentinel before its timestamp registers and the
+      // final windows would never finalize. So: count views conditionally
+      // over the unfiltered stream, drop zero-view windows (incl. the
+      // sentinel's own) batch-side.
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          stream.toDF()
+            .withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(when(col("kind") === "view", 1)).as("cnt"))
+            .select(col("window.start").as("window_start"), col("cnt"))
+        }
+        .filter(col("cnt") > 0)
+    }),
+    "q_sessions_stream" -> ((s, dir) => {
+      // streaming sessionization: merging session_window state across
+      // micro-batches, finalized by watermark. Group by the raw string key
+      // (the sentinel's key is non-numeric); its session never finalizes
+      // and is filtered batch-side before the long cast.
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          WindowAggs.sessionCount(
+            stream.toDF().withWatermark("ts", "0 seconds"),
+            col("ts"), "30 minutes", Seq(col("key")))
+        }
+        .filter(col("key") =!= Replay.Sentinel)
+        .select(
+          col("key").cast("long").as("user_id"),
+          col("session_start"), col("session_end"), col("cnt"))
+    }),
+    "q_login_fail_stream" -> ((s, dir) => {
+      // C3/C4 streaming: flatMapGroupsWithState run-detection state machine
+      Replay.keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+        StateMachines
+          .consecutiveMatches(stream, "error", n = 2, maxGapSec = 7200L)
+          .toDF()
+          .select(col("key").cast("long").as("user_id"), col("first_ts"), col("last_ts"))
+      }
+    }),
+    "q_ad_blacklist_stream" -> ((s, dir) => {
+      // C2/W8 streaming: daily threshold with event-time day rollover; the
+      // warn rows are the blacklist additions (one per user-day crossing)
+      Replay.keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+        StateMachines
+          .dailyThreshold(stream, "click", threshold = 2L)
+          .toDF()
+          .filter(col("tag") === "warn")
+          .select(col("key").cast("long").as("user_id"), col("first_ts").as("day"))
+      }
+    }),
+    "q_order_timeout_stream" -> ((s, dir) => {
+      // C6/C7 streaming: request→response with EventTimeTimeout timers.
+      // Requests restricted to the first signup per user so the streaming
+      // greedy matcher (consumes a response) and the SQL oracle (min
+      // response per request) provably coincide — the reference's
+      // one-create-per-orderId keying.
+      val t = Tables(s, dir)
+      val input = firstPerUser(t, "signup")
+        .unionByName(keyedEventsFrame(t).filter(col("kind") === "purchase"))
+      Replay.keyedEvents(input) { stream =>
+        StateMachines
+          .matchWithTimeout(stream, "signup", "purchase", timeoutSec = 86400L)
+          .toDF()
+          .filter(col("tag").isin("matched", "timeout"))
+          .select(
+            col("key").cast("long").as("user_id"),
+            col("info").cast("long").as("req_id"),
+            col("first_ts").as("req_ts"),
+            when(col("tag") === "matched", col("last_ts")).as("resp_ts"),
+            col("tag").as("status"))
+      }
+    }),
+    "q_reconcile_stream" -> ((s, dir) => {
+      // J2/C8 streaming: two-stream reconcile (tagged union of first
+      // purchase + first signup per user — ≤1 event per side per key, so
+      // greedy matching == the full-outer-join oracle), timers expire the
+      // unmatched sides.
+      val t = Tables(s, dir)
+      val input = firstPerUser(t, "purchase").unionByName(firstPerUser(t, "signup"))
+      Replay.keyedEvents(input) { stream =>
+        val out = StateMachines
+          .reconcile(stream, "purchase", "signup", toleranceSec = 86400L)
+          .toDF()
+        val part = split(col("info"), "\\|")
+        out.select(
+          col("key").cast("long").as("user_id"),
+          when(col("tag") === "matched", part.getItem(0))
+            .when(col("tag") === "left_only", col("info"))
+            .cast("long").as("p_id"),
+          when(col("tag") === "matched", part.getItem(1))
+            .when(col("tag") === "right_only", col("info"))
+            .cast("long").as("s_id"),
+          when(col("tag") === "matched", "matched")
+            .when(col("tag") === "left_only", "pay_no_signup")
+            .otherwise("signup_no_pay").as("status"))
+      }
     }),
 
     // ---- stateful sequence / threshold operators (C2–C7) ----
@@ -364,10 +498,85 @@ object SparkEntry {
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))"
 
+  // Shared between a batch query and its q_*_stream twin: the streaming
+  // replay must hash-match the SAME oracle.
+  private val pvHourlySql =
+    """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt
+      |FROM events WHERE event_type = 'view' GROUP BY 1""".stripMargin
+  private val sessionsSql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS cnt
+      |FROM s GROUP BY user_id, sid""".stripMargin
+  private val loginFailSql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS m,
+      |    lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS pm,
+      |    lag(ts) OVER w AS pts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, pts AS first_ts, ts AS last_ts FROM o
+      |WHERE m = 1 AND pm = 1 AND epoch_us(ts) - epoch_us(pts) <= 7200000000""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q_pv_hourly" ->
-      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt
-        |FROM events WHERE event_type = 'view' GROUP BY 1""".stripMargin,
+    "q_pv_hourly" -> pvHourlySql,
+    "q_pv_hourly_stream" -> pvHourlySql,
+    "q_sessions_stream" -> sessionsSql,
+    "q_login_fail_stream" -> loginFailSql,
+    "q_ad_blacklist_stream" ->
+      """SELECT user_id, date_trunc('day', ts) AS day
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q_order_timeout_stream" ->
+      """WITH req AS (
+        |  SELECT user_id, event_id AS req_id, ts AS req_ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'signup'
+        |), r1 AS (
+        |  SELECT user_id, req_id, req_ts FROM req WHERE rn = 1
+        |), resp AS (
+        |  SELECT user_id, ts AS resp_ts FROM events WHERE event_type = 'purchase'
+        |), matched AS (
+        |  SELECT r1.user_id, r1.req_id, r1.req_ts, min(resp.resp_ts) AS resp_ts
+        |  FROM r1 LEFT JOIN resp ON r1.user_id = resp.user_id
+        |    AND resp.resp_ts > r1.req_ts
+        |    AND epoch_us(resp.resp_ts) <= epoch_us(r1.req_ts) + 86400000000
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, req_id, req_ts, resp_ts,
+        |  CASE WHEN resp_ts IS NOT NULL THEN 'matched' ELSE 'timeout' END AS status
+        |FROM matched""".stripMargin,
+    "q_reconcile_stream" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'
+        |), p1 AS (SELECT user_id, event_id, ts FROM p WHERE rn = 1),
+        |sg AS (
+        |  SELECT user_id, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'signup'
+        |), s1 AS (SELECT user_id, event_id, ts FROM sg WHERE rn = 1)
+        |SELECT coalesce(p1.user_id, s1.user_id) AS user_id,
+        |       p1.event_id AS p_id, s1.event_id AS s_id,
+        |       CASE WHEN p1.ts IS NOT NULL AND s1.ts IS NOT NULL THEN 'matched'
+        |            WHEN p1.ts IS NOT NULL THEN 'pay_no_signup'
+        |            ELSE 'signup_no_pay' END AS status
+        |FROM p1 FULL JOIN s1 ON p1.user_id = s1.user_id
+        |  AND abs(epoch_us(s1.ts) - epoch_us(p1.ts)) <= 86400000000""".stripMargin,
     "q_uv_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, count(DISTINCT user_id) AS uv
         |FROM events GROUP BY 1""".stripMargin,
@@ -376,22 +585,7 @@ object SparkEntry {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |       count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
-    "q_sessions" ->
-      """WITH o AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), s AS (
-        |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM o
-        |)
-        |SELECT user_id, min(ts) AS session_start,
-        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |       count(*) AS cnt
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_sessions" -> sessionsSql,
     "q_hot_items" -> slidingOracle(
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
     "q_hot_pages" -> slidingOracle(
@@ -400,17 +594,7 @@ object SparkEntry {
       """SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-    "q_login_fail" ->
-      """WITH o AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS m,
-        |    lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS pm,
-        |    lag(ts) OVER w AS pts
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |)
-        |SELECT user_id, pts AS first_ts, ts AS last_ts FROM o
-        |WHERE m = 1 AND pm = 1 AND epoch_us(ts) - epoch_us(pts) <= 7200000000""".stripMargin,
+    "q_login_fail" -> loginFailSql,
     "q_login_fail3" ->
       """WITH o AS (
         |  SELECT user_id, ts,

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** File-replay harness: run a STREAMING formulation of an operator over a
+  * batch events frame — chopped into time-ordered micro-batches through
+  * the file stream source — and return the completed sink table as a
+  * batch DataFrame.
+  *
+  * This is what puts the streaming layer (watermarks, the state store,
+  * event-time timers) onto the driver's DuckDB correctness record: a
+  * `q_*_stream` query in [[graft.SparkEntry.queries]] replays the real
+  * events table through the streaming operator and is hash-compared
+  * against the same SQL oracle as its batch twin.
+  *
+  * Mechanics:
+  *   - the input frame is globally sorted by (ts, id) and split into
+  *     `nChunks` files with ascending mtimes; `maxFilesPerTrigger = 1`
+  *     makes each file one micro-batch, replayed chronologically — so
+  *     watermarks advance monotonically and state carries across many
+  *     batches (the seam single-batch tests never stress);
+  *   - two trailing sentinel rows (far-future ts, kind/key
+  *     [[Replay.Sentinel]]) are appended as two extra single-row batches:
+  *     watermark updates take effect one batch late, so the first
+  *     sentinel advances the watermark past all real event time and the
+  *     second's batch fires every event-time timer and finalizes every
+  *     window. Aggregation pipelines must filter `kind =!= Sentinel`
+  *     AFTER `withWatermark` (the sentinel must flow through the
+  *     watermark node, not into the aggregate); the keyed state machines
+  *     ignore the sentinel kind by construction.
+  *
+  * The one driver-side action is a scalar max(ts) (to place the
+  * sentinels) — everything else is distributed.
+  */
+object Replay {
+
+  /** Kind and key of the watermark-advancing sentinel rows. */
+  val Sentinel = "__sentinel__"
+
+  private val counter = new AtomicInteger(0)
+
+  /** Replay `events` (columns key, ts, kind, id — see [[KeyedEvent]])
+    * through `pipeline` and return the completed (batch) result.
+    */
+  def keyedEvents(events: DataFrame, nChunks: Int = 10)(
+      pipeline: Dataset[KeyedEvent] => DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(
+      col("key").cast("string").as("key"),
+      col("ts"),
+      col("kind").cast("string").as("kind"),
+      col("id").cast("string").as("id"))
+    val tmp = Files.createTempDirectory("graft-replay")
+
+    def writeOne(df: DataFrame, i: Int): Unit = {
+      // repartition(1), not coalesce(1): keep the upstream sort parallel,
+      // only the chunk's rows cross a single-partition exchange
+      df.repartition(1).write.mode("overwrite").parquet(s"$tmp/c$i")
+      new java.io.File(s"$tmp/c$i").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(p => Files.move(p.toPath, java.nio.file.Paths.get(s"$tmp/in_$i.parquet")))
+      Thread.sleep(5) // distinct mtimes keep replay order deterministic
+    }
+
+    val chunks = src.withColumn(
+      "__c", ntile(nChunks).over(Window.orderBy(col("ts"), col("id"))))
+    for (i <- 1 to nChunks)
+      writeOne(chunks.filter(col("__c") === i).drop("__c"), i)
+
+    val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+    for (j <- 0 until 2) {
+      // 30 days past max event time: beyond any window/timer deadline the
+      // declared queries use (<= 24 h)
+      val sTs = new Timestamp(maxTs.getTime + 30L * 86400 * 1000 + j * 1000)
+      writeOne(Seq(KeyedEvent(Sentinel, sTs, Sentinel, s"s$j")).toDF(), nChunks + 1 + j)
+    }
+
+    val stream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in_*.parquet")
+      .as[KeyedEvent]
+    val name = s"graft_replay_${counter.incrementAndGet()}"
+    val q = pipeline(stream).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt") // self-contained: no session-level default needed
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}
