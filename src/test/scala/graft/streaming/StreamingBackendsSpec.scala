@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftSession, SparkSpec}
+
+/** Backend plumbing the other streaming suites don't exercise:
+  *
+  *   - the RocksDB state-store provider ([[GraftSession.builder]]'s
+  *     `rocksdbStateStore` flag — the provider for keyed state that
+  *     exceeds executor heap, SURVEY §4) actually running a state
+  *     machine;
+  *   - the Kafka end-to-end shape without a broker: a MemoryStream with
+  *     kafka's exact output schema feeding [[Sources.parseCsvValue]] into
+  *     a state machine, proving the downstream contract of
+  *     [[Sources.kafkaStream]].
+  */
+class StreamingBackendsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  test("consecutiveMatches runs green on RocksDBStateStoreProvider") {
+    // getOrCreate() applies the builder's runtime SQL confs to the shared
+    // test session — exactly how a user flips the flag; restore after.
+    val s = GraftSession.builder("local[4]", rocksdbStateStore = true).getOrCreate()
+    assert(s.conf.get(ProviderConf).contains("RocksDBStateStoreProvider"))
+    try {
+      implicit val ctx = s.sqlContext
+      val input = MemoryStream[KeyedEvent]
+      val q = StateMachines.consecutiveMatches(input.toDS(), "fail", 2, 2L)
+        .writeStream.format("memory").queryName("rocksdb_consec").outputMode("append").start()
+      try {
+        input.addData(Seq(
+          KeyedEvent("u1", ts("2020-01-01 00:00:00"), "fail", "e1"),
+          KeyedEvent("u2", ts("2020-01-01 00:00:00"), "fail", "e2")))
+        q.processAllAvailable()
+        // state (u1's open run) must survive a batch boundary inside RocksDB
+        input.addData(Seq(
+          KeyedEvent("u1", ts("2020-01-01 00:00:01"), "fail", "e3"),
+          KeyedEvent("u2", ts("2020-01-01 00:00:01"), "ok", "e4")))
+        q.processAllAvailable()
+        val out = spark.table("rocksdb_consec").as[TaggedRow].collect().toSeq
+        assert(out.map(r => (r.key, r.first_ts, r.last_ts)) ==
+          Seq(("u1", ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:01"))))
+        // the provider was live for this query, not just configured
+        assert(q.lastProgress.stateOperators.nonEmpty)
+      } finally q.stop()
+    } finally s.conf.unset(ProviderConf)
+  }
+
+  /** Kafka source output schema, verbatim (key/value binary, metadata
+    * columns) — what [[Sources.kafkaStream]] hands downstream. */
+  private case class KafkaRecord(
+      key: Array[Byte],
+      value: Array[Byte],
+      topic: String,
+      partition: Int,
+      offset: Long,
+      timestamp: Timestamp,
+      timestampType: Int)
+
+  test("kafka-shaped stream -> parseCsvValue -> state machine == batch") {
+    val eventSchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("ts", TimestampType),
+      StructField("kind", StringType),
+      StructField("id", StringType)))
+    val lines = Seq(
+      "u1,2020-01-01 00:00:00,fail,e1",
+      "u1,2020-01-01 00:00:01,fail,e2",
+      "u2,2020-01-01 00:00:00,fail,e3",
+      "not-a-csv-row-with-no-commas", // malformed: parses to null columns, must not kill the job
+      "u2,2020-01-01 00:00:02,ok,e4",
+      "u2,2020-01-01 00:00:03,fail,e5")
+    def rec(line: String, off: Long): KafkaRecord =
+      KafkaRecord(null, line.getBytes("UTF-8"), "events", 0, off, ts("2020-01-01 00:00:10"), 0)
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KafkaRecord]
+    val parsed = Sources
+      .parseCsvValue(input.toDF(), eventSchema)
+      .filter(col("key").isNotNull && col("ts").isNotNull) // drop malformed
+      .as[KeyedEvent]
+    val q = StateMachines.consecutiveMatches(parsed, "fail", 2, 7200L)
+      .writeStream.format("memory").queryName("kafka_e2e").outputMode("append").start()
+    try {
+      val (b1, b2) = lines.splitAt(3)
+      input.addData(b1.zipWithIndex.map { case (l, i) => rec(l, i.toLong) })
+      q.processAllAvailable()
+      input.addData(b2.zipWithIndex.map { case (l, i) => rec(l, (i + 3).toLong) })
+      q.processAllAvailable()
+      val streamed = spark.table("kafka_e2e").as[TaggedRow]
+        .collect().map(r => (r.key, r.first_ts, r.last_ts)).toSet
+      val batch = graft.ops.Sequences
+        .consecutiveMatches(
+          spark.read.schema(eventSchema).csv(lines.toDS()),
+          col("key"), col("ts"), col("id"), col("kind") === "fail", 2, 7200L)
+        .as[(String, Timestamp, Timestamp)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(("u1", ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:01"))))
+    } finally q.stop()
+  }
+}
