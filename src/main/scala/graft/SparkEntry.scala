@@ -386,7 +386,25 @@ object SparkEntry {
         col("doc_id"), col("text"), 3, 0.5)
     }),
 
+    "d_drop_near_dups" -> ((s, dir) => {
+      // end-to-end two-stage removal (exact-collapse → near-dup pairs →
+      // CC → keep canonical): lossless pair mode so the keep-list is
+      // exactly oracle-checkable; the MinHash mode of the same pipeline
+      // is the scale path (ApproxGatesSpec gates its pair recall)
+      Dedup
+        .dropNearDuplicates(Tables(s, dir).documents, col("doc_id"), col("text"),
+          shingleLen = 3, threshold = 0.6, losslessPairs = true)
+        .select(col("doc_id"))
+    }),
+
     // ---- sampling / splitting ----
+    "p_cap_per_key" -> ((s, dir) => {
+      // source-balance capping: at most 20 docs per source, deterministic
+      // (WindowGroupLimit-pruned rank — same plan family as T1)
+      Sampling
+        .capPerKey(Tables(s, dir).documents, col("source"), Seq(col("doc_id").asc), 20)
+        .select(col("source"), col("doc_id"))
+    }),
     "p_sample" -> ((s, dir) => {
       // deterministic 10% Bernoulli sample of documents by doc_id hash
       Sampling.sample(Tables(s, dir).documents, col("doc_id"), 0.1)
@@ -462,6 +480,27 @@ object SparkEntry {
           (lit(64L) + pmod(col("n_bytes").cast("long"), lit(960L))).as("width"),
           (lit(64L) + pmod(col("n_bytes").cast("long") * 7, lit(960L))).as("height"),
           lit(3).as("channels"))
+    }),
+    "m_image_meta" -> ((s, dir) => {
+      // REAL header parse (PNG IHDR / JPEG SOFn scan / GIF screen
+      // descriptor): payloads are synthesized in-plan with genuine
+      // container headers whose dims are doc_id arithmetic, so the DuckDB
+      // oracle predicts the parse without any image library — and the
+      // parser still has to walk the actual byte layouts to match.
+      val fmt = element_at(
+        array(lit("png"), lit("jpeg"), lit("gif")), (col("doc_id") % 3 + 1).cast("int"))
+      val docs = Tables(s, dir).documents.select(
+        col("doc_id"),
+        Multimodal.syntheticImagePayload(
+          fmt, lit(64L) + col("doc_id") % 960, lit(64L) + (col("doc_id") * 7) % 960)
+          .as("payload"))
+      Multimodal
+        .imageMeta(docs, col("payload"))
+        .select(
+          col("doc_id"),
+          col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
     }),
   )
 
@@ -721,6 +760,39 @@ object SparkEntry {
          |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
          |)
          |SELECT id, min(l) AS cluster_id FROM lab GROUP BY id""".stripMargin,
+    "d_drop_near_dups" ->
+      s"""WITH RECURSIVE r0 AS (
+         |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY $fpExpr) AS keep
+         |  FROM documents
+         |), reps AS (
+         |  SELECT doc_id, text FROM r0 WHERE doc_id = keep
+         |), d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM reps
+         |), g AS (
+         |  SELECT doc_id, $shinglesExpr AS sh FROM d
+         |), p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.6
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+         |), lab(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
+         |), losers AS (
+         |  SELECT id FROM lab GROUP BY id HAVING id <> min(l)
+         |)
+         |SELECT doc_id FROM reps
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+    "p_cap_per_key" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) t WHERE rn <= 20""".stripMargin,
     "p_sample" ->
       """SELECT doc_id FROM documents
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
@@ -782,6 +854,12 @@ object SparkEntry {
         |  64 + octet_length(encode(text)) % 960 AS width,
         |  64 + (octet_length(encode(text)) * 7) % 960 AS height,
         |  3 AS channels
+        |FROM documents""".stripMargin,
+    "m_image_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  64 + doc_id % 960 AS width,
+        |  64 + (doc_id * 7) % 960 AS height
         |FROM documents""".stripMargin,
   )
 }

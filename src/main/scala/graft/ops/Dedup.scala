@@ -312,10 +312,18 @@ object Dedup {
     (labels, iter, converged)
   }
 
-  /** End-to-end near-dup removal: MinHash-LSH pairs → connected
-    * components → keep only each cluster's canonical (minimum-id) doc.
-    * Docs in no near-dup pair pass through untouched (left-anti join
-    * against the non-canonical cluster members).
+  /** End-to-end near-dup removal: near-dup pairs → connected components →
+    * keep only each cluster's canonical (minimum-id) doc. Docs in no
+    * near-dup pair pass through untouched (left-anti join against the
+    * non-canonical cluster members).
+    *
+    * `losslessPairs = false` (default, the scale path) blocks candidates
+    * with MinHash-LSH — probabilistic recall, gated in ApproxGatesSpec.
+    * `losslessPairs = true` uses the shared-shingle blocking of
+    * [[ngramJaccardPairs]] instead: exact result (every J ≥ threshold pair
+    * found), more candidates — the right mode when the corpus fits it or
+    * when an exact keep-list is required (it is what the d_drop_near_dups
+    * oracle checks).
     */
   def dropNearDuplicates(
       df: DataFrame,
@@ -325,7 +333,8 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      losslessPairs: Boolean = false): DataFrame = {
     // Stage 1: collapse exact duplicates first (one cheap fingerprint
     // aggregate). Exact dups have J = 1 ≥ any threshold, so removing the
     // non-minimal copies up front changes nothing semantically — but on
@@ -337,7 +346,9 @@ object Dedup {
       id === col("__keep"),
       "left_semi")
     // Stage 2: near-dup clustering among representatives only.
-    val pairs = minhashDedup(reps, id, text, shingleLen, k, bands, threshold, seed)
+    val pairs =
+      if (losslessPairs) ngramJaccardPairs(reps, id, text, shingleLen, threshold)
+      else minhashDedup(reps, id, text, shingleLen, k, bands, threshold, seed)
     val losers = connectedComponents(pairs).filter(col("id") =!= col("cluster_id"))
     reps.join(losers, id === losers("id"), "left_anti")
   }

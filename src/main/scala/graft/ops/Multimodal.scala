@@ -20,12 +20,52 @@ object Multimodal {
       .withColumn("digest", md5(payload))
 
   /** Deterministic FAKE image dimensions derived from payload size —
-    * stands in for a real header decode; keeps tests and oracles exact. */
+    * stands in for a real header decode; keeps tests and oracles exact.
+    * For real container headers use [[imageMeta]]. */
   def imageMetaStub(df: DataFrame, payload: Column): DataFrame =
     binaryMeta(df, payload)
       .withColumn("width", lit(64) + pmod(col("n_bytes"), lit(960)))
       .withColumn("height", lit(64) + pmod(col("n_bytes") * 7, lit(960)))
       .withColumn("channels", lit(3))
+
+  /** REAL image metadata from container headers: PNG IHDR / JPEG SOFn
+    * marker scan / GIF logical screen descriptor, parsed by the native
+    * codegen'd [[org.apache.spark.sql.graft.ImageMeta]] expression — no
+    * codec library, pure header arithmetic. Unparseable payloads yield
+    * null format/width/height (never a job failure).
+    */
+  def imageMeta(df: DataFrame, payload: Column): DataFrame =
+    binaryMeta(df, payload)
+      .withColumn("__meta", org.apache.spark.sql.graft.ImageFunctions.imageMeta(payload))
+      .withColumn("format", col("__meta.format"))
+      .withColumn("width", col("__meta.width"))
+      .withColumn("height", col("__meta.height"))
+      .drop("__meta")
+
+  /** Synthesize a payload with a REAL PNG/JPEG/GIF header (and fake pixel
+    * content) for the given dims — pure column expressions, so oracles can
+    * predict [[imageMeta]]'s output arithmetically while the parser still
+    * has to walk genuine container layouts (including the JPEG APP0
+    * segment skip). `fmt` ∈ png|jpeg|gif; anything else yields null.
+    */
+  def syntheticImagePayload(fmt: Column, w: Column, h: Column): Column = {
+    def be(c: Column, hexDigits: Int) = unhex(lpad(hex(c), hexDigits, "0"))
+    def le2(c: Column) = {
+      val hx = lpad(hex(c), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    when(fmt === "png",
+      // signature + IHDR length/type + w(4 BE) + h(4 BE) + depth/color/etc
+      concat(unhex(lit("89504E470D0A1A0A0000000D49484452")), be(w, 8), be(h, 8),
+        unhex(lit("0806000000"))))
+      .when(fmt === "jpeg",
+        // SOI + APP0(len 16, JFIF) + SOF0(len 17): prec, h(2 BE), w(2 BE), comps
+        concat(unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+          be(h, 4), be(w, 4), unhex(lit("03011100021101031101"))))
+      .when(fmt === "gif",
+        // GIF89a + logical screen w(2 LE) + h(2 LE) + flags
+        concat(unhex(lit("474946383961")), le2(w), le2(h), unhex(lit("F70000"))))
+  }
 
   final case class DecodedFrame(id: Long, width: Int, height: Int, pixels: Array[Byte])
 
