@@ -93,6 +93,13 @@ object Similarity {
     * recall at the cost of scanning ~nTables·N/2^planes candidates per
     * query. Gate: recall@5 floor vs [[bruteForceTopK]] in ApproxGatesSpec.
     *
+    * NOTE the `nTables = 8` default (changed from the single-table
+    * round-2 formulation): recall and candidate-scan cost both scale
+    * ~linearly in nTables, so callers should treat (nPlanes, nTables) as
+    * one tuning pair — the declared queries pin 4 planes × 16 tables
+    * explicitly, and docs/SCALE.md carries the measured recall/cost
+    * table.
+    *
     * Shuffle shape: the (table, bucket) equi-join carries ids only;
     * vectors join back for the verify/scoring step — at 100 TB the wide
     * embedding arrays never cross the candidate exchange.
