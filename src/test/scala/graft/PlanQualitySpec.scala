@@ -75,6 +75,19 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("image-header metadata is a pure projection: no exchange, codegen'd parse") {
+    val p = plan("m_image_meta")
+    assert(!p.contains("Exchange"), p)
+    // the native expression, not a UDF
+    assert(p.contains("image_meta") && !p.toLowerCase.contains("batchevalpython"), p)
+  }
+
+  test("capPerKey prunes to n per key on both sides of the rank shuffle") {
+    val p = plan("p_cap_per_key")
+    assert(p.contains("row_number(), 20, Partial") && p.contains("row_number(), 20, Final"),
+      s"WindowGroupLimit pruning missing:\n$p")
+  }
+
   test("brute-force knn broadcasts the probe side; only pruned top-k crosses the shuffle") {
     val p = plan("s_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // probe broadcast x corpus scan

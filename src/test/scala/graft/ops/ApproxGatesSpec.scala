@@ -66,6 +66,31 @@ class ApproxGatesSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
   }
 
+  test("q_uv_daily_approx / q_uv_daily_bloom: per-window estimates within error bars of exact") {
+    // A8's two estimators at the declared query params (1-day windows over
+    // the events table): HLL++ at rsd=0.05 and the bloom-bitmap Aggregator.
+    // Bars: every window within 15% relative error, mean within 5% —
+    // loose enough for estimator variance, tight enough that a broken
+    // merge or hash (the regressions that matter) blows through them.
+    val exact = WindowAggs
+      .tumblingCountDistinct(t.events, col("ts"), "1 day", col("user_id"))
+      .select(col("window_start"), col("uv"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    def gate(name: String, est: DataFrame): Unit = {
+      val got = est.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(got.keySet == exact.keySet, s"$name window set differs")
+      val errs = exact.map { case (w, e) => math.abs(got(w) - e).toDouble / e }
+      assert(errs.max <= 0.15, s"$name worst-window error ${errs.max} > 15%")
+      assert(errs.sum / errs.size <= 0.05, s"$name mean error ${errs.sum / errs.size} > 5%")
+    }
+    gate("hll", WindowAggs
+      .tumblingApproxDistinct(t.events, col("ts"), "1 day", col("user_id"))
+      .select(col("window_start"), col("uv_approx")))
+    gate("bloom", WindowAggs
+      .tumblingBloomDistinct(t.events, col("ts"), "1 day", col("user_id"))
+      .select(col("window_start"), col("uv_bloom")))
+  }
+
   test("s_knn_lsh: recall@5 >= 0.9 vs brute force at 4 planes x 16 tables") {
     // SparkEntry params: probes id<10, k=5, dim=64, nPlanes=4, nTables=16
     def knnPairs(df: DataFrame): Set[(Long, Long)] =
