@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Tables
 import graft.ops._
-import graft.streaming.{Replay, StateMachines}
+import graft.streaming.{Replay, StateMachines, WindowTriggers}
 
 /** Driver contract: one batch query per implemented operator (SURVEY.md §2
   * + the training-data-pipeline extensions), each with an equivalent DuckDB
@@ -140,6 +140,46 @@ object SparkEntry {
             .select(col("window.start").as("window_start"), col("cnt"))
         }
         .filter(col("cnt") > 0)
+    }),
+    "q_uv_pane_stream" -> ((s, dir) => {
+      // W5 FIRE_AND_PURGE streaming (UniqueVisitorApp2's per-element
+      // trigger): every element fires the running hourly distinct-visitor
+      // count, panes purged at the watermark. The LAST firing per window
+      // is the exact hourly UV — same oracle as q_uv_hourly, so the
+      // per-event trigger path is hash-checked, not just spec'd. One
+      // logical key = the reference's global UV; the bounded-state scale
+      // path for per-key cardinality remains A8's HLL++.
+      Replay
+        .keyedEvents(
+          Tables(s, dir).events.select(
+            lit("all").as("key"), col("ts"), lit("e").as("kind"),
+            col("user_id").cast("string").as("id"))) { stream =>
+          WindowTriggers
+            .fireAndPurgeCount(stream, "e", sizeSec = 3600L, distinctOnId = true)
+            .toDF()
+        }
+        .groupBy(col("window_start"))
+        .agg(max(col("cnt")).as("uv"))
+    }),
+    "q_pv_lateness_stream" -> ((s, dir) => {
+      // W6 allowed lateness streaming (HotUrlApp's 60 s knob): replay with
+      // the arrival order scrambled ±30 s (orderJitterSec), so windows
+      // genuinely fire on time and then RE-fire for allowed-late elements.
+      // Final count per window is exact — same oracle as q_pv_hourly.
+      Replay
+        .keyedEvents(
+          Tables(s, dir).events.select(
+            lit("all").as("key"), col("ts"), col("event_type").as("kind"),
+            col("event_id").cast("string").as("id")),
+          orderJitterSec = 30L) { stream =>
+          WindowTriggers
+            .countWithAllowedLateness(
+              stream, "view", sizeSec = 3600L, latenessSec = 60L)
+            .toDF()
+            .filter(col("firing") =!= "too_late")
+        }
+        .groupBy(col("window_start"))
+        .agg(max(col("cnt")).as("cnt"))
     }),
     "q_sessions_stream" -> ((s, dir) => {
       // streaming sessionization: merging session_window state across
@@ -542,6 +582,9 @@ object SparkEntry {
   private val pvHourlySql =
     """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt
       |FROM events WHERE event_type = 'view' GROUP BY 1""".stripMargin
+  private val uvHourlySql =
+    """SELECT date_trunc('hour', ts) AS window_start, count(DISTINCT user_id) AS uv
+      |FROM events GROUP BY 1""".stripMargin
   private val sessionsSql =
     """WITH o AS (
       |  SELECT user_id, ts,
@@ -616,9 +659,9 @@ object SparkEntry {
         |            ELSE 'signup_no_pay' END AS status
         |FROM p1 FULL JOIN s1 ON p1.user_id = s1.user_id
         |  AND abs(epoch_us(s1.ts) - epoch_us(p1.ts)) <= 86400000000""".stripMargin,
-    "q_uv_hourly" ->
-      """SELECT date_trunc('hour', ts) AS window_start, count(DISTINCT user_id) AS uv
-        |FROM events GROUP BY 1""".stripMargin,
+    "q_uv_hourly" -> uvHourlySql,
+    "q_uv_pane_stream" -> uvHourlySql,
+    "q_pv_lateness_stream" -> pvHourlySql,
     "q_channel_stats" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

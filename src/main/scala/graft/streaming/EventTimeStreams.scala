@@ -11,12 +11,15 @@ import graft.ops.TopN
   * Semantics mapping (SURVEY §2.6):
   *  - ascending-timestamp extractor (W1) → `withWatermark(ts, "0 seconds")`
   *  - bounded out-of-orderness 2 s (W2) → `withWatermark(ts, "2 seconds")`
-  *  - allowed lateness (W6) → fold the lateness into the watermark delay and
-  *    run in update mode: Spark re-emits revised window rows where Flink
-  *    re-fires the window — same rows, last-write-wins at the sink
-  *  - FIRE_AND_PURGE per-element emission (W5) → update mode emits revised
-  *    counts each micro-batch; per-EVENT cadence is approximated at
-  *    micro-batch granularity (documented deviation)
+  *  - allowed lateness (W6) → for the built-in window aggregation, fold the
+  *    lateness into the watermark delay and run in update mode (same final
+  *    rows, last-write-wins at the sink); the EXACT firing model — on-time
+  *    fire, per-element late re-fires, too-late side output — is
+  *    [[WindowTriggers.countWithAllowedLateness]]
+  *  - FIRE_AND_PURGE per-element emission (W5) → exact per-EVENT firing is
+  *    [[WindowTriggers.fireAndPurgeCount]]; update mode on the built-in
+  *    aggregation remains the per-micro-batch approximation when only
+  *    last-write-wins results matter
   *
   * In append mode a window's single final row emits once the watermark
   * passes window end + delay — Flink's default on-watermark firing.

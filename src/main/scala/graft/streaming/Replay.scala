@@ -47,8 +47,19 @@ object Replay {
 
   /** Replay `events` (columns key, ts, kind, id — see [[KeyedEvent]])
     * through `pipeline` and return the completed (batch) result.
+    *
+    * `orderJitterSec` > 0 scrambles the replay order: each event's SORT
+    * position (not its timestamp) is displaced by a deterministic
+    * hash-of-id offset in ±jitter seconds, so events arrive up to
+    * 2×jitter late relative to the watermark — real out-of-order input
+    * for exercising allowed-lateness re-firing. An operator whose
+    * lateness/out-of-orderness tolerance exceeds 2×jitter still produces
+    * exact final results, which is what the correctness row checks.
     */
-  def keyedEvents(events: DataFrame, nChunks: Int = 10)(
+  def keyedEvents(
+      events: DataFrame,
+      nChunks: Int = 10,
+      orderJitterSec: Long = 0L)(
       pipeline: Dataset[KeyedEvent] => DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -69,8 +80,12 @@ object Replay {
       Thread.sleep(5) // distinct mtimes keep replay order deterministic
     }
 
+    val orderKey =
+      if (orderJitterSec == 0L) unix_micros(col("ts"))
+      else unix_micros(col("ts")) +
+        (pmod(xxhash64(col("id")), lit(2 * orderJitterSec + 1)) - orderJitterSec) * 1000000L
     val chunks = src.withColumn(
-      "__c", ntile(nChunks).over(Window.orderBy(col("ts"), col("id"))))
+      "__c", ntile(nChunks).over(Window.orderBy(orderKey, col("id"))))
     for (i <- 1 to nChunks)
       writeOne(chunks.filter(col("__c") === i).drop("__c"), i)
 

@@ -40,15 +40,16 @@ object StateMachines {
   // All state/time arithmetic is in epoch MICROSECONDS: java.sql.Timestamp
   // carries microsecond event times (getTime alone truncates to millis,
   // which a multi-batch replay of real data exposed as first_ts drift).
-  private def usOf(t: Timestamp): Long =
+  // Package-visible: [[WindowTriggers]] shares the same time base.
+  private[streaming] def usOf(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
-  private def tsOf(us: Long): Timestamp = {
+  private[streaming] def tsOf(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000L))
     t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
     t
   }
 
-  private def sorted(events: Iterator[KeyedEvent]): Seq[KeyedEvent] =
+  private[streaming] def sorted(events: Iterator[KeyedEvent]): Seq[KeyedEvent] =
     events.toSeq.sortBy(e => (usOf(e.ts), e.id))
 
   // ---- C3/C4/C5: n consecutive matches within a gap ----
