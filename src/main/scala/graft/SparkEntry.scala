@@ -456,6 +456,28 @@ object SparkEntry {
           Seq("train" -> 0.9, "eval" -> 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     }),
+    "p_sample_stratified" -> ((s, dir) => {
+      // per-language rebalance: keep 10% of en docs, 60% of the rest —
+      // the corpus-mixing knob, decided per row by the same md5 hash as
+      // p_sample so the mix is reproducible on any engine
+      Sampling.sampleStratified(
+          Tables(s, dir).documents, col("doc_id"),
+          TextOps.langId(col("text")), Map("en" -> 0.1, "und" -> 0.6))
+        .select(col("doc_id"))
+    }),
+    "p_pack" -> ((s, dir) => {
+      // deterministic 512-token block packing over 8 shards: concatenate
+      // each shard's docs in md5-hash order, assign each doc to the pack
+      // its first token lands in (block-packed-dataset semantics)
+      val d = Tables(s, dir).documents
+      Chunking.packByBudget(
+        d, col("doc_id"), TextOps.tokenCount(col("text")), 512L, nShards = 8)
+    }),
+    "d_chunk" -> ((s, dir) => {
+      // overlapping 64-token / 16-overlap chunk windows (RAG/pretraining
+      // sequence shaping); chunk text re-joined with single spaces
+      Chunking.chunk(Tables(s, dir).documents, col("doc_id"), col("text"))
+    }),
 
     // ---- text analysis ----
     "t_tokens" -> ((s, dir) => {
@@ -846,6 +868,35 @@ object SparkEntry {
         |         / 281474976710656.0 < 0.9 THEN 'train' ELSE 'eval' END AS split,
         |  count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    "p_sample_stratified" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+         |      / 281474976710656.0
+         |      < CASE WHEN $stopCntExpr >= 2 THEN 0.1 ELSE 0.6 END""".stripMargin,
+    "p_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len($tokensExpr) AS tok,
+         |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, h % 8 AS shard,
+         |    coalesce(sum(tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM d
+         |)
+         |SELECT doc_id, shard, cum // 512 AS pack_id, cum % 512 AS offset_tokens
+         |FROM c""".stripMargin,
+    "d_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $tokensExpr AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id, w, len(w) AS n,
+         |    unnest(generate_series(0, greatest(0, len(w) - 17), 48)) AS start
+         |  FROM t
+         |)
+         |SELECT doc_id, start // 48 AS chunk_id,
+         |  least(64, n - start) AS n_tokens,
+         |  array_to_string(w[start + 1 : start + 64], ' ') AS chunk
+         |FROM s""".stripMargin,
     "t_tokens" ->
       s"SELECT doc_id, len($tokensExpr) AS n_tokens FROM documents",
     "t_tokens_bpe" ->

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document → training-sequence shaping: overlapping token-window chunking
+  * and deterministic token-budget packing. Both are per-row / per-shard
+  * column pipelines — no driver loops, no global ordering — and both are
+  * engine-portable (the only hash is md5, the arithmetic is integer), so
+  * a DuckDB oracle replays them bit-for-bit.
+  */
+object Chunking {
+
+  /** Split each document into overlapping chunks of `chunkTokens`
+    * whitespace tokens with `overlap` tokens shared between neighbors
+    * (the RAG/pretraining windowing shape).
+    *
+    * Chunk starts are `0, stride, 2·stride, …` (stride = chunkTokens −
+    * overlap) while `start + overlap < n`: the final chunk is the only
+    * one shorter than `chunkTokens`, and a trailing window that would
+    * carry no new content beyond the overlap is never emitted. Every doc
+    * yields ≥ 1 chunk (a short doc is its own chunk).
+    *
+    * Scale: `explode` over a per-row `sequence` — output rows ≈ input
+    * tokens / stride, no shuffle at all; the chunk slice is computed from
+    * the doc's token array in place.
+    */
+  def chunk(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(id.as("doc_id"), TextOps.tokens(text).as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .select(
+        col("doc_id"),
+        col("__w"),
+        col("__n"),
+        explode(
+          sequence(
+            lit(0),
+            greatest(lit(0), col("__n") - lit(overlap + 1)),
+            lit(stride))).as("__start"))
+      .select(
+        col("doc_id"),
+        (col("__start") / lit(stride)).cast("long").as("chunk_id"),
+        least(lit(chunkTokens), col("__n") - col("__start")).cast("long").as("n_tokens"),
+        array_join(slice(col("__w"), col("__start") + lit(1), lit(chunkTokens)), " ")
+          .as("chunk"))
+  }
+
+  /** Deterministic token-budget packing: shard documents by a stable
+    * md5-derived key, concatenate each shard's docs in hash order, and
+    * assign every doc to the `budgetTokens`-sized pack in which it STARTS
+    * (block-packing semantics: pack boundaries may split a document; a
+    * pack holds every doc whose first token falls inside it).
+    *
+    * Returns (doc_id, shard, pack_id, offset_tokens) — offset_tokens is
+    * the doc's start position within its pack, so a writer can lay out
+    * the pack without re-deriving the order.
+    *
+    * Scale: ONE hash exchange on `shard`; the running sum is a window
+    * per shard, so parallelism = `nShards` — set it to a small multiple
+    * of the cluster's cores (the default 64 is sized for local[32]).
+    * No global ordering exists anywhere: this is the scalable
+    * approximation of bin packing used by block-packed training datasets
+    * (first-fit packing is inherently sequential; per-shard streaming
+    * concat is within `docTokens/budget` of optimal occupancy and fully
+    * parallel).
+    */
+  def packByBudget(
+      df: DataFrame,
+      id: Column,
+      tokenCount: Column,
+      budgetTokens: Long,
+      nShards: Int = 64): DataFrame = {
+    require(budgetTokens > 0 && nShards > 0, "need positive budget and shards")
+    val h = conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(
+        id.as("doc_id"),
+        tokenCount.cast("long").as("__tok"),
+        h.as("__h"),
+        pmod(h, lit(nShards.toLong)).as("shard"))
+      .withColumn("__cum", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .select(
+        col("doc_id"),
+        col("shard"),
+        // `div`, not `/`: exact integer division (no double rounding)
+        expr(s"__cum div ${budgetTokens}L").as("pack_id"),
+        (col("__cum") % lit(budgetTokens)).as("offset_tokens"))
+  }
+}

@@ -22,6 +22,24 @@ object Sampling {
   def sample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(hashUnit(key) < fraction)
 
+  /** Stratified deterministic sample: a per-stratum keep fraction
+    * (rebalancing a corpus by language/source/quality tier). `strata` is
+    * any string expression; unlisted strata fall back to
+    * `defaultFraction`. Same md5 decision as [[sample]] — per-row,
+    * shuffle-free, reproducible on any engine.
+    */
+  def sampleStratified(
+      df: DataFrame,
+      key: Column,
+      strata: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (s, f)) => when(strata === s, f).otherwise(acc)
+    }
+    df.filter(hashUnit(key) < frac)
+  }
+
   /** Cap each key's contribution at `n` rows (e.g. at most n docs per
     * domain — source-balance capping). Deterministic: rows are ranked by
     * `order` (include a unique tiebreaker). A thin alias over

@@ -64,6 +64,23 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("chunking is scan + generate: no shuffle at any width") {
+    val p = plan("d_chunk")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate explode"), p) // per-row chunk starts, not a join
+  }
+
+  test("packing is exactly one exchange, on the shard key") {
+    val p = plan("p_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(shard"), s"window not partitioned by shard:\n$p")
+  }
+
+  test("stratified sampling stays a scan + filter (no shuffle)") {
+    val p = plan("p_sample_stratified")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("interval join is an equi-join on the key, not a cross product") {
     val p = plan("q_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Edge cases for chunking/packing/stratified sampling beyond what the
+  * DuckDB oracle replays (d_chunk / p_pack / p_sample_stratified).
+  */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (String, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("chunk: boundary sizes — exactly chunkTokens is one chunk, +1 token is two") {
+    val words = (1 to 65).map(i => s"w$i")
+    val df = docs(
+      "exact" -> words.take(64).mkString(" "),
+      "plus1" -> words.mkString(" "),
+      "short" -> "just three words",
+      "blank" -> "   ")
+    val out = Chunking.chunk(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(out("exact").length == 1 && out("exact").head._3 == 64)
+    assert(out("plus1").length == 2)
+    // second chunk = last 16 tokens of chunk 1 + the 1 new token
+    assert(out("plus1").sortBy(_._2).last._4 == words.slice(48, 65).mkString(" "))
+    assert(out("short") sameElements Array(("short", 0L, 3L, "just three words")))
+    assert(out("blank").length == 1) // whitespace-only doc: one (empty) chunk
+  }
+
+  test("chunk: stride coverage — dropping each chunk's overlap reconstructs the doc") {
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val chunks = Chunking.chunk(docs("d" -> text), col("doc_id"), col("text"))
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(3).split(" ").toSeq))
+    val rebuilt = chunks.flatMap { case (cid, toks) =>
+      if (cid == 0) toks else toks.drop(16)
+    }
+    assert(rebuilt.toSeq == text.split(" ").toSeq)
+    // every non-final chunk is full-size; neighbors share the 16-token overlap
+    chunks.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a.length == 64 && a.takeRight(16) == b.take(16))
+    case _ => ()
+    }
+  }
+
+  test("packByBudget: offsets stay inside the budget, packs fill monotonically per shard") {
+    val df = (1 to 200).map(i => (s"doc$i", (i % 97) + 1)).toDF("doc_id", "tok")
+    val out = Chunking.packByBudget(df, col("doc_id"), col("tok"), 256L, nShards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 200)
+    assert(out.forall { case (_, _, pack, off) => pack >= 0 && off >= 0 && off < 256 })
+    // all doc sizes < budget here, so no pack index can be skipped: each
+    // shard's packs are contiguous 0..max
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val packs = rows.map(_._3).toSet
+      assert(packs == (0L to packs.max).toSet)
+    }
+    // deterministic: a re-run assigns identically
+    val again = Chunking.packByBudget(df, col("doc_id"), col("tok"), 256L, nShards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1) sameElements again.sortBy(_._1))
+  }
+
+  test("packByBudget: a doc larger than the budget spans packs without breaking successors") {
+    val df = Seq(("big", 1000), ("a", 10), ("b", 10)).toDF("doc_id", "tok")
+    // (pack, offset) is lexicographically the assignment order: cum strictly
+    // increases per shard, so this sort recovers the concatenation stream
+    val out = Chunking.packByBudget(df, col("doc_id"), col("tok"), 256L, nShards = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    // docs after the big one start in the pack where the stream cursor landed
+    val cum = out.map(_._1).foldLeft(Map.empty[String, Long] -> 0L) {
+      case ((m, acc), id) =>
+        val tok = Map("big" -> 1000L, "a" -> 10L, "b" -> 10L)(id)
+        (m + (id -> acc), acc + tok)
+    }._1
+    out.foreach { case (id, pack, off) =>
+      assert(pack == cum(id) / 256 && off == cum(id) % 256, s"$id")
+    }
+  }
+
+  test("sampleStratified: fraction 0 removes a stratum, fraction 1 keeps it whole") {
+    val df = (1 to 100).map(i => (s"d$i", if (i % 2 == 0) "en" else "und"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling
+      .sampleStratified(df, col("doc_id"), col("lang"), Map("en" -> 0.0, "und" -> 1.0))
+      .select("lang").as[String].collect()
+    assert(kept.length == 50 && kept.forall(_ == "und"))
+    // and a mid fraction is a strict, deterministic subset of the stratum
+    val some = Sampling
+      .sampleStratified(df, col("doc_id"), col("lang"), Map("en" -> 0.3), defaultFraction = 0.0)
+      .select("doc_id").as[String].collect().toSet
+    val again = Sampling
+      .sampleStratified(df, col("doc_id"), col("lang"), Map("en" -> 0.3), defaultFraction = 0.0)
+      .select("doc_id").as[String].collect().toSet
+    assert(some == again && some.nonEmpty && some.size < 50)
+  }
+}
