@@ -503,6 +503,13 @@ object SparkEntry {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
     }),
+    "t_repetition" -> ((s, dir) => {
+      // within-doc repetition: 1 - distinct/total word trigrams (the
+      // boilerplate/spam signal a quality filter thresholds on); the
+      // codegen'd shingle-row aggregate, not the interpreted array form
+      TextOps.repetitionSignals(
+        Tables(s, dir).documents, col("doc_id"), col("text"))
+    }),
     "t_fingerprint" -> ((s, dir) => {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -917,6 +924,13 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CASE WHEN $stopCntExpr >= 2 THEN 'en' ELSE 'und' END AS lang_pred
          |FROM documents""".stripMargin,
+    "t_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $tokensExpr AS w FROM documents)
+         |SELECT doc_id,
+         |  greatest(1, len(w) - 2) AS n_shingles,
+         |  1.0 - len($shinglesExpr) / CAST(greatest(1, len(w) - 2) AS DOUBLE)
+         |    AS repetition_ratio
+         |FROM t""".stripMargin,
     "t_fingerprint" ->
       s"SELECT doc_id, $fpExpr AS fp FROM documents",
     "s_knn_brute" ->

@@ -104,6 +104,34 @@ object TextOps {
     }
   }
 
+  /** Fraction of repeated word n-grams within the document — the
+    * Gopher-style self-repetition signal: ~0 for fresh prose, → 1 for
+    * looping boilerplate/spam. `1 − distinct/total` over n-gram windows
+    * (docs shorter than `n` tokens count as one whole-text shingle, ratio
+    * 0). A pure per-row projection: two array expressions and one IEEE
+    * division of exact integers — no shuffle, engine-portable.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = greatest(lit(1), size(tokens(text)) - lit(n - 1))
+    lit(1.0) - size(wordShingles(text, n)).cast("double") / total.cast("double")
+  }
+
+  /** Corpus-scale form of [[repetitionRatio]]: (doc_id, n_shingles,
+    * repetition_ratio) via [[shingleHashRows]] + one aggregate. The array
+    * formulation's higher-order `transform` is interpreted
+    * (CodegenFallback — measured 15× slower at sf0.1); this one is fully
+    * codegen'd and its single doc_id exchange is the same one every
+    * per-doc text aggregate reuses.
+    */
+  def repetitionSignals(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    shingleHashRows(df, id, text, n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), countDistinct(col("s")).as("__d"))
+      .withColumn(
+        "repetition_ratio",
+        lit(1.0) - col("__d").cast("double") / col("n_shingles").cast("double"))
+      .drop("__d")
+
   /** Rolling-hash-style shingle fingerprints: distinct word n-grams.
     * Building block for Jaccard / MinHash dedup.
     */

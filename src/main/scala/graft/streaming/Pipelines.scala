@@ -48,6 +48,24 @@ object Pipelines {
     TopN.perPartition(counts, Seq(col("window_start")), Seq(col("cnt").desc, col("url").asc), n)
   }
 
+  /** HotUrlApp's FULL event-time configuration (`gmall-network-flow/.../
+    * app/HotUrlApp.java:62-70`: 1 s bounded out-of-orderness, sliding
+    * 10 m / 5 s, `allowedLateness(60 s)`, `sideOutputLateData`) as a
+    * streaming pipeline. Feed GET requests as [[KeyedEvent]]s with
+    * key = url, kind = "GET"; returns the [[LateFire]] stream —
+    * `on_time` / `late_update` rows carry the per-(window,url) counts
+    * (rank the latest count per window in `foreachBatch`), `too_late`
+    * rows are the late side output.
+    */
+  def hotUrlsWithLateness(
+      requests: Dataset[KeyedEvent],
+      sizeSec: Long = 600L,
+      slideSec: Long = 5L,
+      latenessSec: Long = 60L,
+      outOfOrderSec: Long = 1L): Dataset[LateFire] =
+    WindowTriggers.countWithAllowedLateness(
+      requests, "GET", sizeSec, latenessSec, outOfOrderSec, Some(slideSec))
+
   /** PageViewApp (`gmall-network-flow/.../app/PageViewApp.java`): pv-filter
     * → tumbling 1h count. (PageViewApp_2's manual salting is a semantic
     * no-op under Spark's partial aggregation — SURVEY §4.)

@@ -114,12 +114,21 @@ object WindowTriggers {
   /** Open windows: running counts plus the set already fired on time. */
   case class LateState(cnt: Map[Long, Long], fired: Set[Long])
 
-  /** Tumbling-window count with Flink's allowed-lateness firing model:
-    * the window fires once when the (reference-side) watermark reaches its
+  /** Windowed count with Flink's allowed-lateness firing model:
+    * each window fires once when the (reference-side) watermark reaches its
     * end; each element arriving within `latenessSec` after that re-fires
     * the window with the updated count; elements later than that emit a
     * `too_late` row (the late side output) and are dropped from the count;
     * state is purged at window end + lateness.
+    *
+    * `slideSec` < `sizeSec` gives sliding windows (the reference's
+    * HotUrlApp shape: 10 m / 5 s + 60 s lateness): an element folds into
+    * its `size/slide` containing windows and an allowed-late element
+    * re-fires every already-fired one. State stays O(open windows) per
+    * key — counters only, like Flink's incremental-aggregate sliding
+    * window. Granularity note: `too_late` rows are emitted per expired
+    * WINDOW; Flink's side output emits the element once, only when every
+    * assigned window has expired (identical for tumbling windows).
     *
     * Watermark bookkeeping: Spark's watermark must lag the reference's by
     * `latenessSec + sizeSec` so allowed-late elements (and near-boundary
@@ -138,11 +147,19 @@ object WindowTriggers {
       matchKind: String,
       sizeSec: Long,
       latenessSec: Long,
-      outOfOrderSec: Long = 0L): Dataset[LateFire] = {
+      outOfOrderSec: Long = 0L,
+      slideSec: Option[Long] = None): Dataset[LateFire] = {
     val spark = events.sparkSession
     import spark.implicits._
     val sizeUs = sizeSec * 1000000L
     val lateUs = latenessSec * 1000000L
+    val slideUs = slideSec.getOrElse(sizeSec) * 1000000L
+    require(slideUs > 0 && sizeUs % slideUs == 0, "size must be a multiple of slide")
+    // every slide-aligned window containing t: newest start first
+    def windowsOf(tUs: Long): Seq[Long] = {
+      val newest = Math.floorDiv(tUs, slideUs) * slideUs
+      Iterator.iterate(newest)(_ - slideUs).takeWhile(_ > tUs - sizeUs).toSeq
+    }
     events
       .withWatermark("ts", s"${outOfOrderSec + latenessSec + sizeSec} seconds")
       .groupByKey(_.key)
@@ -153,8 +170,7 @@ object WindowTriggers {
         val out = Seq.newBuilder[LateFire]
         val wmUs = state.getCurrentWatermarkMs() * 1000L
         val refWmUs = wmUs + lateUs + sizeUs // the reference-side watermark
-        for (e <- sorted(it) if e.kind == matchKind) {
-          val ws = Math.floorDiv(usOf(e.ts), sizeUs) * sizeUs
+        for (e <- sorted(it) if e.kind == matchKind; ws <- windowsOf(usOf(e.ts))) {
           if (ws + sizeUs + lateUs <= refWmUs)
             out += LateFire(key, tsOf(ws), 0L, "too_late", e.id)
           else {

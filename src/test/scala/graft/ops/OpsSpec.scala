@@ -371,6 +371,24 @@ class OpsSpec extends SparkSpec {
     assert(langs == Map(1L -> "en", 2L -> "und"))
   }
 
+  test("repetitionRatio: 0 for fresh prose, high for looping text, 0 for short docs") {
+    val df = Seq(
+      (1L, "one two three four five six"),        // all trigrams distinct
+      (2L, ("spam ham " * 20).trim),              // 2-token loop: 2 distinct of 38
+      (3L, "too short")                           // < n tokens: single shingle
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextOps.repetitionRatio(col("text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.0)
+    assert(r(2L) == 1.0 - 2.0 / 38.0)
+    assert(r(3L) == 0.0)
+    // the codegen'd aggregate form computes the identical ratios
+    val agg = TextOps.repetitionSignals(df, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("repetition_ratio"))
+      .as[(Long, Double)].collect().toMap
+    assert(agg == r)
+  }
+
   test("shingleHashRows matches wordShingles content") {
     val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo")).toDF("doc_id", "text")
     val viaRows = TextOps.shingleHashRows(df, col("doc_id"), col("text"), 3)

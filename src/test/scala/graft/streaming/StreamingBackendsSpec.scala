@@ -55,6 +55,38 @@ class StreamingBackendsSpec extends SparkSpec {
     } finally s.conf.unset(ProviderConf)
   }
 
+  test("socketStream reads lines from a live loopback TCP server (S2, e2e)") {
+    // dev/debug source, but it can be driven for real: a ServerSocket on
+    // 127.0.0.1 needs no external network
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val lines = Seq("1,pv,home", "2,pv,cart", "3,buy,cart")
+    val writer = new Thread(() => {
+      val s = server.accept() // blocks until the source connects
+      val w = new java.io.PrintWriter(s.getOutputStream, true)
+      lines.foreach(w.println)
+      w.flush()
+      // hold the connection open while the source polls; the test closes us
+      try Thread.sleep(30000) catch { case _: InterruptedException => () }
+      s.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = Sources.socketStream(spark, "127.0.0.1", server.getLocalPort)
+      .writeStream.format("memory").queryName("socket_e2e").outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (spark.table("socket_e2e").count() < lines.size && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      assert(spark.table("socket_e2e").as[String].collect().toSet == lines.toSet)
+    } finally {
+      q.stop()
+      writer.interrupt()
+      server.close()
+    }
+  }
+
   /** Kafka source output schema, verbatim (key/value binary, metadata
     * columns) — what [[Sources.kafkaStream]] hands downstream. */
   private case class KafkaRecord(

@@ -97,6 +97,29 @@ class WindowTriggersSpec extends SparkSpec {
       ("on_time", ts("2020-01-01 10:03:00"), 1L, "")))
   }
 
+  test("countWithAllowedLateness sliding: element lands in size/slide windows, late re-fires each") {
+    // size 2m, slide 1m, lateness 5m: e1@00:01:30 belongs to windows
+    // starting 00:00 and 00:01
+    val out = runScenario(
+      Seq(
+        Seq(ev("u", "2020-01-01 00:01:30", "pv", "e1")),
+        Seq(ev("u", "2020-01-01 00:05:00", "pv", "e2")), // fires both e1 windows
+        Seq(ev("u", "2020-01-01 00:01:40", "pv", "e3"))), // allowed late -> re-fires both
+      "wt_slide")(
+      WindowTriggers
+        .countWithAllowedLateness(_, "pv", 120L, 300L, slideSec = Some(60L))
+        .filter(_.key == "u"))
+    // each element fires once per containing window: e1 -> 00:00/00:01,
+    // e2 -> 00:04/00:05
+    val onTime = out.filter(_.firing == "on_time").map(r => (r.window_start, r.cnt)).toSet
+    assert(onTime == Set(
+      (ts("2020-01-01 00:00:00"), 1L), (ts("2020-01-01 00:01:00"), 1L),
+      (ts("2020-01-01 00:04:00"), 1L), (ts("2020-01-01 00:05:00"), 1L)))
+    val refires = out.filter(_.firing == "late_update")
+    assert(refires.map(r => (r.window_start, r.cnt, r.id)).toSet ==
+      Set((ts("2020-01-01 00:00:00"), 2L, "e3"), (ts("2020-01-01 00:01:00"), 2L, "e3")))
+  }
+
   test("countWithAllowedLateness: final count per window equals batch count despite lateness") {
     // events delivered out of order within the lateness bound
     val events = Seq(
