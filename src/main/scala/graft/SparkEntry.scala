@@ -514,6 +514,39 @@ object SparkEntry {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     }),
+    "t_pii" -> ((s, dir) => {
+      // scrub-audit over documents with deterministically planted PII
+      // (the corpus itself is digit-free word soup): both engines build
+      // the identical salted string, then count + redact each pattern in
+      // PiiPatterns order
+      val salted = Tables(s, dir).documents.withColumn("salted", piiSaltedText)
+      TextOps
+        .piiSignals(salted, col("salted"))
+        .select(
+          col("doc_id"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_ssn").cast("long").as("n_ssn"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          md5(col("redacted")).as("redacted_md5"))
+    }),
+    "t_doc_freq" -> ((s, dir) => {
+      // corpus vocabulary head: 100 most document-frequent tokens.
+      // orderBy+limit plans as TakeOrderedAndProject (per-partition
+      // top-100, driver merge) — the rank window only ever sees the 100
+      // survivors, never the vocabulary
+      val top100 = TextOps
+        .docFrequency(Tables(s, dir).documents, col("doc_id"), col("text"))
+        .orderBy(col("df").desc, col("token").asc)
+        .limit(100)
+      TopN.perPartition(top100, Seq(lit(1)), Seq(col("df").desc, col("token").asc), 100)
+        .select(col("token"), col("df"), col("rank"))
+    }),
+    "t_tfidf" -> ((s, dir) => {
+      // top-5 TF-IDF keywords per doc; score floored to 1e-4 int before
+      // ranking so cross-engine order never hinges on ln's last ulp
+      TextOps.tfidfTopTerms(Tables(s, dir).documents, col("doc_id"), col("text"), k = 5)
+    }),
 
     // ---- similarity search ----
     "s_knn_brute" -> ((s, dir) => {
@@ -599,6 +632,39 @@ object SparkEntry {
   private val stopCntExpr =
     s"len(list_filter($tokensExpr, t -> t IN $stopList))"
   private val fpExpr = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  /** t_pii's planted PII, built byte-identically by both engines (the
+    * corpus text itself is digit-free word soup, so every match below is
+    * the planted one). Spark column + DuckDB expression must stay in
+    * lockstep.
+    */
+  private def piiSaltedText: Column =
+    concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com ip 10.0."),
+      pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 call 415-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" ssn "), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-45-6789"))
+  private val piiSaltSql =
+    "text || ' contact user' || doc_id || '@example.com ip 10.0.' || " +
+      "(doc_id % 256) || '.7 call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-45-6789'"
+
+  /** DuckDB replica of [[graft.ops.TextOps.piiSignals]]: the same
+    * sequential count-then-replace chain, generated from the same
+    * [[graft.ops.TextOps.PiiPatterns]] list.
+    */
+  private val piiSql: String = {
+    val pats = graft.ops.TextOps.PiiPatterns
+    val ctes = ("WITH s0 AS (SELECT doc_id, " + piiSaltSql + " AS t0 FROM documents)") +:
+      pats.zipWithIndex.map { case ((name, pat), i) =>
+        s"s${i + 1} AS (SELECT *, regexp_replace(t$i, '$pat', '[${name.toUpperCase}]', 'g') AS t${i + 1} FROM s$i)"
+      }
+    val counts = pats.zipWithIndex
+      .map { case ((name, pat), i) => s"len(regexp_extract_all(t$i, '$pat')) AS n_$name" }
+    val selectCols = "doc_id" +: counts :+ s"md5(t${pats.size}) AS redacted_md5"
+    ctes.mkString(",\n") + "\nSELECT " + selectCols.mkString(",\n  ") + s"\nFROM s${pats.size}"
+  }
   private val shinglesExpr =
     """CASE WHEN len(w) >= 3
       |  THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
@@ -933,6 +999,30 @@ object SparkEntry {
          |FROM t""".stripMargin,
     "t_fingerprint" ->
       s"SELECT doc_id, $fpExpr AS fp FROM documents",
+    "t_pii" -> piiSql,
+    "t_doc_freq" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT doc_id, unnest($tokensExpr) AS token FROM documents
+         |), d AS (SELECT token, count(*) AS df FROM t GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rank FROM d
+         |) ranked WHERE rank <= 100""".stripMargin,
+    "t_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tokensExpr) AS token FROM documents
+         |), tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfr AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.token AS token, tf.tf AS tf, df,
+         |    CAST(floor(tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
+         |      * 10000) AS BIGINT) AS score_1e4
+         |  FROM tf JOIN dfr USING (token) CROSS JOIN n)
+         |SELECT * FROM (
+         |  SELECT doc_id, token, tf, df, score_1e4,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_1e4 DESC, token) AS rank
+         |  FROM scored
+         |) ranked WHERE rank <= 5""".stripMargin,
     "s_knn_brute" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

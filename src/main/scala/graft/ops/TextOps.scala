@@ -132,6 +132,83 @@ object TextOps {
         lit(1.0) - col("__d").cast("double") / col("n_shingles").cast("double"))
       .drop("__d")
 
+  /** PII patterns for [[redactPii]], applied in this order. Kept inside
+    * the Java-regex ∩ RE2 common subset (no backrefs, no lookaround) so
+    * the same pattern strings mean the same matches in Spark, DuckDB,
+    * and any RE2-based engine. SSN precedes phone so `123-45-6789`
+    * is tagged `[SSN]`, never half-eaten by the phone pattern.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Replace emails / SSNs / phone numbers / IPv4 addresses with
+    * `[EMAIL]`-style tags — the standard scrub stage before a corpus is
+    * released for training. Sequential `regexp_replace` per pattern:
+    * pure per-row codegen'd expressions, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** Per-doc PII counts (`n_email`, `n_ssn`, …) plus the redacted text —
+    * what an audit step thresholds on before [[redactPii]]'s output ships.
+    * Counts are taken in the same sequential order as the replacements so
+    * each match is attributed to exactly one pattern.
+    */
+  def piiSignals(df: DataFrame, text: Column): DataFrame = {
+    val (counted, _) = PiiPatterns.foldLeft((df, text)) {
+      case ((d, c), (name, pat)) =>
+        (d.withColumn(s"n_$name", regexp_count(c, lit(pat))),
+          regexp_replace(c, pat, s"[${name.toUpperCase}]"))
+    }
+    counted.withColumn("redacted", redactPii(text))
+  }
+
+  /** Corpus document frequency: (token, df) — in how many documents each
+    * distinct token appears. The per-doc dedup happens row-locally
+    * (`array_distinct` before the explode), so the ONLY exchange is the
+    * final token aggregate, and that one is map-side-combined down to
+    * vocabulary size before it moves. At 100 TB the shuffle carries
+    * O(vocab × partitions), not O(corpus tokens).
+    */
+  def docFrequency(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(array_distinct(tokens(text))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+
+  /** Top-k TF-IDF terms per document — the cheap keyword extractor for
+    * corpus exploration and topic-balanced sampling. `tf × ln((N+1)/(df+1))`
+    * with the score floored to a 1e-4 integer BEFORE ranking, so the
+    * cross-engine order (score desc, token asc) never depends on the last
+    * ulp of `ln`.
+    *
+    * Plan shape: tf aggregate on (doc_id, token); df joins in on token
+    * (vocabulary-sized after its own map-side combine); N arrives as a
+    * broadcast single row; per-doc rank is WindowGroupLimit-pruned. No
+    * all-pairs anything; both aggregates pre-combine.
+    */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tf = df
+      .select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(docFrequency(df, id, text), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score_1e4",
+        floor(
+          col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")) *
+            lit(10000)).cast("long"))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score_1e4"))
+    TopN.perPartition(scored, Seq(col("doc_id")), Seq(col("score_1e4").desc, col("token").asc), k)
+  }
+
   /** Rolling-hash-style shingle fingerprints: distinct word n-grams.
     * Building block for Jaccard / MinHash dedup.
     */

@@ -105,6 +105,29 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"WindowGroupLimit pruning missing:\n$p")
   }
 
+  test("pii audit is a pure projection: no exchange, no UDF") {
+    val p = plan("t_pii")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("doc-frequency top-100 plans as TakeOrderedAndProject, never a vocab-wide window") {
+    val p = plan("t_doc_freq")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-k not take-ordered:\n$p")
+    // the per-doc dedup is row-local (array_distinct before explode): the
+    // only hashpartitioning exchange is the token aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("tfidf: both aggregates pre-combine, doc-count broadcasts, rank is group-limit pruned") {
+    val p = plan("t_tfidf")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("row_number(), 5, Partial") && p.contains("row_number(), 5, Final"),
+      s"WindowGroupLimit pruning missing:\n$p")
+  }
+
   test("brute-force knn broadcasts the probe side; only pruned top-k crosses the shuffle") {
     val p = plan("s_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // probe broadcast x corpus scan

@@ -389,6 +389,46 @@ class OpsSpec extends SparkSpec {
     assert(agg == r)
   }
 
+  test("redactPii tags each PII kind once, in pattern order") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "ssn 123-45-6789 phone 415-555-1234 ip 10.0.0.7"),
+      (3L, "clean text no pii")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiSignals(df, col("text"))
+      .select("doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "redacted")
+      .as[(Long, Int, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1, 0, 0, 0, "mail [EMAIL] now")))
+    // SSN is consumed by the SSN pattern, never half-eaten by phone
+    assert(out(1) == ((2L, 0, 1, 1, 1, "ssn [SSN] phone [PHONE] ip [IPV4]")))
+    assert(out(2) == ((3L, 0, 0, 0, 0, "clean text no pii")))
+  }
+
+  test("docFrequency counts each token once per containing doc") {
+    val df = Seq(
+      (1L, "spark spark flink"),
+      (2L, "spark beam"),
+      (3L, "beam beam beam")
+    ).toDF("doc_id", "text")
+    val d = TextOps.docFrequency(df, col("doc_id"), col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(d == Map("spark" -> 2L, "flink" -> 1L, "beam" -> 2L))
+  }
+
+  test("tfidfTopTerms ranks doc-distinctive terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare3")
+    ).toDF("doc_id", "text")
+    val top1 = TextOps.tfidfTopTerms(df, col("doc_id"), col("text"), k = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // 'common' is in every doc: idf ln(4/4)=0; each rareN wins its doc
+    assert(top1 == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"))
+    val all = TextOps.tfidfTopTerms(df, col("doc_id"), col("text"), k = 10)
+    assert(all.filter(col("token") === "common").filter(col("score_1e4") =!= 0L).count() == 0)
+  }
+
   test("shingleHashRows matches wordShingles content") {
     val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo")).toDF("doc_id", "text")
     val viaRows = TextOps.shingleHashRows(df, col("doc_id"), col("text"), 3)
