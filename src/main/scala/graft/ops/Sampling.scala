@@ -40,6 +40,24 @@ object Sampling {
     df.filter(hashUnit(key) < frac)
   }
 
+  /** Deterministic global shuffle — a reproducible random training order
+    * per epoch (`seed` = epoch). Sorting by `md5(seed-key)` is a
+    * range-partitioned distributed sort: Spark samples the key space so
+    * output partitions stay balanced at any corpus size; there is no
+    * single-partition stage. The md5 key makes the permutation
+    * engine-portable: any system can recompute the same order.
+    */
+  def shuffle(df: DataFrame, key: Column, seed: Long = 0L): DataFrame = {
+    val k = shuffleKey(key, seed)
+    df.orderBy(k, key) // key tiebreak: total order even on md5 collision
+  }
+
+  /** The sort key [[shuffle]] orders by, exposed for cross-engine checks:
+    * `md5('<seed>-' || key)`.
+    */
+  def shuffleKey(key: Column, seed: Long = 0L): Column =
+    md5(concat(lit(s"$seed-"), key.cast("string")))
+
   /** Cap each key's contribution at `n` rows (e.g. at most n docs per
     * domain — source-balance capping). Deterministic: rows are ranked by
     * `order` (include a unique tiebreaker). A thin alias over
