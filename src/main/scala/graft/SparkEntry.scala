@@ -533,19 +533,34 @@ object SparkEntry {
     "t_doc_freq" -> ((s, dir) => {
       // corpus vocabulary head: 100 most document-frequent tokens.
       // orderBy+limit plans as TakeOrderedAndProject (per-partition
-      // top-100, driver merge) — the rank window only ever sees the 100
-      // survivors, never the vocabulary
+      // top-100, driver merge); rank over the 100 survivors comes from a
+      // broadcast self-join count, not a partitionless window — same
+      // result, no single-partition WindowExec (and no Spark warning)
       val top100 = TextOps
         .docFrequency(Tables(s, dir).documents, col("doc_id"), col("text"))
         .orderBy(col("df").desc, col("token").asc)
         .limit(100)
-      TopN.perPartition(top100, Seq(lit(1)), Seq(col("df").desc, col("token").asc), 100)
+      val ahead = top100.select(col("token").as("b_token"), col("df").as("b_df"))
+      top100
+        .join(
+          broadcast(ahead),
+          col("b_df") > col("df") ||
+            (col("b_df") === col("df") && col("b_token") < col("token")),
+          "left")
+        .groupBy(col("token"), col("df"))
+        .agg((count(col("b_token")) + 1).as("rank"))
         .select(col("token"), col("df"), col("rank"))
     }),
     "t_tfidf" -> ((s, dir) => {
-      // top-5 TF-IDF keywords per doc; score floored to 1e-4 int before
-      // ranking so cross-engine order never hinges on ln's last ulp
-      TextOps.tfidfTopTerms(Tables(s, dir).documents, col("doc_id"), col("text"), k = 5)
+      // top-5 TF-IDF keywords per doc; ranked internally on the 1e-4
+      // floored score, but the score itself stays OUT of the compared
+      // output: its floored value can flip if Spark's and DuckDB's ln
+      // differ by one ulp exactly at a 1e-4 boundary (rank is safe — a
+      // one-ulp wobble only reorders exact mathematical ties, which the
+      // floor already buckets together)
+      TextOps
+        .tfidfTopTerms(Tables(s, dir).documents, col("doc_id"), col("text"), k = 5)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rank"))
     }),
 
     // ---- similarity search ----
