@@ -968,11 +968,12 @@ object SparkEntry {
          |  FROM documents
          |), c AS (
          |  SELECT doc_id, h % 8 AS shard,
-         |    coalesce(sum(tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |    CAST(coalesce(sum(tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
          |  FROM d
          |)
-         |SELECT doc_id, shard, cum // 512 AS pack_id, cum % 512 AS offset_tokens
+         |SELECT doc_id, shard, CAST(cum // 512 AS BIGINT) AS pack_id,
+         |  CAST(cum % 512 AS BIGINT) AS offset_tokens
          |FROM c""".stripMargin,
     "d_chunk" ->
       s"""WITH t AS (SELECT doc_id, $tokensExpr AS w FROM documents),
@@ -1033,8 +1034,8 @@ object SparkEntry {
          |    CAST(floor(tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
          |      * 10000) AS BIGINT) AS score_1e4
          |  FROM tf JOIN dfr USING (token) CROSS JOIN n)
-         |SELECT * FROM (
-         |  SELECT doc_id, token, tf, df, score_1e4,
+         |SELECT doc_id, token, tf, df, rank FROM (
+         |  SELECT doc_id, token, tf, df,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score_1e4 DESC, token) AS rank
          |  FROM scored
          |) ranked WHERE rank <= 5""".stripMargin,
