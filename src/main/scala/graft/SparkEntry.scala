@@ -312,6 +312,20 @@ object SparkEntry {
         .intervalJoin(p, c, col("p_user"), col("c_user"), col("p_ts"), col("c_ts"), -7200L, 0L)
         .select(col("p_user").as("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time lookup: each purchase with the user's latest click
+      // at or before the purchase instant (clicks pre-collapsed to one
+      // per (user, ts) — max event_id — so the match is well-defined)
+      val t = Tables(s, dir)
+      val p = events(t, "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val c = events(t, "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id"))
+        .groupBy(col("c_user"), col("c_ts")).agg(max(col("event_id")).as("c_id"))
+      Joins
+        .asOfJoin(p, c, col("p_user"), col("c_user"), col("p_ts"), col("c_ts"))
+        .select(col("p_user").as("user_id"), col("p_id"), col("p_ts"), col("c_id"), col("c_ts"))
+    }),
     "q_reconcile" -> ((s, dir) => {
       // J2: two-stream reconciliation (PayReceiptWithConnectApp): purchases
       // vs signups within ±24h; side outputs become the status column
@@ -815,6 +829,17 @@ object SparkEntry {
         |SELECT user_id, req_id, req_ts, resp_ts,
         |  CASE WHEN resp_ts IS NOT NULL THEN 'matched' ELSE 'timeout' END AS status
         |FROM matched""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT p.user_id, p_id, p_ts, c_id, c_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND c.c_ts <= p.p_ts""".stripMargin,
     "q_interval_join" ->
       """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
         |       p.ts AS p_ts, c.ts AS c_ts

@@ -36,6 +36,67 @@ object Joins {
         unix_micros(rightTs) <= unix_micros(leftTs) + upperSec * 1000000L,
       "inner")
 
+  /** As-of join: each probe row paired with the LATEST build row whose
+    * timestamp is ≤ the probe's, per key (left-join semantics — probes
+    * with no prior build survive with null build columns). The classic
+    * point-in-time lookup (feature-store reads, "state of X when Y
+    * happened") that the reference approximates with its keyed connect +
+    * ValueState pattern (`gmall-order-pay/.../app/
+    * PayReceiptWithConnectApp.java:91-112`: latest pay retained in state,
+    * consulted when the other side arrives).
+    *
+    * Spark-first shape: NOT a join. Union the two inputs as a tagged
+    * event stream, then `last(build, ignoreNulls) over (partition by key
+    * order by ts, side rows unbounded preceding..current)` — at equal
+    * timestamps builds sort before probes, so a same-instant build is
+    * visible (inclusive ≤). ONE hash exchange on the key plus one sort;
+    * the naive formulation (range join + per-probe max + re-join) pays
+    * three shuffles and rescans the build side per probe. This is the
+    * merge-scan plan a native engine's ASOF JOIN runs, expressed with
+    * stock operators.
+    *
+    * Determinism: several builds can share (key, ts). `buildTieBreak`
+    * names build columns appended to the window ordering so the winner
+    * is well-defined — the GREATEST tie-break value wins (pass e.g. the
+    * build's id; or pre-dedupe to one build per (key, ts)).
+    *
+    * Inputs must have disjoint column names; output = probe columns ++
+    * build columns.
+    */
+  def asOfJoin(
+      probes: DataFrame,
+      builds: DataFrame,
+      probeKey: Column,
+      buildKey: Column,
+      probeTs: Column,
+      buildTs: Column,
+      buildTieBreak: Seq[String] = Nil): DataFrame = {
+    val pCols = probes.columns.toSeq
+    val bCols = builds.columns.toSeq
+    require(pCols.intersect(bCols).isEmpty, "probe/build column names must be disjoint")
+    val pStruct = struct(pCols.map(probes(_)): _*)
+    val bStruct = struct(bCols.map(builds(_)): _*)
+    val b = builds.select(
+      buildKey.as("__k"), buildTs.as("__t"), lit(0).as("__side"),
+      lit(null).cast(probes.select(pStruct).schema.head.dataType).as("__p"),
+      bStruct.as("__b"))
+    val p = probes.select(
+      probeKey.as("__k"), probeTs.as("__t"), lit(1).as("__side"),
+      pStruct.as("__p"),
+      lit(null).cast(builds.select(bStruct).schema.head.dataType).as("__b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k")
+      .orderBy((col("__t").asc +: col("__side").asc +:
+        buildTieBreak.map(f => col("__b").getField(f).asc)): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    b.unionByName(p)
+      .withColumn("__m", last(col("__b"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        pCols.map(f => col("__p").getField(f).as(f)) ++
+          bCols.map(f => col("__m").getField(f).as(f)): _*)
+  }
+
   /** Two-stream reconciliation — reference J2
     * (`gmall-order-pay/.../app/PayReceiptWithConnectApp.java:62-157`:
     * keyed connect of pays and receipts, matched → "Payed And Receipt",

@@ -53,6 +53,17 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.indexOf("Generate explode") < p.lastIndexOf("partial_count"), p)
   }
 
+  test("asOfJoin is a single-pass merge scan: no join operator in the plan") {
+    // the whole point of the union+window formulation: the point-in-time
+    // lookup costs ONE sort per key partition, not a range join
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"asOfJoin must not plan a join:\n$p")
+    // one exchange for the as-of window itself; the click pre-collapse
+    // (groupBy user,ts) reuses that hash partitioning or adds its own —
+    // allow at most 2, never a per-probe rescan
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("sessionization is one exchange on the grouping keys") {
     val p = plan("q_sessions")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
@@ -112,11 +123,16 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("doc-frequency top-100 plans as TakeOrderedAndProject, never a vocab-wide window") {
-    val p = plan("t_doc_freq")
+    val df = SparkEntry.queries("t_doc_freq")(spark, dir)
+    df.collect() // finalize the AQE plan: exchange reuse is a runtime rule
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"global top-k not take-ordered:\n$p")
-    // the per-doc dedup is row-local (array_distinct before explode): the
-    // only hashpartitioning exchange is the token aggregate
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // the corpus is scanned + token-aggregated ONCE: the rank self-join's
+    // broadcast side reuses the canonically-identical exchange at runtime
+    // (the initial plan prints it twice; AQE dedupes the stages)
+    assert(p.contains("ReusedExchange") ||
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"token aggregate not reused for the rank join:\n$p")
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")
   }
 

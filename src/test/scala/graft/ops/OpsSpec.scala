@@ -194,6 +194,55 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("matched", "pay_no_receipt", "receipt_no_pay"))
   }
 
+  test("asOfJoin picks the latest build at-or-before each probe, null when none") {
+    val p = Seq(("u1", "p1", "2020-01-01 02:00:00"), ("u2", "p2", "2020-01-01 00:00:00"))
+      .toDF("pk", "pid", "pts").withColumn("pts", col("pts").cast("timestamp"))
+    val b = Seq(
+      ("u1", "c1", "2020-01-01 01:00:00"), // before: candidate
+      ("u1", "c2", "2020-01-01 02:00:00"), // same instant: wins (inclusive)
+      ("u1", "c3", "2020-01-01 03:00:00")) // after: never visible
+      .toDF("bk", "bid", "bts").withColumn("bts", col("bts").cast("timestamp"))
+    val got = Joins
+      .asOfJoin(p, b, col("pk"), col("bk"), col("pts"), col("bts"))
+      .select("pid", "bid").as[(String, String)].collect().toSet
+    assert(got == Set(("p1", "c2"), ("p2", null)))
+  }
+
+  test("asOfJoin tie-break: greatest tie-break column wins among equal-ts builds") {
+    val p = Seq(("u1", "p1", "2020-01-01 02:00:00"))
+      .toDF("pk", "pid", "pts").withColumn("pts", col("pts").cast("timestamp"))
+    val b = Seq(("u1", "c1", "2020-01-01 01:00:00"), ("u1", "c9", "2020-01-01 01:00:00"))
+      .toDF("bk", "bid", "bts").withColumn("bts", col("bts").cast("timestamp"))
+    val got = Joins
+      .asOfJoin(p, b, col("pk"), col("bk"), col("pts"), col("bts"), buildTieBreak = Seq("bid"))
+      .select("bid").as[String].collect().toSeq
+    assert(got == Seq("c9"))
+  }
+
+  test("asOfJoin matches the brute-force max-prior-build formulation") {
+    // randomized small input, fixed seed: asOfJoin ≡ (range join + argmax)
+    val rnd = new scala.util.Random(7)
+    val probes = (1 to 40).map(i =>
+      (s"u${rnd.nextInt(5)}", s"p$i", new java.sql.Timestamp(rnd.nextInt(1000) * 1000L)))
+      .toDF("pk", "pid", "pts")
+    val builds = (1 to 60).map(i =>
+      (s"u${rnd.nextInt(5)}", f"c$i%03d", new java.sql.Timestamp(rnd.nextInt(1000) * 1000L)))
+      .toDF("bk", "bid", "bts")
+    val got = Joins
+      .asOfJoin(probes, builds, col("pk"), col("bk"), col("pts"), col("bts"),
+        buildTieBreak = Seq("bid"))
+      .select("pid", "bid").as[(String, String)].collect().toSet
+    // brute force: all prior builds per probe, keep (max ts, then max id)
+    val want = probes.as[(String, String, java.sql.Timestamp)].collect().map {
+      case (pk, pid, pts) =>
+        val cands = builds.as[(String, String, java.sql.Timestamp)].collect()
+          .filter { case (bk, _, bts) => bk == pk && !bts.after(pts) }
+        pid -> (if (cands.isEmpty) null
+                else cands.maxBy { case (_, bid, bts) => (bts.getTime, bid) }._2)
+    }.toSet
+    assert(got == want)
+  }
+
   test("apacheLog parses the reference's log line shape; malformed -> nulls") {
     val lines = Seq(
       "83.149.9.216 10001 - 17/05/2015:10:05:03 +0000 GET /presentations/x.png",
