@@ -565,6 +565,35 @@ object SparkEntry {
         .agg((count(col("b_token")) + 1).as("rank"))
         .select(col("token"), col("df"), col("rank"))
     }),
+    "t_unigram_lm" -> ((s, dir) => {
+      // corpus-trained add-1 unigram LM score per doc (the CCNet-style
+      // quality filter): integer outputs — per-token log-probs floored
+      // to 1e-6 ints before the weighted sum, so no double-sum ordering
+      Tables(s, dir).documents
+        .transform(d => TextOps.unigramLogProb(d, col("doc_id"), col("text")))
+        .select(col("doc_id"), col("logprob_1e6"), col("n_tokens"))
+    }),
+    "t_pmi_bigrams" -> ((s, dir) => {
+      // top-100 collocations by PMI (min pair count 5), ranked on the
+      // 1e-4-floored score which stays OUT of the output (same one-ulp
+      // discipline as t_tfidf); rank from a broadcast self-join over the
+      // 100 survivors, not a partitionless window
+      val top = TextOps.pmiCollocations(
+        Tables(s, dir).documents, col("doc_id"), col("text"), minCount = 5L, k = 100)
+      val ahead = top.select(
+        col("w1").as("b_w1"), col("w2").as("b_w2"), col("score_1e4").as("b_s"))
+      top
+        .join(
+          broadcast(ahead),
+          col("b_s") > col("score_1e4") ||
+            (col("b_s") === col("score_1e4") &&
+              (col("b_w1") < col("w1") ||
+                (col("b_w1") === col("w1") && col("b_w2") < col("w2")))),
+          "left")
+        .groupBy(col("w1"), col("w2"), col("n_xy"))
+        .agg((count(col("b_w1")) + 1).as("rank"))
+        .select(col("w1"), col("w2"), col("n_xy"), col("rank"))
+    }),
     "t_tfidf" -> ((s, dir) => {
       // top-5 TF-IDF keywords per doc; ranked internally on the 1e-4
       // floored score, but the score itself stays OUT of the compared
@@ -1047,6 +1076,37 @@ object SparkEntry {
          |), d AS (SELECT token, count(*) AS df FROM t GROUP BY 1)
          |SELECT * FROM (
          |  SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rank FROM d
+         |) ranked WHERE rank <= 100""".stripMargin,
+    "t_unigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |c AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM c)
+         |SELECT doc_id,
+         |  CAST(sum(tf * CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+         |    / CAST(n + v AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS logprob_1e6,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens
+         |FROM tf JOIN c USING (w) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+    "t_pmi_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $tokensExpr AS ws FROM documents),
+         |toks AS (SELECT unnest(ws) AS w FROM t),
+         |u AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM toks),
+         |s AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |  FROM t WHERE len(ws) >= 2
+         |), b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM s),
+         |cxy AS (SELECT w1, w2, count(*) AS n_xy FROM b GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT w1, w2, n_xy,
+         |    CAST(floor(ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE))
+         |      / (CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE))) * 10000) AS BIGINT) AS s4
+         |  FROM cxy JOIN u cx ON cx.w = cxy.w1 JOIN u cy ON cy.w = cxy.w2 CROSS JOIN tot
+         |  WHERE n_xy >= 5)
+         |SELECT w1, w2, n_xy, rank FROM (
+         |  SELECT w1, w2, n_xy, row_number() OVER (ORDER BY s4 DESC, w1, w2) AS rank
+         |  FROM scored
          |) ranked WHERE rank <= 100""".stripMargin,
     "t_tfidf" ->
       s"""WITH toks AS (

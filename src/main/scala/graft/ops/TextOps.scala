@@ -209,6 +209,102 @@ object TextOps {
     TopN.perPartition(scored, Seq(col("doc_id")), Seq(col("score_1e4").desc, col("token").asc), k)
   }
 
+  /** Corpus-trained unigram language-model score per document — the
+    * CCNet/KenLM-style "does this look like the corpus" quality filter,
+    * reduced to its scalable core: add-one-smoothed unigram log-prob,
+    * `lp(w) = ln((c_w + 1) / (N + V))`, summed over the document's tokens.
+    *
+    * Returns (doc_id, logprob_1e6, n_tokens): `logprob_1e6` is
+    * `Σ tf(w) · ⌊lp(w)·1e6⌋` — each distinct token's log-prob is floored
+    * to an integer BEFORE the weighted sum, so the result is exact
+    * integer arithmetic: order-independent and bit-identical across
+    * engines (a raw double Σ would depend on aggregation order). Filter
+    * on `logprob_1e6 / n_tokens` (mean token log-prob).
+    *
+    * Plan shape: ONE corpus scan. tf on (doc_id, token) is the first
+    * aggregate; token totals derive from tf (second, vocabulary-sized
+    * aggregate); (N, V) is a broadcast single row. The scoring join is
+    * tf ⋈ vocab on token — vocabulary-sized build side, AQE broadcasts
+    * it at any realistic scale. No all-pairs anything.
+    */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tf = df
+      .select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("w").agg(sum(col("tf")).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    tf.join(vocab, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "lp_1e6",
+        floor(
+          log((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double")) *
+            lit(1000000)).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf") * col("lp_1e6")).as("logprob_1e6"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
+  /** One row per adjacent token pair, in document order. Same codegen'd
+    * posexplode + `lead()` shape as [[shingleHashRows]] (one exchange on
+    * doc_id); docs with fewer than two tokens yield no rows.
+    */
+  def bigramRows(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "w")))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .withColumn("w2", lead(col("w"), 1).over(win))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+  }
+
+  /** Top-k collocations by pointwise mutual information —
+    * `PMI(x,y) = ln(c_xy·N / (c_x·c_y))` over adjacent token pairs, with
+    * a minimum pair count (PMI is noise below a handful of sightings).
+    * The corpus-exploration / tokenizer-merge-candidate view of a corpus.
+    *
+    * Ranked on the 1e-4-floored score (desc, then (w1, w2)) and the raw
+    * score stays OUT of the result for the same one-ulp reason as
+    * [[tfidfTopTerms]]; output is (w1, w2, n_xy, rank). Every factor in
+    * the PMI ratio is cast to double individually — the expression shape
+    * is part of the cross-engine contract (c_xy·N can exceed int64 at
+    * web scale if multiplied as integers).
+    *
+    * Plan shape: pair counts aggregate on (w1, w2) after the doc-ordered
+    * lead window; unigram counts are vocabulary-sized; both count joins
+    * broadcast under AQE; global top-k is TakeOrderedAndProject.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      minCount: Long = 5L,
+      k: Int = 100): DataFrame = {
+    val u = df
+      .select(explode(tokens(text)).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+    val tot = u.agg(sum(col("c")).as("n"))
+    val scored = bigramRows(df, id, text)
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+      .join(u.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(u.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "score_1e4",
+        floor(
+          log(
+            (col("n_xy").cast("double") * col("n").cast("double")) /
+              (col("cx").cast("double") * col("cy").cast("double"))) * lit(10000))
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("n_xy"), col("score_1e4"))
+    scored.orderBy(col("score_1e4").desc, col("w1").asc, col("w2").asc).limit(k)
+  }
+
   /** Rolling-hash-style shingle fingerprints: distinct word n-grams.
     * Building block for Jaccard / MinHash dedup.
     */

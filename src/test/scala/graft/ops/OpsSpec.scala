@@ -478,6 +478,47 @@ class OpsSpec extends SparkSpec {
     assert(all.filter(col("token") === "common").filter(col("score_1e4") =!= 0L).count() == 0)
   }
 
+  test("unigramLogProb: exact add-1 smoothed sums, corpus-typical docs score higher") {
+    val df = Seq(
+      (1L, "a a b"), // in-vocab doc
+      (2L, "a a a"),
+      (3L, "z q")    // out-of-distribution doc
+    ).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // corpus: N=8, V=4; c(a)=5, c(b)=1, c(z)=1, c(q)=1
+    def lp(c: Long): Long = math.floor(math.log((c + 1).toDouble / 12.0) * 1e6).toLong
+    assert(got(1L) == ((2 * lp(5) + lp(1), 3L)))
+    assert(got(2L) == ((3 * lp(5), 3L)))
+    assert(got(3L) == ((2 * lp(1), 2L)))
+    // mean token log-prob separates in-vocab from OOD
+    assert(got(2L)._1 / 3.0 > got(3L)._1 / 2.0)
+  }
+
+  test("bigramRows emits adjacent pairs in order; sub-2-token docs yield none") {
+    val df = Seq((1L, "a b c"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.bigramRows(df, col("doc_id"), col("text"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "a", "b"), (1L, "b", "c")))
+  }
+
+  test("pmiCollocations: glued pair beats the stopword pair, minCount prunes the tail") {
+    // every pair occurs 10x, but only new/york occur NOWHERE else:
+    // PMI(new,york) = ln(10); cat/saw/the/end each double up elsewhere
+    // so their pairs score ln(5) or less; u-pairs never reach minCount
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"u${i}a cat saw u${i}b the new york the end cat"))
+    val got = TextOps.pmiCollocations(docs.toDF("doc_id", "text"), col("doc_id"),
+        col("text"), minCount = 5L, k = 10)
+      .select("w1", "w2", "n_xy").as[(String, String, Long)].collect()
+    assert(got.head._1 == "new" && got.head._2 == "york" && got.head._3 == 10L)
+    val pairs = got.map(r => (r._1, r._2)).toSeq
+    // sub-minCount pairs (each u{i}a... appears once) are gone
+    assert(!pairs.exists(p => p._1.startsWith("u") || p._2.startsWith("u")))
+    assert(pairs.toSet == Set(("new", "york"), ("cat", "saw"), ("the", "new"),
+      ("york", "the"), ("the", "end"), ("end", "cat")))
+  }
+
   test("shingleHashRows matches wordShingles content") {
     val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo")).toDF("doc_id", "text")
     val viaRows = TextOps.shingleHashRows(df, col("doc_id"), col("text"), 3)
