@@ -430,6 +430,13 @@ object SparkEntry {
         nPlanes = 4, nTables = 16)
     }),
 
+    "d_substring_dedup" -> ((s, dir) => {
+      // cross-doc repeated-substring signal (suffix-array dedup's
+      // distributed stand-in): distinct 16-token shingles per doc and
+      // how many of them occur in at least one other doc
+      Dedup.sharedShingleStats(
+        Tables(s, dir).documents, col("doc_id"), col("text"), shingleLen = 16)
+    }),
     "d_decontaminate" -> ((s, dir) => {
       // cross-corpus contamination sweep: odd-id docs as "train", even-id
       // as "eval" (deterministic stand-ins for two real corpora)
@@ -924,6 +931,19 @@ object SparkEntry {
     "d_dedup_exact" ->
       s"""SELECT $fpExpr AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
+    "d_substring_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 16
+         |    THEN list_distinct([array_to_string(w[i:i+15], ' ')
+         |                       for i in range(1, len(w) - 14)])
+         |    ELSE [array_to_string(w, ' ')] END AS sh
+         |  FROM (SELECT doc_id, $tokensExpr AS w FROM documents) d
+         |), e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+         |f AS (SELECT s, count(*) AS nd FROM e GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |FROM e JOIN f USING (s)
+         |GROUP BY doc_id""".stripMargin,
     "d_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, $tokensExpr AS w FROM documents

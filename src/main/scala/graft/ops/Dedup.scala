@@ -219,6 +219,40 @@ object Dedup {
       .select(col("train_id"), col("eval_id"), col("jaccard"))
   }
 
+  /** Cross-document repeated-substring detection — the distributed
+    * stand-in for suffix-array exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * `shingleLen`-token shingle occurring in more than one document IS a
+    * repeated substring of ≥ shingleLen tokens, and the per-doc count of
+    * such shingles is the signal substring-dedup pipelines threshold on
+    * (drop/trim docs that are mostly copied boilerplate).
+    *
+    * Returns (doc_id, n_shingles, n_shared): distinct shingles in the
+    * doc, and how many of them also occur in ≥ 1 OTHER doc. Docs shorter
+    * than `shingleLen` tokens count as one whole-text shingle (short
+    * exact dups still register).
+    *
+    * Plan shape: shingles travel as 64-bit hashes, never text. One
+    * exchange on doc_id (the shingle window + final agg reuse it), one
+    * on the shingle hash (document frequency), one hash join back — the
+    * same shapes as [[ngramJaccardPairs]] but with NO pair output, so
+    * unlike pair generation it is never output-bound on dup-heavy
+    * corpora. Scales to the full corpus.
+    */
+  def sharedShingleStats(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int = 16): DataFrame = {
+    val sh = TextOps.shingleHashRows(df, id, text, shingleLen).distinct()
+    val docFreq = sh.groupBy("s").agg(count(lit(1)).as("nd"))
+    sh.join(docFreq, "s")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   // ---- near-dup clustering ----
 
   /** Connected components over a near-dup pair list: every doc in a

@@ -519,6 +519,22 @@ class OpsSpec extends SparkSpec {
       ("york", "the"), ("the", "end"), ("end", "cat")))
   }
 
+  test("sharedShingleStats counts cross-doc repeated runs, not within-doc repeats") {
+    val df = Seq(
+      (1L, "a b c d e"), // shares run 'a b c d' with doc 2 (shingles: abcd, bcde)
+      (2L, "a b c d x"), // shingles: abcd, bcdx
+      (3L, "p q r s t"), // unique content
+      (4L, "hi"),        // short doc, whole-text shingle
+      (5L, "hi")         // exact short dup of doc 4
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedShingleStats(df, col("doc_id"), col("text"), shingleLen = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L)), 2L -> ((2L, 1L)), // 'a b c d' shared, second shingle unique
+      3L -> ((2L, 0L)),
+      4L -> ((1L, 1L)), 5L -> ((1L, 1L)))) // whole-text dup registers
+  }
+
   test("shingleHashRows matches wordShingles content") {
     val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo")).toDF("doc_id", "text")
     val viaRows = TextOps.shingleHashRows(df, col("doc_id"), col("text"), 3)
