@@ -634,6 +634,24 @@ object SparkEntry {
       Similarity.ivfTopK(v, v.filter(col("id") < 10), nLists = 16, nProbe = 2, k = 5)
     }),
 
+    "e_quantize_int8" -> ((s, dir) => {
+      // symmetric int8 quantization of the embedding store, pinned
+      // element-exactly via the md5 digest of the quantized vector
+      Embeddings.quantizeInt8Digest(
+        Tables(s, dir).embeddings, col("vec_id"), col("embedding"))
+        .select(col("id").as("vec_id"), col("q_md5"), col("q_min"), col("q_max"),
+          col("q_sum"), col("q_nnz"))
+    }),
+    "t_len_quantiles" -> ((s, dir) => {
+      // exact type-1 token-length quantiles per predicted language —
+      // the filter-threshold view of the corpus; approx_percentile is
+      // the documented 100 TB path (Stats.quantilesByKey scaladoc)
+      val d = Tables(s, dir).documents
+        .select(TextOps.langId(col("text")).as("lang"), TextOps.tokenCount(col("text")).cast("long").as("n"))
+      Stats.quantilesByKey(d, col("lang"), col("n"), Seq(0.25, 0.5, 0.75, 0.9))
+        .select(col("key").as("lang_pred"), col("p"), col("value").as("n_tokens"))
+    }),
+
     // ---- multimodal plumbing ----
     "m_binary_meta" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -1144,6 +1162,36 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score_1e4 DESC, token) AS rank
          |  FROM scored
          |) ranked WHERE rank <= 5""".stripMargin,
+    "e_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, e, CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END AS scale
+        |  FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v)
+        |), q AS (
+        |  SELECT vec_id, list_transform(e, x ->
+        |    greatest(-127, least(127, CAST(floor(x * scale + 0.5) AS BIGINT)))) AS q
+        |  FROM s
+        |)
+        |SELECT vec_id, md5(array_to_string(q, ',')) AS q_md5,
+        |  CAST(list_min(q) AS BIGINT) AS q_min,
+        |  CAST(list_max(q) AS BIGINT) AS q_max,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS q_nnz
+        |FROM q""".stripMargin,
+    "t_len_quantiles" ->
+      s"""WITH d AS (
+         |  SELECT CASE WHEN $stopCntExpr >= 2 THEN 'en' ELSE 'und' END AS lang_pred,
+         |    len($tokensExpr) AS n
+         |  FROM documents
+         |), r AS (
+         |  SELECT lang_pred, n,
+         |    row_number() OVER (PARTITION BY lang_pred ORDER BY n) AS rn,
+         |    count(*) OVER (PARTITION BY lang_pred) AS cnt
+         |  FROM d
+         |), p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+         |SELECT lang_pred, p, CAST(n AS BIGINT) AS n_tokens
+         |FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * cnt) AS BIGINT))""".stripMargin,
     "s_knn_brute" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over corpus columns — the capacity-planning /
+  * filter-threshold view of a corpus (token-length percentiles per
+  * language, value distributions per source, ...).
+  */
+object Stats {
+
+  /** Exact per-key quantiles with explicit type-1 (discrete) semantics:
+    * for each probability p, the value at 1-based index ⌈p·N⌉ of the
+    * key's sorted values. Returns one row per (key, p): (key, p, value).
+    *
+    * Discrete rather than interpolated on purpose: the result is an
+    * actual data value (an integer for integer inputs), so the
+    * cross-engine contract is exact — interpolated quantiles
+    * (`quantile_cont` / Spark `percentile`) differ across engines in the
+    * last ulp depending on how the lerp is associated.
+    *
+    * Scale posture: exact quantiles require a per-key sort — one
+    * exchange on the key, and each key's values must sort within its
+    * partitions (Spark's rank window spills to disk, so a skewed key
+    * degrades to disk sort, not OOM). For dashboard-grade numbers at
+    * 100 TB prefer `approx_percentile` (t-digest, one pass, mergeable);
+    * this operator is the oracle-checkable exact path.
+    */
+  def quantilesByKey(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "need 0 < p <= 1")
+    val w = Window.partitionBy("__k").orderBy("__v")
+    val ranked = df
+      .select(key.as("__k"), value.as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__k")))
+    val pDf = df.sparkSession.createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    ranked
+      .join(
+        broadcast(pDf),
+        col("__rn") === greatest(lit(1L), ceil(col("p") * col("__cnt"))),
+        "inner")
+      .select(col("__k").as("key"), col("p"), col("__v").as("value"))
+  }
+}

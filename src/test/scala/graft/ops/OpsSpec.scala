@@ -535,6 +535,34 @@ class OpsSpec extends SparkSpec {
       4L -> ((1L, 1L)), 5L -> ((1L, 1L)))) // whole-text dup registers
   }
 
+  test("quantizeInt8: extreme hits ±127, dequantize error bounded, zeros safe") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)), // max |v| = 1.0 -> scale 127
+      (2L, Seq(0.0f, 0.0f, 0.0f))    // all-zero: no NaN path
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.quantizeInt8(df, col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Long], Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == Seq(64L, -127L, 32L)) // floor(.5*127+.5)=64
+    assert(got(1L)._3 == 127.0)
+    assert(got(2L)._2 == Seq(0L, 0L, 0L))
+    // dequantized values within half a quantization step
+    val scale = got(1L)._3
+    Seq(0.5, -1.0, 0.25).zip(got(1L)._2).foreach { case (v, q) =>
+      assert(math.abs(v - q / scale) <= 0.5 / scale + 1e-12)
+    }
+  }
+
+  test("quantilesByKey: type-1 quantiles are exact data values per key") {
+    val df = (1 to 100).map(i => ("a", i.toLong)) ++ Seq(("b", 7L), ("b", 9L))
+    val got = Stats.quantilesByKey(df.toDF("k", "v"), col("k"), col("v"),
+        Seq(0.25, 0.5, 0.9))
+      .as[(String, Double, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // key a: N=100 -> ceil(p*N) = 25, 50, 90
+    assert(got(("a", 0.25)) == 25L && got(("a", 0.5)) == 50L && got(("a", 0.9)) == 90L)
+    // key b: N=2 -> indices ceil(.5)=1, ceil(1.0)=1, ceil(1.8)=2
+    assert(got(("b", 0.25)) == 7L && got(("b", 0.5)) == 7L && got(("b", 0.9)) == 9L)
+  }
+
   test("shingleHashRows matches wordShingles content") {
     val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo")).toDF("doc_id", "text")
     val viaRows = TextOps.shingleHashRows(df, col("doc_id"), col("text"), 3)
