@@ -326,6 +326,36 @@ object SparkEntry {
         .asOfJoin(p, c, col("p_user"), col("c_user"), col("p_ts"), col("c_ts"))
         .select(col("p_user").as("user_id"), col("p_id"), col("p_ts"), col("c_id"), col("c_ts"))
     }),
+    "q_asof_stream" -> ((s, dir) => {
+      // J-family streaming: watermark-driven as-of join state machine
+      // (StateMachines.asOf); ids zero-padded so the machine's
+      // lexicographic tie-break equals the batch oracle's numeric max
+      val input = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          lpad(col("event_id").cast("string"), 12, "0").as("id"))
+      Replay.keyedEvents(input) { stream =>
+        // 2 s watermark delay: replay chunk boundaries can land equal-ts
+        // events in adjacent micro-batches, and a row AT the watermark is
+        // late-dropped — the margin keeps boundary events alive (they
+        // all still flush via the replay's +30 d sentinel)
+        val out = StateMachines
+          .asOf(stream, buildKind = "click", probeKind = "purchase",
+            watermarkDelay = "2 seconds")
+          .toDF()
+        val part = split(col("info"), "\\|")
+        out.select(
+          col("key").cast("long").as("user_id"),
+          when(col("tag") === "matched", part.getItem(0))
+            .otherwise(col("info")).cast("long").as("p_id"),
+          col("first_ts").as("p_ts"),
+          when(col("tag") === "matched", part.getItem(1)).cast("long").as("c_id"),
+          when(col("tag") === "matched", col("last_ts")).as("c_ts"))
+      }
+    }),
     "q_reconcile" -> ((s, dir) => {
       // J2: two-stream reconciliation (PayReceiptWithConnectApp): purchases
       // vs signups within ±24h; side outputs become the status column
@@ -757,6 +787,17 @@ object SparkEntry {
 
   // Shared between a batch query and its q_*_stream twin: the streaming
   // replay must hash-match the SAME oracle.
+  private val asOfSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS c_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |)
+      |SELECT p.user_id, p_id, p_ts, c_id, c_ts
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.c_user AND c.c_ts <= p.p_ts""".stripMargin
   private val pvHourlySql =
     """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt
       |FROM events WHERE event_type = 'view' GROUP BY 1""".stripMargin
@@ -883,17 +924,8 @@ object SparkEntry {
         |SELECT user_id, req_id, req_ts, resp_ts,
         |  CASE WHEN resp_ts IS NOT NULL THEN 'matched' ELSE 'timeout' END AS status
         |FROM matched""".stripMargin,
-    "q_asof_join" ->
-      """WITH p AS (
-        |  SELECT user_id, event_id AS p_id, ts AS p_ts
-        |  FROM events WHERE event_type = 'purchase'
-        |), c AS (
-        |  SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS c_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
-        |)
-        |SELECT p.user_id, p_id, p_ts, c_id, c_ts
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.c_user AND c.c_ts <= p.p_ts""".stripMargin,
+    "q_asof_join" -> asOfSql,
+    "q_asof_stream" -> asOfSql,
     "q_interval_join" ->
       """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
         |       p.ts AS p_ts, c.ts AS c_ts

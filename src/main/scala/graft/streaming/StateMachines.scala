@@ -213,6 +213,75 @@ object StateMachines {
   // ---- J2: two-stream reconciliation ----
 
   /** Unmatched events per side: (id, ts epoch-us). */
+  case class AsOfState(builds: List[(String, Long)], probes: List[(String, Long)])
+
+  /** Streaming as-of join — the watermark-correct twin of
+    * [[graft.ops.Joins.asOfJoin]]: feed it the union of build and probe
+    * events tagged by kind; each probe emits with the LATEST build at or
+    * before its event time once the watermark guarantees no earlier
+    * build can still arrive (`tag = "matched"`, info = "probeId|buildId"),
+    * or `tag = "no_build"` when the key has no prior build. first_ts
+    * carries the probe time, last_ts the matched build time.
+    *
+    * Probes buffer until `watermark >= probe ts` — emission is driven by
+    * event-time timers (reference W7), so out-of-order builds inside the
+    * watermark delay still win. Ties at equal (ts): the build is visible
+    * (inclusive ≤, same as the batch operator), and the greatest id
+    * string wins among equal-ts builds — zero-pad numeric ids so
+    * lexicographic order is numeric order.
+    *
+    * State per key is O(watermark lag): resolved probes leave state, and
+    * of the builds older than the watermark only the latest survives
+    * (any future probe is newer than the watermark, so older builds can
+    * never win again). The retained latest build is the operator's
+    * contract — a feature-store "current value" per key, like the
+    * reference keeping the last pay event in ValueState
+    * (`PayReceiptWithConnectApp.java:91-112`).
+    */
+  def asOf(
+      events: Dataset[KeyedEvent],
+      buildKind: String,
+      probeKind: String,
+      watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, TaggedRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        var st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+        for (e <- sorted(it)) {
+          if (e.kind == buildKind)
+            st = st.copy(builds = st.builds :+ (e.id, usOf(e.ts)))
+          else if (e.kind == probeKind)
+            st = st.copy(probes = st.probes :+ (e.id, usOf(e.ts)))
+        }
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val out = Seq.newBuilder[TaggedRow]
+        val (ripe, pending) = st.probes.partition { case (_, us) => us <= wmUs }
+        for ((pid, pus) <- ripe.sortBy { case (id, us) => (us, id) }) {
+          val cands = st.builds.filter { case (_, bus) => bus <= pus }
+          if (cands.isEmpty) out += TaggedRow(key, "no_build", tsOf(pus), tsOf(pus), pid)
+          else {
+            val (bid, bus) = cands.maxBy { case (id, us) => (us, id) }
+            out += TaggedRow(key, "matched", tsOf(pus), tsOf(bus), s"$pid|$bid")
+          }
+        }
+        // builds the watermark has passed: only the latest can ever win
+        val (stale, fresh) = st.builds.partition { case (_, us) => us <= wmUs }
+        val kept = if (stale.isEmpty) fresh
+          else stale.maxBy { case (id, us) => (us, id) } :: fresh
+        st = AsOfState(kept, pending)
+        if (kept.isEmpty && pending.isEmpty) state.remove()
+        else state.update(st)
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp((pending.map(_._2).min + 999L) / 1000L + 1L)
+        out.result().iterator
+      })
+  }
+
   case class ReconcileState(left: List[(String, Long)], right: List[(String, Long)])
 
   /** Streaming two-stream reconciliation (reference J2 —

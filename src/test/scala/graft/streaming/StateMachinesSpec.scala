@@ -55,6 +55,41 @@ class StateMachinesSpec extends SparkSpec {
       Seq(("u1", ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:01"))))
   }
 
+  test("asOf(stream): latest prior build wins, inclusive tie, no_build when none") {
+    val out = runScenario(
+      Seq(
+        Seq(ev("u1", "2020-01-01 00:00:10", "click", "c1")),
+        Seq( // same-instant build is visible (inclusive <=); equal-ts
+          // events share a batch — a row AT the watermark is late-dropped,
+          // which is also why the replay query runs with a delay margin
+          ev("u1", "2020-01-01 00:00:20", "click", "c2"),
+          ev("u1", "2020-01-01 00:00:20", "purchase", "p1"),
+          ev("u1", "2020-01-01 00:00:30", "purchase", "p2"),
+          ev("u2", "2020-01-01 00:00:30", "purchase", "p3")), // no click ever
+        Seq( // build after the probes: must not rewrite history
+          ev("u1", "2020-01-01 00:00:40", "click", "c3"),
+          ev("u1", "2020-01-01 00:00:50", "purchase", "p4"))),
+      "sm_asof")(StateMachines.asOf(_, "click", "purchase"))
+    val got = out.map(r => (r.key, r.tag, r.info)).toSet
+    assert(got == Set(
+      ("u1", "matched", "p1|c2"),
+      ("u1", "matched", "p2|c2"),
+      ("u2", "no_build", "p3"),
+      ("u1", "matched", "p4|c3")))
+  }
+
+  test("asOf(stream): out-of-order build inside the watermark delay still wins") {
+    // probe arrives first; an older-ts build lands in a later batch while
+    // the watermark (2s delay) has not passed the probe yet
+    val out = runScenario(
+      Seq(
+        Seq(ev("u1", "2020-01-01 00:00:10", "purchase", "p1")),
+        Seq(ev("u1", "2020-01-01 00:00:09", "click", "c1")),
+        Seq(ev("u1", "2020-01-01 00:00:30", "click", "c9"))),
+      "sm_asof_ooo")(StateMachines.asOf(_, "click", "purchase", watermarkDelay = "2 seconds"))
+    assert(out.map(r => (r.tag, r.info)) == Seq(("matched", "p1|c1")))
+  }
+
   test("consecutiveMatches(stream) equals batch formulation on same input") {
     import org.apache.spark.sql.functions.col
     val events = Seq(
