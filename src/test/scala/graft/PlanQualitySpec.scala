@@ -64,6 +64,28 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
 
+  test("unigram LM scores from one corpus scan: tf aggregate reused at runtime") {
+    val df = SparkEntry.queries("t_unigram_lm")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // vocab totals derive from the tf aggregate; AQE must reuse that
+    // exchange, not rescan + re-explode the corpus
+    assert(p.contains("ReusedExchange"), s"tf aggregate recomputed:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("int8 quantization is a pure projection: no exchange") {
+    val p = plan("e_quantize_int8")
+    assert(!p.contains("Exchange"), s"projection-only op shuffled:\n$p")
+  }
+
+  test("substring-dedup stats never emit pairs: equi-joins on hashes only") {
+    val p = plan("d_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // doc_id window, shingle-hash agg, join back, final agg — bounded exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
+  }
+
   test("sessionization is one exchange on the grouping keys") {
     val p = plan("q_sessions")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
