@@ -39,6 +39,45 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.simhashPairs(empty, col("doc_id"), col("text"), 3).count() == 0)
   }
 
+  test("round-6 ops on degenerate input: empty frames, single docs, null vectors") {
+    // as-of join with no builds at all: every probe survives with nulls
+    val p = Seq(("k1", "p1", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("pk", "pid", "pts")
+    val noBuilds = p.filter(col("pid") === "absent")
+      .select(col("pk").as("bk"), col("pid").as("bid"), col("pts").as("bts"))
+    val asof = Joins.asOfJoin(p, noBuilds, col("pk"), col("bk"), col("pts"), col("bts"))
+      .select("pid", "bid").as[(String, String)].collect()
+    assert(asof.toSeq == Seq(("p1", null)))
+
+    // unigram LM on a one-doc corpus: P(w) = (c+1)/(N+V), still exact
+    val one = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val lm = TextOps.unigramLogProb(one, col("doc_id"), col("text"))
+      .as[(Long, Long, Long)].collect().head
+    def lp(c: Long) = math.floor(math.log((c + 1) / 5.0) * 1e6).toLong
+    assert(lm == ((1L, 2 * lp(2) + lp(1), 3L)))
+
+    // PMI below minCount everywhere -> empty, no throw
+    assert(TextOps.pmiCollocations(one, col("doc_id"), col("text")).count() == 0)
+
+    // substring stats on a single doc: shingles exist, nothing shared
+    val sss = Dedup.sharedShingleStats(one, col("doc_id"), col("text"), 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(sss == ((1L, 2L, 0L)))
+
+    // quantize: null vector row propagates nulls, never throws
+    val vecs = Seq((1L, Some(Seq(1.0f, -2.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val qz = Embeddings.quantizeInt8(vecs, col("vec_id"), col("embedding"))
+      .select("id", "q").as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(qz(1L).contains(Seq(64L, -127L)) && qz(2L).isEmpty)
+
+    // quantiles of a single value: every p returns it
+    val qs = Stats.quantilesByKey(one.select(lit("k").as("k"), lit(42L).as("v")),
+        col("k"), col("v"), Seq(0.25, 0.9))
+      .select("value").as[Long].collect().toSeq
+    assert(qs == Seq(42L, 42L))
+  }
+
   test("kafka-shaped csv value parsing: good and malformed rows") {
     val schema = StructType(Seq(
       StructField("user_id", LongType),

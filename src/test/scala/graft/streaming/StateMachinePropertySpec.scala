@@ -123,6 +123,33 @@ class StateMachinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: streaming asOf == batch asOfJoin on any interleaving") {
+    forAllSeeded(scenarioGen(Seq("b", "p")), 20) { (sc, i) =>
+      // 5 s watermark delay: a row exactly AT the watermark is
+      // late-dropped, and random split points put equal-ts events in
+      // adjacent batches (gaps are <= 4 s, so 5 s keeps them alive)
+      val streamed = runStream(sc, s"prop_asof_$i")(
+        StateMachines.asOf(_, "b", "p", watermarkDelay = "5 seconds"))
+        .map { r =>
+          if (r.tag == "matched") {
+            val Array(pid, bid) = r.info.split("\\|")
+            (r.key, pid, bid)
+          } else (r.key, r.info, null)
+        }.sorted
+      val df = sc.events.toDF()
+      val probes = df.filter(col("kind") === "p")
+        .select(col("key").as("pk"), col("ts").as("pts"), col("id").as("pid"))
+      val builds = df.filter(col("kind") === "b")
+        .select(col("key").as("bk"), col("ts").as("bts"), col("id").as("bid"))
+      val batch = graft.ops.Joins
+        .asOfJoin(probes, builds, col("pk"), col("bk"), col("pts"), col("bts"),
+          buildTieBreak = Seq("bid"))
+        .select("pk", "pid", "bid").as[(String, String, String)]
+        .collect().toSeq.sorted
+      assert(streamed == batch, s"seed=$i events=${sc.events}")
+    }
+  }
+
   test("property: matchWithTimeout matches in-memory oracle") {
     forAllSeeded(scenarioGen(Seq("req", "resp")), 20) { (sc, i) =>
       val streamed = runStream(sc, s"prop_mt_$i")(
