@@ -91,6 +91,19 @@ class ApproxGatesSpec extends SparkSpec {
       .select(col("window_start"), col("uv_bloom")))
   }
 
+  test("s_knn_ivf: recall@5 >= 0.55 vs brute force at 16 lists, nProbe=4") {
+    // SparkEntry params: probes id<10, k=5, nLists=16, nProbe=4
+    // (measured 0.60 at sf0.01 — near-uniform embeddings are IVF's worst
+    // case; nProbe=2 measured 0.42 and fails this gate by construction)
+    def knnPairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probes = v.filter(col("id") < 10)
+    val truth = knnPairs(Similarity.bruteForceTopK(v, probes, k = 5))
+    val got = knnPairs(Similarity.ivfTopK(v, probes, nLists = 16, nProbe = 4, k = 5))
+    assert(truth.nonEmpty, "gate is vacuous: no knn pairs")
+    assert(recall(got, truth) >= 0.55, s"recall@5 ${recall(got, truth)} < 0.55")
+  }
+
   test("s_knn_lsh: recall@5 >= 0.9 vs brute force at 4 planes x 16 tables") {
     // SparkEntry params: probes id<10, k=5, dim=64, nPlanes=4, nTables=16
     def knnPairs(df: DataFrame): Set[(Long, Long)] =
