@@ -516,6 +516,15 @@ object SparkEntry {
           TextOps.langId(col("text")), Map("en" -> 0.1, "und" -> 0.6))
         .select(col("doc_id"))
     }),
+    "p_token_budget" -> ((s, dir) => {
+      // corpus mixing: each source contributes docs in md5 order until
+      // its 800-token quota is spent (boundary doc included iff its
+      // first token fits — packByBudget's block boundary rule)
+      Sampling.capTokensPerKey(
+          Tables(s, dir).documents, col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")), budgetTokens = 800L)
+        .select(col("source"), col("doc_id"))
+    }),
     "p_pack" -> ((s, dir) => {
       // deterministic 512-token block packing over 8 shards: concatenate
       // each shard's docs in md5-hash order, assign each doc to the pack
@@ -1089,6 +1098,18 @@ object SparkEntry {
          |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
          |      / 281474976710656.0
          |      < CASE WHEN $stopCntExpr >= 2 THEN 0.1 ELSE 0.6 END""".stripMargin,
+    "p_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id, len($tokensExpr) AS tok,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |), c AS (
+         |  SELECT source, doc_id,
+         |    CAST(coalesce(sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM d
+         |)
+         |SELECT source, doc_id FROM c WHERE cum < 800""".stripMargin,
     "p_pack" ->
       s"""WITH d AS (
          |  SELECT doc_id, len($tokensExpr) AS tok,

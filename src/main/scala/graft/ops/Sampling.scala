@@ -66,6 +66,39 @@ object Sampling {
   def capPerKey(df: DataFrame, key: Column, order: Seq[Column], n: Int): DataFrame =
     TopN.perPartition(df, Seq(key), order, n).drop("rank")
 
+  /** Token-budget quota sampling — the corpus-MIXING primitive: keep each
+    * key's (source's) documents, in deterministic md5-hash order, until
+    * the key's token budget is exhausted (a doc is kept iff its FIRST
+    * token fits, so one doc may straddle the budget line — block-packing
+    * boundary semantics, same rule as [[Chunking.packByBudget]]).
+    * Feeding per-source budgets proportional to a target mix turns a
+    * raw crawl into a mixture-weighted corpus reproducibly: re-runs and
+    * other engines keep exactly the same documents.
+    *
+    * Plan shape: one hash exchange on the key, a per-key running sum
+    * window, a filter — no global order, parallelism = #keys (shard
+    * within a giant source by salting the key upstream if one source
+    * dominates).
+    */
+  def capTokensPerKey(
+      df: DataFrame,
+      key: Column,
+      id: Column,
+      tokenCount: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "need a positive token budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__h"), col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__k", key)
+      .withColumn("__id", id)
+      .withColumn("__h", md5(id.cast("string")))
+      .withColumn("__tok", tokenCount.cast("long"))
+      .withColumn("__cum", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("__cum") < budgetTokens)
+      .drop("__k", "__id", "__h", "__tok", "__cum")
+  }
+
   /** Deterministic split label over cumulative weight buckets, e.g.
     * `split(df, $"doc_id", Seq("train" -> 0.9, "eval" -> 0.1))`.
     */

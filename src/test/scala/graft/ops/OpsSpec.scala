@@ -519,6 +519,32 @@ class OpsSpec extends SparkSpec {
       ("york", "the"), ("the", "end"), ("end", "cat")))
   }
 
+  test("capTokensPerKey: md5-order quota, boundary doc kept iff first token fits") {
+    // doc md5 order within each source decides who spends the budget
+    val df = Seq(
+      (1L, "s1", "a b c"),     // 3 tokens
+      (2L, "s1", "d e f g"),   // 4 tokens
+      (3L, "s1", "h i"),       // 2 tokens
+      (4L, "s2", "x y z")      // own source: own budget
+    ).toDF("doc_id", "source", "text")
+    val got = Sampling.capTokensPerKey(df, col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")), budgetTokens = 5L)
+      .select("doc_id").as[Long].collect().toSet
+    // s1 md5 order is doc 3 (h=6dd...), 1 (c4c...), 2 (c81...)? — compute
+    // instead of guessing: replicate the rule in-memory
+    val order = Seq(1L, 2L, 3L).sortBy(id =>
+      java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+        .map("%02x".format(_)).mkString)
+    val toks = Map(1L -> 3L, 2L -> 4L, 3L -> 2L)
+    var cum = 0L
+    val expect = order.filter { id => val keep = cum < 5L; cum += toks(id); keep }.toSet + 4L
+    assert(got == expect)
+    // every source always keeps its first doc, even one bigger than budget
+    val big = Seq((9L, "s9", Seq.fill(100)("w").mkString(" "))).toDF("doc_id", "source", "text")
+    assert(Sampling.capTokensPerKey(big, col("source"), col("doc_id"),
+      TextOps.tokenCount(col("text")), 5L).count() == 1)
+  }
+
   test("sharedShingleStats counts cross-doc repeated runs, not within-doc repeats") {
     val df = Seq(
       (1L, "a b c d e"), // shares run 'a b c d' with doc 2 (shingles: abcd, bcde)
