@@ -460,6 +460,17 @@ object SparkEntry {
         nPlanes = 4, nTables = 16)
     }),
 
+    "d_dedup_bow" -> ((s, dir) => {
+      // model-free near-dup: feature-hashed BoW count vectors + exact
+      // cosine. Integer counts make the cosine bit-exact across engines
+      // (products and norms are exact doubles; one division). The N²
+      // self-join is the declared exact baseline — at scale feed the
+      // same vectors to cosineNearDupPairsLSH, as with embeddings.
+      val v = TextOps
+        .hashedBowVectors(Tables(s, dir).documents, col("doc_id"), col("text"), dim = 64)
+        .select(col("doc_id").as("id"), col("vec"))
+      Similarity.cosineNearDupPairs(v, 0.95)
+    }),
     "d_substring_dedup" -> ((s, dir) => {
       // cross-doc repeated-substring signal (suffix-array dedup's
       // distributed stand-in): distinct 16-token shingles per doc and
@@ -994,6 +1005,25 @@ object SparkEntry {
     "d_dedup_exact" ->
       s"""SELECT $fpExpr AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
+    "d_dedup_bow" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS w FROM documents),
+         |cnt AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(w), 1, 12)) AS BIGINT) % 64 AS b,
+         |    count(*) AS c
+         |  FROM toks GROUP BY 1, 2
+         |), nrm AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cnt GROUP BY 1),
+         |dots AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b2, CAST(sum(x.c * y.c) AS BIGINT) AS dp
+         |  FROM cnt x JOIN cnt y ON x.b = y.b AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b2 AS b,
+         |  CAST(floor(dp / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) AS BIGINT) AS sim
+         |FROM dots
+         |JOIN nrm na ON na.doc_id = a
+         |JOIN nrm nb ON nb.doc_id = dots.b2
+         |WHERE CAST(floor(dp / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) AS BIGINT) >= 9500""".stripMargin,
     "d_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT doc_id, CASE WHEN len(w) >= 16

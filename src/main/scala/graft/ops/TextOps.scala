@@ -305,6 +305,34 @@ object TextOps {
     scored.orderBy(col("score_1e4").desc, col("w1").asc, col("w2").asc).limit(k)
   }
 
+  /** Feature-hashed bag-of-words document vectors — the model-free
+    * text→vector bridge (hashing trick): token t increments bucket
+    * `md5(t)[0:12] mod dim`, so the vector is INTEGER token counts,
+    * bit-reproducible on any engine (md5 is the shared hash; no
+    * vocabulary, no fitting, no OOV). Output (doc_id, vec: array<long>).
+    *
+    * Composes with the [[Similarity]] stack: cosine over count vectors
+    * is the classic cheap near-dup / clustering signal when no learned
+    * embeddings exist. Plan shape: ONE exchange on (doc_id, bucket) for
+    * the count aggregate, then a per-doc pivot into the fixed-width
+    * array via a second doc_id aggregate that reuses the partitioning.
+    */
+  def hashedBowVectors(df: DataFrame, id: Column, text: Column, dim: Int = 64): DataFrame = {
+    require(dim >= 1, "need dim >= 1")
+    val counts = df
+      .select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .withColumn("b", pmod(conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long"), lit(dim.toLong)))
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy("doc_id")
+      .agg(map_from_arrays(collect_list(col("b")), collect_list(col("c"))).as("m"))
+      .select(
+        col("doc_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)), i =>
+          coalesce(element_at(col("m"), i), lit(0L))).as("vec"))
+  }
+
   /** Rolling-hash-style shingle fingerprints: distinct word n-grams.
     * Building block for Jaccard / MinHash dedup.
     */

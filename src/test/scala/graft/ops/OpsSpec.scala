@@ -545,6 +545,26 @@ class OpsSpec extends SparkSpec {
       TextOps.tokenCount(col("text")), 5L).count() == 1)
   }
 
+  test("hashedBowVectors: counts preserved, fixed width, identical docs cosine ~1") {
+    val df = Seq(
+      (1L, "spark flink beam spark"),
+      (2L, "spark flink beam spark"), // exact dup of 1
+      (3L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val vecs = TextOps.hashedBowVectors(df, col("doc_id"), col("text"), dim = 16)
+    val got = vecs.as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2).toMap
+    assert(got.values.forall(_.size == 16))
+    // bucket counts sum to token counts
+    assert(got(1L).sum == 4 && got(3L).sum == 5)
+    assert(got(1L) == got(2L))
+    // compose with the similarity stack: dup pair surfaces at ~1.0
+    val pairs = Similarity
+      .cosineNearDupPairs(vecs.select(col("doc_id").as("id"), col("vec")), 0.95)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 9999L) // sqrt(n)*sqrt(n) can undershoot n by 1 ulp
+  }
+
   test("sharedShingleStats counts cross-doc repeated runs, not within-doc repeats") {
     val df = Seq(
       (1L, "a b c d e"), // shares run 'a b c d' with doc 2 (shingles: abcd, bcde)
