@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Tables
 import graft.ops._
-import graft.streaming.{Replay, StateMachines, WindowTriggers}
+import graft.streaming.{Replay, StateMachines, StreamJoins, WindowTriggers}
 
 /** Driver contract: one batch query per implemented operator (SURVEY.md §2
   * + the training-data-pipeline extensions), each with an equivalent DuckDB
@@ -741,6 +741,84 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
     }),
+    "m_audio_meta" -> ((s, dir) => {
+      // REAL RIFF/WAVE header parse (chunk walk → fmt + data size):
+      // payloads are synthesized in-plan with genuine chunk layouts —
+      // half front-loaded with a JUNK alignment chunk — whose PCM shape
+      // is doc_id arithmetic, so the DuckDB oracle predicts the parse
+      // without any audio library, and the parser still has to walk the
+      // actual chunk list to match.
+      val channels = (lit(1L) + col("doc_id") % 2).cast("int")
+      val rate = element_at(
+        array(lit(8000), lit(16000), lit(44100)), (col("doc_id") % 3 + 1).cast("int"))
+      val nSamples = (lit(1000L) + col("doc_id") % 4000).cast("int")
+      val docs = Tables(s, dir).documents.select(
+        col("doc_id"),
+        Multimodal
+          .syntheticWavPayload(channels, rate, lit(16), nSamples, col("doc_id") % 2 === 0)
+          .as("payload"))
+      Multimodal
+        .audioMeta(docs, col("payload"))
+        .select(
+          col("doc_id"),
+          col("format"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("bits").cast("long").as("bits"),
+          col("n_samples"),
+          col("duration_ms"))
+    }),
+    "t_vocab" -> ((s, dir) => {
+      // Gopher-family lexical diversity: type-token ratio + share of the
+      // most frequent token (exact integer counts, single IEEE divisions)
+      TextOps.vocabSignals(Tables(s, dir).documents, col("doc_id"), col("text"))
+    }),
+    "d_keep_best" -> ((s, dir) => {
+      // near-dup removal with production keep semantics: per cluster keep
+      // the highest-token-count doc (tie → min doc_id), not the min-id
+      // one; lossless pair mode so the keep-list is exactly
+      // oracle-checkable
+      Dedup
+        .dropNearDuplicatesKeepBest(
+          Tables(s, dir).documents, col("doc_id"), col("text"),
+          quality = TextOps.tokenCount(col("text")),
+          shingleLen = 3, threshold = 0.6, losslessPairs = true)
+        .select(col("doc_id"))
+    }),
+    "q_interval_stream" -> ((s, dir) => {
+      // J1 streaming form on the correctness record: symmetric hash
+      // interval join under watermarks (StreamJoins.intervalJoin), both
+      // sides filtered from one replayed source. Sentinel rows ride both
+      // sides so the watermark advances (they only ever match each other
+      // — dropped post-join before the ANSI-safe long casts).
+      val input = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      Replay.keyedEvents(input) { stream =>
+        val df = stream.toDF()
+        def side(kind: String, pre: String) = df
+          .filter(col("kind") === kind || col("kind") === Replay.Sentinel)
+          .select(
+            col("key").as(s"${pre}_key"), col("ts").as(s"${pre}_ts"),
+            col("id").as(s"${pre}_id"))
+        StreamJoins
+          .intervalJoin(
+            side("purchase", "p"), side("click", "c"),
+            ("p_ts", "2 seconds"), ("c_ts", "2 seconds"),
+            col("p_key") === col("c_key"), -7200L, 0L)
+          .filter(col("p_key") =!= Replay.Sentinel)
+          .select(
+            col("p_key").cast("long").as("user_id"),
+            col("p_id").cast("long").as("p_id"),
+            col("c_id").cast("long").as("c_id"),
+            col("p_ts"),
+            col("c_ts"))
+      }
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -811,6 +889,14 @@ object SparkEntry {
 
   // Shared between a batch query and its q_*_stream twin: the streaming
   // replay must hash-match the SAME oracle.
+  private val intervalJoinSql =
+    """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+      |       p.ts AS p_ts, c.ts AS c_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      | AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin
   private val asOfSql =
     """WITH p AS (
       |  SELECT user_id, event_id AS p_id, ts AS p_ts
@@ -950,14 +1036,8 @@ object SparkEntry {
         |FROM matched""".stripMargin,
     "q_asof_join" -> asOfSql,
     "q_asof_stream" -> asOfSql,
-    "q_interval_join" ->
-      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
-        |       p.ts AS p_ts, c.ts AS c_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id
-        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
-        | AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+    "q_interval_join" -> intervalJoinSql,
+    "q_interval_stream" -> intervalJoinSql,
     "q_reconcile" ->
       """SELECT coalesce(p.user_id, sg.user_id) AS user_id,
         |       p.event_id AS p_id, sg.event_id AS s_id,
@@ -1315,5 +1395,65 @@ object SparkEntry {
         |  64 + doc_id % 960 AS width,
         |  64 + (doc_id * 7) % 960 AS height
         |FROM documents""".stripMargin,
+    "m_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(1000 + doc_id % 4000 AS BIGINT) AS n_samples,
+        |  CAST((1000 + doc_id % 4000) * 1000
+        |    // CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS BIGINT)
+        |    AS duration_ms
+        |FROM documents""".stripMargin,
+    "t_vocab" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($tokensExpr) AS token FROM documents
+         |), c AS (
+         |  SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+         |  FROM c
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS ttr,
+         |  max(CASE WHEN rn = 1 THEN token END) AS top_token,
+         |  CAST(max(CASE WHEN rn = 1 THEN cnt END) AS DOUBLE)
+         |    / CAST(sum(cnt) AS DOUBLE) AS top_ratio
+         |FROM r GROUP BY doc_id""".stripMargin,
+    "d_keep_best" ->
+      s"""WITH RECURSIVE r0 AS (
+         |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY $fpExpr) AS keep
+         |  FROM documents
+         |), reps AS (
+         |  SELECT doc_id, text FROM r0 WHERE doc_id = keep
+         |), d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM reps
+         |), g AS (
+         |  SELECT doc_id, $shinglesExpr AS sh FROM d
+         |), p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.6
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+         |), lab(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
+         |), clus AS (
+         |  SELECT id, min(l) AS cluster_id FROM lab GROUP BY id
+         |), ranked AS (
+         |  SELECT c.id,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY len($tokensExpr) DESC, c.id) AS rn
+         |  FROM clus c JOIN reps ON reps.doc_id = c.id
+         |), losers AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT doc_id FROM reps
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
   )
 }

@@ -387,6 +387,52 @@ object Dedup {
     reps.join(losers, id === losers("id"), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with production keep semantics: per near-dup
+    * cluster, keep the HIGHEST-`quality` document (tie → smallest id),
+    * not the smallest-id one — dedup should retain the best copy, not an
+    * arbitrary one. `quality` is any per-row expression over `df`'s
+    * columns (token count, an LM score column, …). Exact duplicates share
+    * text and therefore quality, so the stage-1 exact collapse still
+    * keeps the smallest id — unchanged semantics there.
+    *
+    * Cost shape: clusters are tiny relative to the corpus, so the winner
+    * election runs on the CC label table only — one `min_by` aggregate
+    * over (-quality, id) per cluster — and the corpus-sized table sees
+    * nothing but the same AQE-broadcast anti-join as
+    * [[dropNearDuplicates]]. No corpus-wide window sort.
+    */
+  def dropNearDuplicatesKeepBest(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      quality: Column,
+      shingleLen: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      losslessPairs: Boolean = false): DataFrame = {
+    val reps = df.join(
+      exact(df, id, text).select(col("keep_id").as("__keep")),
+      id === col("__keep"),
+      "left_semi")
+    val pairs =
+      if (losslessPairs) ngramJaccardPairs(reps, id, text, shingleLen, threshold)
+      else minhashDedup(reps, id, text, shingleLen, k, bands, threshold, seed)
+    val cc = connectedComponents(pairs) // (id, cluster_id), clustered docs only
+    val qual = reps.select(id.as("__qid"), quality.cast("double").as("__q"))
+    val winners = cc
+      .join(qual, col("id") === col("__qid"))
+      .groupBy(col("cluster_id"))
+      .agg(min_by(col("id"), struct((-col("__q")).as("nq"), col("id").as("i")))
+        .as("__winner"))
+    val losers = cc
+      .join(winners, "cluster_id")
+      .filter(col("id") =!= col("__winner"))
+      .select(col("id"))
+    reps.join(losers, id === losers("id"), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per doc: per bit, sum ±1 votes weighted by token-hash

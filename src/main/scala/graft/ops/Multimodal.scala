@@ -67,6 +67,56 @@ object Multimodal {
         concat(unhex(lit("474946383961")), le2(w), le2(h), unhex(lit("F70000"))))
   }
 
+  /** REAL audio metadata from RIFF/WAVE headers (fmt chunk + data chunk
+    * size), parsed by the native codegen'd
+    * [[org.apache.spark.sql.graft.AudioMeta]] expression — no codec
+    * library, pure chunk-walk arithmetic. Unparseable payloads yield a
+    * null struct (never a job failure).
+    */
+  def audioMeta(df: DataFrame, payload: Column): DataFrame =
+    binaryMeta(df, payload)
+      .withColumn("__meta", org.apache.spark.sql.graft.AudioFunctions.audioMeta(payload))
+      .withColumn("format", col("__meta.format"))
+      .withColumn("channels", col("__meta.channels"))
+      .withColumn("sample_rate", col("__meta.sample_rate"))
+      .withColumn("bits", col("__meta.bits"))
+      .withColumn("n_samples", col("__meta.n_samples"))
+      .withColumn("duration_ms", col("__meta.duration_ms"))
+      .drop("__meta")
+
+  /** Synthesize a header-only RIFF/WAVE payload for the given PCM shape —
+    * pure column expressions, so oracles can predict [[audioMeta]]'s
+    * output arithmetically while the parser still has to walk a genuine
+    * chunk layout. When `junk` is true a word-aligned "JUNK" chunk is
+    * inserted before "fmt " (real files front-load alignment chunks), so
+    * the chunk walk is exercised, not just fixed offsets. The "data"
+    * chunk is declared (size = nSamples * blockAlign) but its payload is
+    * absent — [[AudioHeaders]] reads only the size field, the
+    * truncated-upload shape.
+    */
+  def syntheticWavPayload(
+      channels: Column, sampleRate: Column, bits: Column, nSamples: Column,
+      junk: Column): Column = {
+    def le(c: Column, hexDigits: Int) = {
+      val hx = lpad(hex(c), hexDigits, "0")
+      // reverse byte order: hex pairs from least-significant first
+      unhex(concat((hexDigits - 2 to 0 by -2).map(i => substring(hx, i + 1, 2)): _*))
+    }
+    val blockAlign = channels * (bits / lit(8))
+    val byteRate = sampleRate * blockAlign
+    val dataSize = nSamples * blockAlign
+    val fmtAndData = concat(
+      unhex(lit("666D7420")), le(lit(16), 8), le(lit(1), 4), // "fmt ", size, PCM
+      le(channels, 4), le(sampleRate, 8), le(byteRate, 8),
+      le(blockAlign, 4), le(bits, 4),
+      unhex(lit("64617461")), le(dataSize, 8)) // "data", size (payload absent)
+    val junkChunk = unhex(lit("4A554E4B040000000DF0ADBA")) // "JUNK" + size 4 + filler
+    val body = when(junk, concat(junkChunk, fmtAndData)).otherwise(fmtAndData)
+    concat(
+      unhex(lit("52494646")), le(length(body) + 4, 8), // "RIFF" + riff size
+      unhex(lit("57415645")), body) // "WAVE"
+  }
+
   final case class DecodedFrame(id: Long, width: Int, height: Int, pixels: Array[Byte])
 
   /** Per-partition batched decode — the shape a real codec integration

@@ -132,6 +132,38 @@ object TextOps {
         lit(1.0) - col("__d").cast("double") / col("n_shingles").cast("double"))
       .drop("__d")
 
+  /** Vocabulary-diversity signals per document — the Gopher-family
+    * lexical filters: total tokens, distinct tokens, type-token ratio,
+    * the most frequent token and its share ("fraction of the most common
+    * word" — spam/boilerplate pages spike it). Ratios are single IEEE-754
+    * divisions of exact integers — bit-deterministic across engines; the
+    * top-token tie-break is (count desc, token asc) via one `min_by` over
+    * a (-count, token) struct, no window sort.
+    *
+    * Cost model at scale: explode → (doc_id, token) count → per-doc
+    * aggregate. The first aggregate map-side-combines token repeats before
+    * anything moves, so the two exchanges carry per-(doc,token) counts and
+    * per-doc rows — never raw token instances.
+    */
+  def vocabSignals(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("cnt")).as("__top_cnt"),
+        min_by(col("token"), struct((-col("cnt")).as("nc"), col("token").as("t")))
+          .as("top_token"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        col("top_token"),
+        (col("__top_cnt").cast("double") / col("n_tokens").cast("double")).as("top_ratio"))
+
   /** PII patterns for [[redactPii]], applied in this order. Kept inside
     * the Java-regex ∩ RE2 common subset (no backrefs, no lookaround) so
     * the same pattern strings mean the same matches in Spark, DuckDB,

@@ -132,6 +132,22 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("image_meta") && !p.toLowerCase.contains("batchevalpython"), p)
   }
 
+  test("audio-header metadata is a pure projection: no exchange, codegen'd parse") {
+    val p = plan("m_audio_meta")
+    assert(!p.contains("Exchange"), p)
+    // the native expression, not a UDF
+    assert(p.contains("audio_meta") && !p.toLowerCase.contains("batchevalpython"), p)
+  }
+
+  test("vocab signals: two pre-combined aggregates, no corpus window sort") {
+    val p = plan("t_vocab")
+    // top-token election is a min_by aggregate, never a per-doc window sort
+    assert(!p.contains("Window"), s"window sort crept into vocabSignals:\n$p")
+    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly two shuffles ((doc,token) agg + doc agg):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
   test("capPerKey prunes to n per key on both sides of the rank shuffle") {
     val p = plan("p_cap_per_key")
     assert(p.contains("row_number(), 20, Partial") && p.contains("row_number(), 20, Final"),

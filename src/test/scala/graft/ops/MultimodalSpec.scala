@@ -77,6 +77,60 @@ class MultimodalSpec extends SparkSpec {
     assert(viaCol.isNullAt(0))
   }
 
+  test("audioMeta parses RIFF/WAVE headers round-trip through synthesis") {
+    val df = Seq(
+      (1L, 1, 8000, 16, 4000L, false),
+      (2L, 2, 44100, 16, 1000L, true), // JUNK chunk before fmt: real walk
+      (3L, 2, 16000, 8, 1L, false)) // 8-bit mono-sample edge
+      .toDF("id", "ch", "rate", "bits", "n", "junk")
+      .select(
+        col("id"), col("ch"), col("rate"), col("bits"), col("n"),
+        Multimodal
+          .syntheticWavPayload(col("ch"), col("rate"), col("bits"), col("n"), col("junk"))
+          .as("payload"))
+    val got = Multimodal.audioMeta(df, col("payload"))
+      .select("id", "format", "channels", "sample_rate", "bits", "n_samples", "duration_ms")
+      .as[(Long, String, Int, Int, Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "wav", 1, 8000, 16, 4000L, 500L),
+      (2L, "wav", 2, 44100, 16, 1000L, 22L), // 1000*1000/44100 floor
+      (3L, "wav", 2, 16000, 8, 1L, 0L)))
+  }
+
+  test("audioMeta: hand-built bytes parse; corrupt payloads yield null, not failure") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.graft.AudioHeaders
+    // ground truth built independently of syntheticWavPayload: 16-bit
+    // stereo 22050 Hz, 441 samples => data 1764 bytes, duration 20 ms
+    val buf = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 1764).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(22050).putInt(22050 * 4).putShort(4).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(1764)
+    val r = AudioHeaders.parse(buf.array())
+    assert(r != null && r.getInt(1) == 2 && r.getInt(2) == 22050 && r.getInt(3) == 16)
+    assert(r.getLong(4) == 441L && r.getLong(5) == 20L)
+    // odd-sized chunk before fmt must be walked word-aligned (3 -> 4)
+    val odd = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    odd.put("RIFF".getBytes("US-ASCII")).putInt(48).put("WAVE".getBytes("US-ASCII"))
+    odd.put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0)) // 3 + pad
+    odd.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    odd.put("data".getBytes("US-ASCII")).putInt(16000)
+    val o = AudioHeaders.parse(odd.array())
+    assert(o != null && o.getInt(1) == 1 && o.getInt(2) == 8000 && o.getLong(5) == 2000L)
+    // fmt alone, data chunk missing -> unparseable (dataSize unknown)
+    assert(AudioHeaders.parse(java.util.Arrays.copyOf(odd.array(), 48)) == null)
+    assert(AudioHeaders.parse(null) == null)
+    assert(AudioHeaders.parse(Array.empty[Byte]) == null)
+    assert(AudioHeaders.parse("RIFFxxxxWAVE".getBytes("US-ASCII")) == null)
+    assert(AudioHeaders.parse("not audio".getBytes("UTF-8")) == null)
+    // ANSI-mode plumbing: nulls flow through the column path
+    val df = Seq((1L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val viaCol = Multimodal.audioMeta(df, col("payload")).select("format").collect().head
+    assert(viaCol.isNullAt(0))
+  }
+
   test("sampleFrames explodes every-nth frame index before any decode") {
     val df = Seq((1L, "vid".getBytes("UTF-8"), 10)).toDF("id", "payload", "n_frames")
     val got = Multimodal

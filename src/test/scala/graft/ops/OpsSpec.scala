@@ -296,6 +296,40 @@ class OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L)) // 2 is 1's near-dup, 1 is canonical
   }
 
+  test("dropNearDuplicatesKeepBest keeps the highest-quality doc per cluster") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and often surely"
+    val c = "completely different text with no overlap at all whatsoever here"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // quality = token count: doc 2 (13 tokens) beats doc 1 (12), so the
+    // cluster keeps 2 where dropNearDuplicates would keep min-id 1
+    val kept = Dedup
+      .dropNearDuplicatesKeepBest(
+        df, col("doc_id"), col("text"), TextOps.tokenCount(col("text")), threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+    // quality tie -> min id: exact length tie keeps the smaller id
+    val tied = Seq((1L, a), (2L, a.replace("again and again", "again and often")), (3L, c))
+      .toDF("doc_id", "text")
+    val keptTied = Dedup
+      .dropNearDuplicatesKeepBest(
+        tied, col("doc_id"), col("text"), TextOps.tokenCount(col("text")), threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptTied.toSeq == Seq(1L, 3L))
+  }
+
+  test("vocabSignals: exact counts, ttr, top-token with (count desc, token asc) tie-break") {
+    val df = Seq(
+      (1L, "b b a a c"), // tie on count 2: 'a' < 'b' wins
+      (2L, "x x x y")
+    ).toDF("doc_id", "text")
+    val got = TextOps.vocabSignals(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 3L, 3.0 / 5.0, "a", 2.0 / 5.0)))
+    assert(got(2L) == ((2L, 4L, 2L, 2.0 / 4.0, "x", 3.0 / 4.0)))
+  }
+
   test("deterministic sampling and splitting are stable and well-proportioned") {
     val df = spark.range(10000).toDF("id")
     val s1 = Sampling.sample(df, col("id"), 0.1).as[Long].collect().toSet
