@@ -768,6 +768,28 @@ object SparkEntry {
           col("n_samples"),
           col("duration_ms"))
     }),
+    "m_video_meta" -> ((s, dir) => {
+      // REAL ISO BMFF box walk (ftyp → moov → mvhd + trak count):
+      // payloads are synthesized in-plan with genuine nested box layouts
+      // whose movie-header fields are doc_id arithmetic, so the DuckDB
+      // oracle predicts the parse without any video library.
+      val timescale = element_at(
+        array(lit(600), lit(1000), lit(90000)), (col("doc_id") % 3 + 1).cast("int"))
+      val duration = ((col("doc_id") + 1) * 30).cast("int")
+      val nTracks = (lit(1L) + col("doc_id") % 3).cast("int")
+      val docs = Tables(s, dir).documents.select(
+        col("doc_id"),
+        Multimodal.syntheticMp4Payload(timescale, duration, nTracks).as("payload"))
+      Multimodal
+        .videoMeta(docs, col("payload"))
+        .select(
+          col("doc_id"),
+          col("format"),
+          col("timescale").cast("long").as("timescale"),
+          col("duration"),
+          col("duration_ms"),
+          col("n_tracks").cast("long").as("n_tracks"))
+    }),
     "t_vocab" -> ((s, dir) => {
       // Gopher-family lexical diversity: type-token ratio + share of the
       // most frequent token (exact integer counts, single IEEE divisions)
@@ -1405,6 +1427,16 @@ object SparkEntry {
         |  CAST((1000 + doc_id % 4000) * 1000
         |    // CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS BIGINT)
         |    AS duration_ms
+        |FROM documents""".stripMargin,
+    "m_video_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT)
+        |    AS timescale,
+        |  CAST((doc_id + 1) * 30 AS BIGINT) AS duration,
+        |  CAST((doc_id + 1) * 30 * 1000
+        |    // CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
         |FROM documents""".stripMargin,
     "t_vocab" ->
       s"""WITH tok AS (

@@ -117,6 +117,44 @@ object Multimodal {
       unhex(lit("57415645")), body) // "WAVE"
   }
 
+  /** REAL video metadata from ISO BMFF (MP4) headers: the moov/mvhd box
+    * walk gives timescale + duration, counting trak children gives the
+    * track count — parsed by the native codegen'd
+    * [[org.apache.spark.sql.graft.VideoMeta]] expression. No codec
+    * library; unparseable payloads yield a null struct.
+    */
+  def videoMeta(df: DataFrame, payload: Column): DataFrame =
+    binaryMeta(df, payload)
+      .withColumn("__meta", org.apache.spark.sql.graft.VideoFunctions.videoMeta(payload))
+      .withColumn("format", col("__meta.format"))
+      .withColumn("timescale", col("__meta.timescale"))
+      .withColumn("duration", col("__meta.duration"))
+      .withColumn("duration_ms", col("__meta.duration_ms"))
+      .withColumn("n_tracks", col("__meta.n_tracks"))
+      .drop("__meta")
+
+  /** Synthesize a header-only ISO BMFF payload (ftyp + moov[mvhd v0 +
+    * `nTracks` empty trak boxes]) — pure column expressions (hex-string
+    * assembly, one `unhex`), so oracles can predict [[videoMeta]]'s
+    * output arithmetically while the parser still has to walk genuine
+    * nested box layouts with computed sizes. No mdat: metadata-only, the
+    * moov-before-media shape of a faststart file.
+    */
+  def syntheticMp4Payload(timescale: Column, duration: Column, nTracks: Column): Column = {
+    def be(c: Column, hexDigits: Int) = lpad(hex(c), hexDigits, "0")
+    val mvhdHex = concat(
+      // size 108 + 'mvhd' + v0/flags + ctime + mtime
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      be(timescale, 8), be(duration, 8),
+      lit("00" * 80)) // rate..next_track_id zeroed
+    val trakHex = repeat(lit("000000087472616B"), nTracks) // empty trak boxes
+    val moovSize = lit(8 + 108) + nTracks * lit(8)
+    unhex(concat(
+      lit("000000106674797069736F6D00000000"), // ftyp(16): major 'isom', minor 0
+      be(moovSize, 8), lit("6D6F6F76"), // moov header
+      mvhdHex, trakHex))
+  }
+
   final case class DecodedFrame(id: Long, width: Int, height: Int, pixels: Array[Byte])
 
   /** Per-partition batched decode — the shape a real codec integration

@@ -139,6 +139,12 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("audio_meta") && !p.toLowerCase.contains("batchevalpython"), p)
   }
 
+  test("video-header metadata is a pure projection: no exchange, codegen'd parse") {
+    val p = plan("m_video_meta")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("video_meta") && !p.toLowerCase.contains("batchevalpython"), p)
+  }
+
   test("vocab signals: two pre-combined aggregates, no corpus window sort") {
     val p = plan("t_vocab")
     // top-token election is a min_by aggregate, never a per-doc window sort

@@ -131,6 +131,62 @@ class MultimodalSpec extends SparkSpec {
     assert(viaCol.isNullAt(0))
   }
 
+  test("videoMeta parses ISO BMFF headers round-trip through synthesis") {
+    val df = Seq(
+      (1L, 600, 18000L, 1), // 30 s at the QuickTime default timescale
+      (2L, 90000, 3003L, 3), // NTSC-ish: 33 ms
+      (3L, 1000, 0L, 2)) // zero-duration live-init shape
+      .toDF("id", "ts", "dur", "n")
+      .select(
+        col("id"), col("ts"), col("dur"), col("n"),
+        Multimodal.syntheticMp4Payload(col("ts"), col("dur"), col("n")).as("payload"))
+    val got = Multimodal.videoMeta(df, col("payload"))
+      .select("id", "format", "timescale", "duration", "duration_ms", "n_tracks")
+      .as[(Long, String, Int, Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, "mp4", 600, 18000L, 30000L, 1),
+      (2L, "mp4", 90000, 3003L, 33L, 3),
+      (3L, "mp4", 1000, 0L, 0L, 2)))
+  }
+
+  test("videoMeta: hand-built v1 mvhd parses; corrupt payloads yield null, not failure") {
+    import java.nio.ByteBuffer
+    import org.apache.spark.sql.graft.VideoHeaders
+    // ground truth built independently of syntheticMp4Payload: mvhd
+    // VERSION 1 (64-bit times; synthesis only emits v0) inside moov,
+    // preceded by a free box the top-level walk must skip
+    val mvhdV1Size = 8 + 4 + 8 + 8 + 4 + 8 // header + ver/flags + c/m-time64 + timescale + dur64
+    val moovSize = 8 + mvhdV1Size + 8 // + one empty trak
+    val buf = ByteBuffer.allocate(16 + 8 + moovSize) // BMFF is big-endian (ByteBuffer default)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII")).putInt(0)
+    buf.putInt(8).put("free".getBytes("US-ASCII"))
+    buf.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    buf.putInt(mvhdV1Size).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0x01000000) // version 1, flags 0
+      .putLong(0L).putLong(0L) // creation/modification, 64-bit
+      .putInt(48000).putLong(96000L) // timescale, duration64 -> 2000 ms
+    buf.putInt(8).put("trak".getBytes("US-ASCII"))
+    val r = VideoHeaders.parse(buf.array())
+    assert(r != null && r.getInt(1) == 48000 && r.getLong(2) == 96000L)
+    assert(r.getLong(3) == 2000L && r.getInt(4) == 1)
+    // corrupt shapes: null, never a throw
+    assert(VideoHeaders.parse(null) == null)
+    assert(VideoHeaders.parse(Array.empty[Byte]) == null)
+    assert(VideoHeaders.parse("not a video".getBytes("UTF-8")) == null)
+    // ftyp but no moov
+    val noMoov = ByteBuffer.allocate(16)
+    noMoov.putInt(16).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII")).putInt(0)
+    assert(VideoHeaders.parse(noMoov.array()) == null)
+    // moov but never a ftyp signature
+    val noFtyp = ByteBuffer.allocate(8)
+    noFtyp.putInt(8).put("moov".getBytes("US-ASCII"))
+    assert(VideoHeaders.parse(noFtyp.array()) == null)
+    // ANSI-mode plumbing: nulls flow through the column path
+    val df = Seq((1L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val viaCol = Multimodal.videoMeta(df, col("payload")).select("format").collect().head
+    assert(viaCol.isNullAt(0))
+  }
+
   test("sampleFrames explodes every-nth frame index before any decode") {
     val df = Seq((1L, "vid".getBytes("UTF-8"), 10)).toDF("id", "payload", "n_frames")
     val got = Multimodal
