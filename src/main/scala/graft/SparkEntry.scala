@@ -807,6 +807,30 @@ object SparkEntry {
           shingleLen = 3, threshold = 0.6, losslessPairs = true)
         .select(col("doc_id"))
     }),
+    "q_hot_items_stream" -> ((s, dir) => {
+      // T1 streaming: the reference's per-window top-N collector state
+      // machine (count buffer + windowEnd+1ms event-time timer,
+      // HotItemApp) on the correctness record — same oracle as the batch
+      // pane formulation. User ids zero-padded so the machine's
+      // lexicographic tie-break equals the oracle's numeric ordering.
+      val input = Tables(s, dir).events
+        .filter(col("event_type") === "click")
+        .select(
+          lpad(col("user_id").cast("string"), 12, "0").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      Replay.keyedEvents(input) { stream =>
+        StateMachines
+          .windowTopN(stream, sizeUs = 3600000000L, slideUs = 300000000L, n = 5)
+          .toDF()
+          .select(
+            col("window_start"),
+            col("item").cast("long").as("user_id"),
+            col("cnt"),
+            col("rank"))
+      }
+    }),
     "q_interval_stream" -> ((s, dir) => {
       // J1 streaming form on the correctness record: symmetric hash
       // interval join under watermarks (StreamJoins.intervalJoin), both
@@ -1020,6 +1044,8 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_sessions" -> sessionsSql,
     "q_hot_items" -> slidingOracle(
+      "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
+    "q_hot_items_stream" -> slidingOracle(
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
     "q_hot_pages" -> slidingOracle(
       "", "event_type", "event_type", 600000000L, 3, 3, "DESC"),

@@ -282,6 +282,79 @@ object StateMachines {
       })
   }
 
+  case class WindowTopNState(counts: Map[String, Long])
+  case class WindowTopRow(window_start: Timestamp, item: String, cnt: Long, rank: Int)
+
+  /** Streaming per-window top-N — reference T1/C1 (`HotItemApp.java:62,116-190`):
+    * count per (sliding window, item), buffer per window, event-time timer
+    * at windowEnd + 1 ms, emit the N largest (count desc, item asc) and
+    * clear state — the `ListState` + `registerEventTimeTimer` collector,
+    * re-expressed as one `flatMapGroupsWithState` keyed by window start.
+    *
+    * Each event is exploded into its size/slide containing windows BEFORE
+    * the keyed state op (a stateless projection after the watermark node),
+    * so the machine sees (windowStart, item) rows — the same keying as the
+    * reference's `keyBy(windowEnd)`. Watermark-advancing sentinel rows are
+    * dropped pre-explode; timers still fire because timeout processing is
+    * input-independent.
+    *
+    * Scale posture: state per window is O(distinct items), and every event
+    * crosses the exchange size/slide times — this is the FIDELITY path
+    * (exact reference semantics, timers and all). The batch pane
+    * formulation (`WindowAggs.slidingCountPanes` + `TopN.perPartition`)
+    * is the 100 TB path; both hash-match the same oracle.
+    */
+  def windowTopN(
+      events: Dataset[KeyedEvent],
+      sizeUs: Long,
+      slideUs: Long,
+      n: Int,
+      watermarkDelay: String = "2 seconds"): Dataset[WindowTopRow] = {
+    require(sizeUs % slideUs == 0, "window size must be a multiple of slide")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nW = (sizeUs / slideUs).toInt
+    // the explode is Column-based (not a typed flatMap): a typed map
+    // re-serializes and would strip the watermark metadata off `ts`,
+    // which EventTimeTimeout requires on the stateful op's input
+    val winStarts = {
+      val tUs = unix_micros(col("ts"))
+      val aligned = tUs - pmod(tUs, lit(slideUs))
+      array((0 until nW).map(i => aligned - lit(i.toLong * slideUs)): _*)
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(_.kind != Replay.Sentinel)
+      .select(explode(winStarts).as("win"), col("key").as("item"), col("ts"))
+      .as[(Long, String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WindowTopNState, WindowTopRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((winStartUs, it, state) => {
+        if (state.hasTimedOut) {
+          val counts = state.get.counts
+          state.remove()
+          counts.toSeq
+            .sortBy { case (item, cnt) => (-cnt, item) }
+            .take(n)
+            .iterator
+            .zipWithIndex
+            .map { case ((item, cnt), i) => WindowTopRow(tsOf(winStartUs), item, cnt, i + 1) }
+        } else {
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          for (r <- it) m = m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+          state.update(WindowTopNState(m))
+          // windowEnd + 1 ms, clamped above the watermark (late rows inside
+          // the delay margin re-arm an already-expired deadline)
+          state.setTimeoutTimestamp(math.max(
+            (winStartUs + sizeUs) / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+          Iterator.empty
+        }
+      })
+  }
+
   case class ReconcileState(left: List[(String, Long)], right: List[(String, Long)])
 
   /** Streaming two-stream reconciliation (reference J2 —

@@ -190,4 +190,36 @@ class StateMachinesSpec extends SparkSpec {
     assert(tags == Set(("tx1", "matched"), ("tx2", "left_only"), ("tx3", "right_only")))
     assert(out.find(_.tag == "matched").get.info == "p1|r1")
   }
+
+  test("windowTopN(stream): per-window counts, rank order, state cleared by timer") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    // 10 min windows sliding 5 min, top 2; key column carries the item
+    val q = StateMachines
+      .windowTopN(input.toDS(), sizeUs = 600000000L, slideUs = 300000000L, n = 2)
+      .writeStream.format("memory").queryName("sm_topn").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        ev("a", "2020-01-01 00:02:00", "click", "e1"),
+        ev("a", "2020-01-01 00:03:00", "click", "e2"),
+        ev("b", "2020-01-01 00:04:00", "click", "e3")))
+      q.processAllAvailable()
+      input.addData(Seq(ev("c", "2020-01-01 00:06:00", "click", "e4")))
+      q.processAllAvailable()
+      // watermark-advancing sentinels: the machine must DROP them (kind
+      // sentinel), yet their watermark still fires every window timer
+      for (i <- 0 until 2) {
+        input.addData(Seq(KeyedEvent(
+          Replay.Sentinel, ts(s"2030-01-01 00:00:0$i"), Replay.Sentinel, s"s$i")))
+        q.processAllAvailable()
+      }
+      val got = spark.table("sm_topn")
+        .as[StateMachines.WindowTopRow].collect()
+        .map(r => (r.window_start.toString, r.item, r.cnt, r.rank)).toSet
+      assert(got == Set(
+        ("2019-12-31 23:55:00.0", "a", 2L, 1), ("2019-12-31 23:55:00.0", "b", 1L, 2),
+        ("2020-01-01 00:00:00.0", "a", 2L, 1), ("2020-01-01 00:00:00.0", "b", 1L, 2),
+        ("2020-01-01 00:05:00.0", "c", 1L, 1)))
+    } finally q.stop()
+  }
 }
