@@ -688,6 +688,20 @@ object SparkEntry {
       Similarity.ivfTopK(v, v.filter(col("id") < 10), nLists = 16, nProbe = 4, k = 5)
     }),
 
+    "s_knn_pq" -> ((s, dir) => {
+      // product-quantization ANN (rows-only: candidate choice is
+      // approximate, emitted sims exact after refine re-rank).
+      // Acceptance bar (ApproxGatesSpec, same params, sf0.01): recall@5
+      // >= 0.9 (measured 0.92 at m=16 subspaces x 16 centroids,
+      // refine*k=60 exact re-ranks; m=8/refine=4 measured 0.64). The
+      // refine candidate count is constant in corpus size — the exact
+      // re-rank fraction vanishes as N grows while the ADC scan reads
+      // m bytes/vector instead of 4*dim.
+      val v = embeddingsIdVec(Tables(s, dir))
+      Similarity.pqTopK(v, v.filter(col("id") < 10),
+        m = 16, nCentroids = 16, k = 5, refine = 12)
+    }),
+
     "e_quantize_int8" -> ((s, dir) => {
       // symmetric int8 quantization of the embedding store, pinned
       // element-exactly via the md5 digest of the quantized vector
@@ -827,6 +841,28 @@ object SparkEntry {
           .select(
             col("window_start"),
             col("item").cast("long").as("user_id"),
+            col("cnt"),
+            col("rank"))
+      }
+    }),
+    "q_hot_pages_stream" -> ((s, dir) => {
+      // T2 streaming: same collector as q_hot_items_stream over 30m/10m
+      // windows keyed by event_type (URL stand-in), top-3 — the HotUrl
+      // late-update variant; ASCII keys, so the machine's lexicographic
+      // tie-break equals the oracle's string ordering directly
+      val input = Tables(s, dir).events
+        .select(
+          col("event_type").as("key"),
+          col("ts"),
+          lit("page").as("kind"),
+          col("event_id").cast("string").as("id"))
+      Replay.keyedEvents(input) { stream =>
+        StateMachines
+          .windowTopN(stream, sizeUs = 1800000000L, slideUs = 600000000L, n = 3)
+          .toDF()
+          .select(
+            col("window_start"),
+            col("item").as("event_type"),
             col("cnt"),
             col("rank"))
       }
@@ -1048,6 +1084,8 @@ object SparkEntry {
     "q_hot_items_stream" -> slidingOracle(
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
     "q_hot_pages" -> slidingOracle(
+      "", "event_type", "event_type", 600000000L, 3, 3, "DESC"),
+    "q_hot_pages_stream" -> slidingOracle(
       "", "event_type", "event_type", 600000000L, 3, 3, "DESC"),
     "q_ad_blacklist" ->
       """SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt

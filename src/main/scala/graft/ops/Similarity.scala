@@ -192,6 +192,127 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("sim"))
   }
 
+  /** Product-quantization ANN — the memory-bound scale path: vectors are
+    * unit-normalized, split into `m` subspaces of dim/m dims, each
+    * subspace k-means'd into `nCentroids` codes (index build: m
+    * sample-trained Lloyd loops). The scan then touches only the m-byte
+    * code arrays: ADC
+    * (asymmetric distance computation) scores a (query, code) pair as
+    * Σ_s lut[s][code_s] where the per-query LUT carries the query's
+    * sub-dot against every centroid — on unit vectors, ADC dot ≈ cosine.
+    * The top `refine·k` ADC candidates per query re-rank by EXACT cosine
+    * (the standard refine step), so emitted sims are exact and only the
+    * candidate CHOICE is approximate — recall floor gated in
+    * ApproxGatesSpec.
+    *
+    * Cost model at 100 TB: the full-corpus scan reads m bytes/vector
+    * instead of 4·dim (m=8 over dim=64 float ⇒ 32× less memory
+    * bandwidth), the broadcast carries |queries|·m·nCentroids LUT
+    * doubles, and only refine·k·|queries| rows re-join the raw vectors.
+    * Codebooks live in the plan as literals — no per-row shuffle at all
+    * until the per-query top-k fold.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      m: Int,
+      nCentroids: Int,
+      k: Int,
+      refine: Int = 4,
+      fitSample: Int = 2048,
+      excludeSelf: Boolean = true): DataFrame = {
+    def unit(v: Column): Column = {
+      val n = l2norm(v)
+      val safe = when(n > 0, n).otherwise(lit(1.0d)) // zero vectors stay zero
+      transform(v, x => x / safe)
+    }
+    val c = corpus.select(
+      col("id").as("nbr_id"),
+      col("vec").cast("array<double>").as("nbr_vec"),
+      unit(col("vec").cast("array<double>")).as("nv"))
+    // Index build: train the m sub-codebooks with a driver-side Lloyd
+    // loop over a BOUNDED deterministic sample (md5-ordered, capped at
+    // `fitSample` rows) — PQ codebooks are a model artifact, and the
+    // collect is O(fitSample·dim), constant in corpus size. Distributed
+    // k-means here cost m full fits (measured 16×~6 s at sf0.1) for
+    // identical codebook quality; training on a sample is the standard
+    // PQ index build. Fully deterministic: hash-ordered sample, farthest-
+    // point-free init from the sample's hash order, no RNG.
+    val sample: Array[Array[Double]] = c
+      .select(col("nv"), md5(col("nbr_id").cast("string")).as("__h"))
+      .orderBy(col("__h"), col("nbr_id"))
+      .limit(fitSample)
+      .select("nv").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must be a multiple of m=$m")
+    val d = dim / m
+    def lloyd(points: Array[Array[Double]], kC: Int, iters: Int): Array[Array[Double]] = {
+      val init = points.distinct
+      var cents = (if (init.length >= kC) init.take(kC) else init).map(_.clone)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](d))
+        val cnts = new Array[Int](cents.length)
+        for (p <- points) {
+          var best = 0; var bd = Double.MaxValue
+          for (ci <- cents.indices) {
+            var s = 0.0; var j = 0
+            while (j < d) { val t = p(j) - cents(ci)(j); s += t * t; j += 1 }
+            if (s < bd) { bd = s; best = ci }
+          }
+          cnts(best) += 1
+          val su = sums(best); var j = 0
+          while (j < d) { su(j) += p(j); j += 1 }
+        }
+        cents = Array.tabulate(cents.length)(ci =>
+          if (cnts(ci) > 0) sums(ci).map(_ / cnts(ci)) else cents(ci))
+      }
+      cents
+    }
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      lloyd(sample.map(_.slice(s * d, s * d + d)), nCentroids, iters = 10)
+        .map(_.toSeq).toSeq
+    }
+    def codeCol(vecCol: Column, s: Int): Column = {
+      val cb = typedlit(codebooks(s))
+      val sub = slice(vecCol, s * d + 1, d)
+      val dists = transform(cb, cent =>
+        aggregate(zip_with(sub, cent, (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val codes = c.select(
+      col("nbr_id"),
+      array((0 until m).map(codeCol(col("nv"), _)): _*).as("codes"))
+    val q = queries.select(
+      col("id").as("query_id"),
+      col("vec").cast("array<double>").as("q_vec"),
+      unit(col("vec").cast("array<double>")).as("qn"))
+    def lutCol(s: Int): Column = {
+      val cb = typedlit(codebooks(s))
+      transform(cb, cent => dot(slice(col("qn"), s * d + 1, d), cent))
+    }
+    val qLut = q.select(
+      col("query_id"), col("q_vec"),
+      array((0 until m).map(lutCol): _*).as("lut"))
+    val adc = codes
+      .join(broadcast(qLut), if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
+      .withColumn(
+        "__adc",
+        aggregate(
+          zip_with(col("lut"), col("codes"), (l, cd) => element_at(l, cd + 1)),
+          lit(0.0d), (a, x) => a + x))
+    val cands = TopN
+      .perPartition(adc, Seq(col("query_id")), Seq(col("__adc").desc, col("nbr_id").asc),
+        refine * k)
+      .select(col("query_id"), col("q_vec"), col("nbr_id"))
+    val exact = cands
+      .join(c.select(col("nbr_id"), col("nbr_vec")), "nbr_id")
+      .withColumn("sim", quantize(cosine(col("q_vec"), col("nbr_vec"))))
+    TopN
+      .perPartition(exact, Seq(col("query_id")), Seq(col("sim").desc, col("nbr_id").asc), k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
     * Brute-force N²/2 comparison expressed as a self-join — correct
     * baseline; for huge N switch blocking to [[lshBucket]] equality first

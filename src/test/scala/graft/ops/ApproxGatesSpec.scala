@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.io.Tables
 
-/** Deterministic acceptance gates for the four `no_oracle` approximate
+/** Deterministic acceptance gates for the `no_oracle` approximate
   * queries (d_dedup_minhash, d_dedup_simhash, d_dedup_embed_lsh,
-  * s_knn_lsh), run at the EXACT parameters SparkEntry declares, on the
-  * sf0.01 testdata the driver's correctness gate uses. These are the bars
-  * the SparkEntry comments cite: a parameter regression (e.g. back to the
-  * round-2 recall-0.119/0.02 LSH configs) fails this suite.
+  * s_knn_lsh, s_knn_ivf, s_knn_pq, q_uv_daily_*), run at the EXACT
+  * parameters SparkEntry declares, on the sf0.01 testdata the driver's
+  * correctness gate uses. These are the bars the SparkEntry comments
+  * cite: a parameter regression (e.g. back to the round-2
+  * recall-0.119/0.02 LSH configs) fails this suite.
   *
   * Precision is enforced as a SUBSET assertion (every emitted pair passes
   * the exact verify, so emitted ⊆ exact ⇒ precision 1); recall as a floor
@@ -102,6 +103,21 @@ class ApproxGatesSpec extends SparkSpec {
     val got = knnPairs(Similarity.ivfTopK(v, probes, nLists = 16, nProbe = 4, k = 5))
     assert(truth.nonEmpty, "gate is vacuous: no knn pairs")
     assert(recall(got, truth) >= 0.55, s"recall@5 ${recall(got, truth)} < 0.55")
+  }
+
+  test("s_knn_pq: recall@5 >= 0.9 vs brute force at m=16, 16 centroids, refine=12") {
+    // SparkEntry params: probes id<10, k=5, m=16 subspaces, 16 centroids,
+    // refine*k=60 ADC candidates re-ranked exactly (measured 0.92; the
+    // coarser m=8/refine=4 measured 0.64 — near-uniform embeddings
+    // need fine subspaces, same story as IVF's nProbe knee)
+    def knnPairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probes = v.filter(col("id") < 10)
+    val truth = knnPairs(Similarity.bruteForceTopK(v, probes, k = 5))
+    val got = knnPairs(Similarity.pqTopK(v, probes, m = 16, nCentroids = 16, k = 5, refine = 12))
+    assert(truth.nonEmpty, "gate is vacuous: no knn pairs")
+    info(s"pq recall@5 = ${recall(got, truth)}")
+    assert(recall(got, truth) >= 0.9, s"recall@5 ${recall(got, truth)} < 0.9")
   }
 
   test("s_knn_lsh: recall@5 >= 0.9 vs brute force at 4 planes x 16 tables") {

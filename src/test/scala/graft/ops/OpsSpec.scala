@@ -431,6 +431,28 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("pqTopK with exhaustive refine equals brute force (ADC only picks candidates)") {
+    val t = graft.io.Tables(spark, "/root/testdata/sf0.001")
+    val v = t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = v.count().toInt
+    val probes = v.filter(col("id") < 5)
+    val brute = Similarity.bruteForceTopK(v, probes, k = 3)
+      .select("query_id", "rank", "nbr_id", "sim").as[(Long, Long, Long, Long)].collect().toSet
+    // refine*k >= N: every vector is an ADC candidate, so the exact
+    // re-rank IS brute force — emitted sims and ranks must be identical
+    val pqFull = Similarity.pqTopK(v, probes, m = 8, nCentroids = 8, k = 3, refine = n / 3 + 1)
+      .select("query_id", "rank", "nbr_id", "sim").as[(Long, Long, Long, Long)].collect().toSet
+    assert(pqFull == brute)
+    // partial refine: exact sims on approximately-chosen candidates
+    val pqPartial = Similarity.pqTopK(v, probes, m = 8, nCentroids = 8, k = 3, refine = 4)
+      .select("query_id", "nbr_id", "sim").as[(Long, Long, Long)].collect()
+    val bruteSims = brute.map(r => ((r._1, r._3), r._4)).toMap
+    // every emitted sim that names a true-top-k pair carries the exact value
+    assert(pqPartial.forall { case (q, nb, s) =>
+      bruteSims.get((q, nb)).forall(_ == s)
+    })
+  }
+
   test("native CosineSim equals HOF formulation bit-for-bit") {
     val df = Seq((Array(0.1, 0.2, 0.7), Array(0.3, 0.9, 0.11))).toDF("a", "b")
     val hof = df.select(
