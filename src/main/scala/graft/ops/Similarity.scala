@@ -273,16 +273,15 @@ object Similarity {
       lloyd(sample.map(_.slice(s * d, s * d + d)), nCentroids, iters = 10)
         .map(_.toSeq).toSeq
     }
-    def codeCol(vecCol: Column, s: Int): Column = {
-      val cb = typedlit(codebooks(s))
-      val sub = slice(vecCol, s * d + 1, d)
-      val dists = transform(cb, cent =>
-        aggregate(zip_with(sub, cent, (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    // native codegen'd encode + ADC (org.apache.spark.sql.graft.{PqCodes,
+    // AdcScore}); the HOF formulations they replaced are interpreted
+    // (CodegenFallback) and were the whole scan cost — bit-equality of
+    // native vs HOF codes/scores is pinned in OpsSpec
+    val flat = codebooks.flatten.flatten.toArray
     val codes = c.select(
       col("nbr_id"),
-      array((0 until m).map(codeCol(col("nv"), _)): _*).as("codes"))
+      org.apache.spark.sql.graft.VectorFunctions
+        .pqCodes(col("nv"), flat, m, nCentroids, d).as("codes"))
     val q = queries.select(
       col("id").as("query_id"),
       col("vec").cast("array<double>").as("q_vec"),
@@ -293,14 +292,12 @@ object Similarity {
     }
     val qLut = q.select(
       col("query_id"), col("q_vec"),
-      array((0 until m).map(lutCol): _*).as("lut"))
+      array((0 until m).map(lutCol): _*).as("lut")) // |queries| rows: HOFs fine here
     val adc = codes
       .join(broadcast(qLut), if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
       .withColumn(
         "__adc",
-        aggregate(
-          zip_with(col("lut"), col("codes"), (l, cd) => element_at(l, cd + 1)),
-          lit(0.0d), (a, x) => a + x))
+        org.apache.spark.sql.graft.VectorFunctions.adcScore(col("lut"), col("codes")))
     val cands = TopN
       .perPartition(adc, Seq(col("query_id")), Seq(col("__adc").desc, col("nbr_id").asc),
         refine * k)

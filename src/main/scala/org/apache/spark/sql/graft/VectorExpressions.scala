@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Cosine similarity of two array<double> vectors as a single fused,
   * whole-stage-codegen'd pass: one loop accumulates dot, |a|², |b|².
@@ -139,6 +139,152 @@ case class SignProjectionBucket(child: Expression, signs: Array[Double], nPlanes
     copy(child = newChild)
 }
 
+/** Product-quantization encode: code s = argmin_c L2²(vec[s·d .. s·d+d),
+  * codebook[s][c]) for each of `m` subspaces → array<int> of m codes.
+  * The codebooks are baked into the expression at plan time
+  * (`addReferenceObj`), so the generated code is one tight m×k×d loop —
+  * the `transform`/`aggregate` HOF formulation is CodegenFallback and
+  * interprets m·k lambda trees per row.
+  *
+  * Tie-break: strict `<` keeps the FIRST minimal centroid — identical to
+  * `array_position(dists, array_min(dists))`. Missing trailing dims read
+  * as 0. Accumulation is the same sequential left fold as
+  * `aggregate(zip_with(...))`, so codes are bit-identical to the HOF
+  * formulation (pinned in OpsSpec).
+  */
+case class PqCodes(child: Expression, codebooks: Array[Double], m: Int, k: Int, d: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(codebooks.length == m * k * d, "codebooks must be m*k*d flattened")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var dist = 0.0
+        var j = 0
+        while (j < d) {
+          val idx = s * d + j
+          val xj = if (idx < n) x.getDouble(idx) else 0.0
+          val t = xj - codebooks(s * k * d + c * d + j)
+          dist += t * t
+          j += 1
+        }
+        if (dist < bd) { bd = dist; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val xj = ctx.freshName("xj")
+      val t = ctx.freshName("t")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd")
+      s"""
+         |final int $n = $v.numElements();
+         |final int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $best = 0; double $bd = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $dist = 0.0;
+         |    for (int $j = 0; $j < $d; $j++) {
+         |      final int $idx = $s * $d + $j;
+         |      final double $xj = $idx < $n ? $v.getDouble($idx) : 0.0;
+         |      final double $t = $xj - $cbRef[$s * $k * $d + $c * $d + $j];
+         |      $dist += $t * $t;
+         |    }
+         |    if ($dist < $bd) { $bd = $dist; $best = $c; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score: Σ_s lut[s][codes[s]] — the product-quantization asymmetric
+  * distance sum over a per-query lookup table (array<array<double>>) and
+  * a corpus row's code array. Codegen'd single loop; the
+  * `aggregate(zip_with(element_at...))` HOF tree it replaces is
+  * interpreted per element. Out-of-range codes contribute 0 (never
+  * throw). Sequential left fold — bit-identical to the HOF formulation
+  * (pinned in OpsSpec).
+  */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ArrayType(DoubleType)), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = math.min(lut.numElements(), codes.numElements())
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      val sub = lut.getArray(s)
+      val c = codes.getInt(s)
+      if (c >= 0 && c < sub.numElements()) sum += sub.getDouble(c)
+      s += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val sub = ctx.freshName("sub")
+      val c = ctx.freshName("c")
+      val sum = ctx.freshName("sum")
+      s"""
+         |final int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  final org.apache.spark.sql.catalyst.util.ArrayData $sub = $a.getArray($s);
+         |  final int $c = $b.getInt($s);
+         |  if ($c >= 0 && $c < $sub.numElements()) $sum += $sub.getDouble($c);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[CosineSim]]: `cosineSim($"a", $"b")`. */
   def cosineSim(a: Column, b: Column): Column =
@@ -149,4 +295,15 @@ object VectorFunctions {
   def signProjectionBucket(vec: Column, signs: Array[Double], nPlanes: Int, dim: Int): Column =
     ExpressionUtils.column(
       SignProjectionBucket(ExpressionUtils.expression(vec), signs, nPlanes, dim))
+
+  /** Column API for [[PqCodes]]; codebooks indexed [s][c][j] flattened to
+    * s·k·d + c·d + j. */
+  def pqCodes(vec: Column, codebooks: Array[Double], m: Int, k: Int, d: Int): Column =
+    ExpressionUtils.column(
+      PqCodes(ExpressionUtils.expression(vec), codebooks, m, k, d))
+
+  /** Column API for [[AdcScore]]. */
+  def adcScore(lut: Column, codes: Column): Column =
+    ExpressionUtils.column(
+      AdcScore(ExpressionUtils.expression(lut), ExpressionUtils.expression(codes)))
 }

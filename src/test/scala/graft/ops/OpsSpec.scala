@@ -453,6 +453,44 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("native PqCodes/AdcScore equal the HOF formulations bit-for-bit") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val t = graft.io.Tables(spark, "/root/testdata/sf0.001")
+    val v = t.embeddings
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("nv"))
+      .limit(50)
+    val (m, k, d) = (8, 4, 8)
+    // arbitrary fixed codebooks (not trained — equality is about the
+    // expression semantics, not recall)
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      (0 until k).map(c => (0 until d).map(j => math.sin(s * 131 + c * 17 + j) / 2)))
+    def hofCode(s: Int): org.apache.spark.sql.Column = {
+      val cb = typedlit(codebooks(s))
+      val sub = slice(col("nv"), s * d + 1, d)
+      val dists = transform(cb, cent =>
+        aggregate(zip_with(sub, cent, (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val flat = codebooks.flatten.flatten.toArray
+    val both = v.select(
+      col("id"),
+      VectorFunctions.pqCodes(col("nv"), flat, m, k, d).as("native"),
+      array((0 until m).map(hofCode): _*).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty, "codes differ")
+    // ADC: native sum vs HOF aggregate over a lut derived from the vector
+    val lut = array((0 until m).map(s =>
+      transform(typedlit(codebooks(s)), cent =>
+        Similarity.dot(slice(col("nv"), s * d + 1, d), cent))): _*)
+    val adcBoth = both
+      .join(v, "id")
+      .select(
+        VectorFunctions.adcScore(lut, col("native")).as("na"),
+        aggregate(
+          zip_with(lut, col("native"), (l, cd) => element_at(l, cd + 1)),
+          lit(0.0d), (a, x) => a + x).as("ha"))
+    assert(adcBoth.filter(col("na") =!= col("ha")).isEmpty, "adc scores differ")
+  }
+
   test("native CosineSim equals HOF formulation bit-for-bit") {
     val df = Seq((Array(0.1, 0.2, 0.7), Array(0.3, 0.9, 0.11))).toDF("a", "b")
     val hof = df.select(
