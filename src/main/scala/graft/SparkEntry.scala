@@ -574,6 +574,13 @@ object SparkEntry {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
     }),
+    "t_langid_model" -> ((s, dir) => {
+      // corpus-trained char-trigram classifier over the labeled lang
+      // column (integer votes against top-50 per-language profiles) —
+      // the model-based counterpart of t_langid's stopword heuristic
+      TextOps.charNgramLangId(
+        Tables(s, dir).documents, col("doc_id"), col("text"), col("lang"))
+    }),
     "t_repetition" -> ((s, dir) => {
       // within-doc repetition: 1 - distinct/total word trigrams (the
       // boilerplate/spam signal a quality filter thresholds on); the
@@ -1481,6 +1488,35 @@ object SparkEntry {
         |  64 + doc_id % 960 AS width,
         |  64 + (doc_id * 7) % 960 AS height
         |FROM documents""".stripMargin,
+    "t_langid_model" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |tri AS (
+        |  SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS g
+        |  FROM d, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+        |),
+        |prof AS (
+        |  SELECT lang AS p_lang, g FROM (
+        |    SELECT lang, g,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rn
+        |    FROM tri GROUP BY lang, g
+        |  ) WHERE rn <= 50
+        |),
+        |docg AS (SELECT DISTINCT doc_id, g FROM tri),
+        |votes AS (
+        |  SELECT docg.doc_id, prof.p_lang, count(*) AS v
+        |  FROM docg JOIN prof ON docg.g = prof.g
+        |  GROUP BY 1, 2
+        |),
+        |pred AS (
+        |  SELECT doc_id, p_lang, v,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, p_lang) AS rn
+        |  FROM votes
+        |)
+        |SELECT d0.doc_id,
+        |  coalesce(p.p_lang, 'und') AS lang_pred,
+        |  CAST(coalesce(p.v, 0) AS BIGINT) AS votes
+        |FROM (SELECT doc_id FROM documents) d0
+        |LEFT JOIN (SELECT * FROM pred WHERE rn = 1) p USING (doc_id)""".stripMargin,
     "m_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
         |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,

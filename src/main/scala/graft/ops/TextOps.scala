@@ -164,6 +164,63 @@ object TextOps {
         col("top_token"),
         (col("__top_cnt").cast("double") / col("n_tokens").cast("double")).as("top_ratio"))
 
+  /** Corpus-trained character-n-gram language ID — the real n-gram-family
+    * classifier (vs the [[langId]] stopword heuristic): per labeled
+    * language, the `profileSize` most frequent char trigrams form its
+    * profile (tie → trigram asc); a document votes once per distinct
+    * trigram it shares with a profile and is predicted as the
+    * highest-vote language (tie → language asc), `und` when it matches no
+    * profile at all. All-integer counting — no log-probabilities, so the
+    * result is bit-deterministic on any engine.
+    *
+    * Cost model at scale: the trigram explode is a stateless projection;
+    * the profile aggregate map-side-combines to O(langs · vocab) before
+    * moving and the profile table (langs × profileSize rows) broadcasts
+    * into the vote join. Two content-sized exchanges: distinct doc
+    * trigrams, per-(doc, lang) votes.
+    */
+  def charNgramLangId(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      langLabel: Column,
+      profileSize: Int = 50): DataFrame = {
+    val t = lower(text)
+    val tris = df.select(
+      id.as("doc_id"),
+      langLabel.as("__lang"),
+      explode(
+        when(length(t) >= 3, transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val profile = tris
+      .groupBy(col("__lang"), col("g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn(
+        "__rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("__lang").orderBy(col("__cnt").desc, col("g").asc)))
+      .filter(col("__rn") <= profileSize)
+      .select(col("__lang").as("p_lang"), col("g"))
+    val votes = tris
+      .select(col("doc_id"), col("g")).distinct()
+      .join(broadcast(profile), "g")
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .groupBy(col("doc_id"))
+      .agg(
+        min_by(col("p_lang"), struct((-col("votes")).as("nv"), col("p_lang").as("l")))
+          .as("__pred"),
+        max(col("votes")).as("__v"))
+    df.select(id.as("doc_id"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("__pred"), lit("und")).as("lang_pred"),
+        coalesce(col("__v"), lit(0L)).as("votes"))
+  }
+
   /** PII patterns for [[redactPii]], applied in this order. Kept inside
     * the Java-regex ∩ RE2 common subset (no backrefs, no lookaround) so
     * the same pattern strings mean the same matches in Spark, DuckDB,

@@ -154,6 +154,13 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("partial_count") || p.contains("partial_"), s"no map-side combine:\n$p")
   }
 
+  test("langid model: profile table broadcasts into the vote join") {
+    val p = plan("t_langid_model")
+    // the langs×50 profile must broadcast — a shuffled vote join would
+    // move every (doc, trigram) row by trigram
+    assert(p.contains("BroadcastHashJoin"), s"profile not broadcast:\n$p")
+  }
+
   test("capPerKey prunes to n per key on both sides of the rank shuffle") {
     val p = plan("p_cap_per_key")
     assert(p.contains("row_number(), 20, Partial") && p.contains("row_number(), 20, Final"),

