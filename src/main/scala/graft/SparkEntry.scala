@@ -828,6 +828,37 @@ object SparkEntry {
           shingleLen = 3, threshold = 0.6, losslessPairs = true)
         .select(col("doc_id"))
     }),
+    "q_channel_stats_stream" -> ((s, dir) => {
+      // A5 streaming: daily (channel,behavior) counts. The composite
+      // grouping key — including the JSON-extracted bucket, with 'n'
+      // marking null — is packed into the replay key column and unpacked
+      // batch-side; sentinel rows flow through the aggregate (conditional
+      // count, q_pv_hourly_stream pattern) and drop as zero-count groups.
+      val input = Tables(s, dir).events
+        .withColumn("k_bucket", get_json_object(col("props"), "$.k").cast("long") % 10)
+        .select(
+          concat_ws("|", col("event_type"),
+            coalesce(col("k_bucket").cast("string"), lit("n"))).as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      Replay
+        .keyedEvents(input) { stream =>
+          stream.toDF()
+            .withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 day"), col("key"))
+            .agg(count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"))
+            .select(col("window.start").as("window_start"), col("key"), col("cnt"))
+        }
+        .filter(col("cnt") > 0)
+        .withColumn("__p", split(col("key"), "\\|"))
+        .select(
+          col("window_start"),
+          col("__p").getItem(0).as("event_type"),
+          when(col("__p").getItem(1) === "n", lit(null))
+            .otherwise(col("__p").getItem(1)).cast("long").as("k_bucket"),
+          col("cnt"))
+    }),
     "q_hot_items_stream" -> ((s, dir) => {
       // T1 streaming: the reference's per-window top-N collector state
       // machine (count buffer + windowEnd+1ms event-time timer,
@@ -978,6 +1009,11 @@ object SparkEntry {
 
   // Shared between a batch query and its q_*_stream twin: the streaming
   // replay must hash-match the SAME oracle.
+  private val channelStatsSql =
+    """SELECT date_trunc('day', ts) AS window_start, event_type,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |       count(*) AS cnt
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
   private val intervalJoinSql =
     """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
       |       p.ts AS p_ts, c.ts AS c_ts
@@ -1080,11 +1116,8 @@ object SparkEntry {
     "q_uv_hourly" -> uvHourlySql,
     "q_uv_pane_stream" -> uvHourlySql,
     "q_pv_lateness_stream" -> pvHourlySql,
-    "q_channel_stats" ->
-      """SELECT date_trunc('day', ts) AS window_start, event_type,
-        |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-        |       count(*) AS cnt
-        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_channel_stats" -> channelStatsSql,
+    "q_channel_stats_stream" -> channelStatsSql,
     "q_sessions" -> sessionsSql,
     "q_hot_items" -> slidingOracle(
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
