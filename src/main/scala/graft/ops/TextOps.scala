@@ -186,12 +186,14 @@ object TextOps {
       langLabel: Column,
       profileSize: Int = 50): DataFrame = {
     val t = lower(text)
+    // native codegen'd n-gram explode (org.apache.spark.sql.graft
+    // .CharNgrams) — the transform(sequence)/substr HOF formulation it
+    // replaced interprets one lambda tree per character (measured 5.8 s →
+    // 3.5 s for t_langid_model at sf0.1); bit-equality pinned in OpsSpec
     val tris = df.select(
       id.as("doc_id"),
       langLabel.as("__lang"),
-      explode(
-        when(length(t) >= 3, transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+      explode(org.apache.spark.sql.graft.TextFunctions.charNgrams(t, 3)).as("g"))
     val profile = tris
       .groupBy(col("__lang"), col("g"))
       .agg(count(lit(1)).as("__cnt"))

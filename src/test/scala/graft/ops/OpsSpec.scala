@@ -491,6 +491,22 @@ class OpsSpec extends SparkSpec {
     assert(adcBoth.filter(col("na") =!= col("ha")).isEmpty, "adc scores differ")
   }
 
+  test("native CharNgrams equals the transform/substr HOF formulation") {
+    import org.apache.spark.sql.graft.TextFunctions
+    val df = Seq("hello world", "ab", "abc", "", "héllo ünïcode")
+      .toDF("t").select(lower(col("t")).as("t"))
+    val hof = when(
+      length(col("t")) >= 3,
+      transform(sequence(lit(1), length(col("t")) - 2), i => col("t").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val both = df.select(
+      TextFunctions.charNgrams(col("t"), 3).as("native"), hof.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    // sub-n strings give empty arrays, not null
+    assert(df.select(TextFunctions.charNgrams(col("t"), 3))
+      .collect().forall(!_.isNullAt(0)))
+  }
+
   test("native CosineSim equals HOF formulation bit-for-bit") {
     val df = Seq((Array(0.1, 0.2, 0.7), Array(0.3, 0.9, 0.11))).toDF("a", "b")
     val hof = df.select(
