@@ -544,6 +544,14 @@ object SparkEntry {
       Chunking.packByBudget(
         d, col("doc_id"), TextOps.tokenCount(col("text")), 512L, nShards = 8)
     }),
+    "p_shuffle" -> ((s, dir) => {
+      // deterministic epoch ordering: md5-keyed sharded permutation —
+      // (shard, pos) is the reproducible global training order; one hash
+      // exchange + per-shard rank, never a global sort
+      Sampling
+        .shardedShuffle(Tables(s, dir).documents, col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
     "d_chunk" -> ((s, dir) => {
       // overlapping 64-token / 16-overlap chunk windows (RAG/pretraining
       // sequence shaping); chunk text re-joined with single spaces
@@ -761,6 +769,19 @@ object SparkEntry {
           col("format"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+    }),
+    "m_frames" -> ((s, dir) => {
+      // frame-sampling plumbing on the record: every-3rd frame index of a
+      // doc_id-derived frame count — the explode runs BEFORE any decode,
+      // so a real decoder touches only sampled frames
+      val docs = Tables(s, dir).documents.select(
+        col("doc_id"), (lit(1L) + col("doc_id") % 50).cast("int").as("n_frames"))
+      Multimodal
+        .sampleFrames(docs, everyNth = 3, col("n_frames"))
+        .select(
+          col("doc_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"))
     }),
     "m_audio_meta" -> ((s, dir) => {
       // REAL RIFF/WAVE header parse (chunk walk → fmt + data size):
@@ -1521,6 +1542,24 @@ object SparkEntry {
         |  64 + doc_id % 960 AS width,
         |  64 + (doc_id * 7) % 960 AS height
         |FROM documents""".stripMargin,
+    "p_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(concat('0-', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, h,
+        |    CAST(concat('0x', substring(h, 1, 12)) AS BIGINT) % 8 AS shard
+        |  FROM s
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)) AS BIGINT) AS pos
+        |FROM sh""".stripMargin,
+    "m_frames" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 50 AS BIGINT) AS n_frames,
+        |  CAST(i AS BIGINT) AS frame_idx
+        |FROM documents, unnest(range(0, CAST(1 + doc_id % 50 AS BIGINT), 3)) AS u(i)""".stripMargin,
     "t_langid_model" ->
       """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
         |tri AS (

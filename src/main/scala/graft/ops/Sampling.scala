@@ -58,6 +58,30 @@ object Sampling {
   def shuffleKey(key: Column, seed: Long = 0L): Column =
     md5(concat(lit(s"$seed-"), key.cast("string")))
 
+  /** Distributed form of [[shuffle]] for epoch ordering at scale: rows
+    * land in `nShards` shards by their shuffle key's leading 48 hash bits
+    * and are ranked within the shard — (shard, pos) read in shard order
+    * is a deterministic global permutation, reproducible on any engine.
+    * The plan is ONE hash exchange + a per-shard sort; [[shuffle]]'s
+    * global `orderBy` is a range sort whose final order lives in however
+    * many output partitions Spark chose, with no addressable position. A
+    * training job sizes `nShards` to its reader parallelism (thousands at
+    * 100 TB) and streams shard files in index order.
+    */
+  def shardedShuffle(
+      df: DataFrame, key: Column, nShards: Int = 32, seed: Long = 0L): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__sk"), col("__kt"))
+    df.withColumn("__sk", shuffleKey(key, seed))
+      .withColumn("__kt", key.cast("string"))
+      .withColumn(
+        "shard",
+        pmod(conv(substring(col("__sk"), 1, 12), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__sk", "__kt")
+  }
+
   /** Cap each key's contribution at `n` rows (e.g. at most n docs per
     * domain — source-balance capping). Deterministic: rows are ranked by
     * `order` (include a unique tiebreaker). A thin alias over

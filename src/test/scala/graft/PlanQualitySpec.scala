@@ -154,6 +154,19 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("partial_count") || p.contains("partial_"), s"no map-side combine:\n$p")
   }
 
+  test("epoch shuffle is one shard exchange + local rank, never a global sort") {
+    val p = plan("p_shuffle")
+    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange (on shard):\n$p")
+    assert(!p.contains("rangepartitioning"), s"global range sort crept in:\n$p")
+  }
+
+  test("frame sampling is scan + generate: no shuffle") {
+    val p = plan("m_frames")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("langid model: profile table broadcasts into the vote join") {
     val p = plan("t_langid_model")
     // the langs×50 profile must broadcast — a shuffled vote join would

@@ -342,6 +342,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(sp("eval") - 1000) < 150, sp.toString)
   }
 
+  test("shardedShuffle: reproducible permutation with dense per-shard positions") {
+    val df = spark.range(1000).toDF("id")
+    def run(seed: Long) = Sampling.shardedShuffle(df, col("id"), nShards = 4, seed = seed)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    val a = run(0); val b = run(0)
+    assert(a.toSet == b.toSet) // rerun-stable
+    assert(a.map(_._1).toSet == (0L until 1000L).toSet) // a permutation: every row once
+    // positions are dense 1..n within each shard
+    val byShard = a.groupBy(_._2)
+    assert(byShard.forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq
+    })
+    assert(a.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // another epoch (seed) is a different order
+    assert(run(1).toSet != a.toSet)
+  }
+
   test("capPerKey limits per-key rows deterministically") {
     val df = Seq(("d1", 1L), ("d1", 2L), ("d1", 3L), ("d2", 9L)).toDF("domain", "doc")
     val got = Sampling.capPerKey(df, col("domain"), Seq(col("doc").asc), 2)
