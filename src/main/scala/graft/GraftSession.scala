@@ -23,6 +23,7 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      .withExtensions(GraftExtensions) // SQL names for the native expressions
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, struct, to_json}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
@@ -35,6 +36,35 @@ object Sinks {
     val w = df.write.mode("overwrite").bucketBy(nBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** Kafka's record contract for an arbitrary frame: key = `keyCol` as
+    * string, value = JSON of every other column. Split out from
+    * [[streamingKafka]] so the serialization is spec-testable batch-side
+    * (no broker ships in the test env, mirroring the reference, whose
+    * kafka connector is a declared dependency never instantiated —
+    * `pom.xml:44-47`).
+    */
+  def kafkaPayload(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.filterNot(_ == keyCol).map(col): _*)).as("value"))
+
+  /** Streaming: kafka sink builder over [[kafkaPayload]]'s contract;
+    * exactly-once to the checkpoint + transactional producer. Returns the
+    * un-started writer so callers can override options before `.start()`.
+    */
+  def streamingKafka(
+      df: DataFrame,
+      bootstrap: String,
+      topic: String,
+      keyCol: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    kafkaPayload(df, keyCol).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
 
   /** Streaming: append-mode partitioned parquet with a processing-time
     * trigger; exactly-once via the checkpoint. Returns the un-started

@@ -98,4 +98,27 @@ class RobustnessSpec extends SparkSpec {
     assert(n > 0)
     assert(spark.sql("SELECT count(*) FROM events").as[Long].head() > 0)
   }
+
+  test("SQL surface: native expressions are callable by name (GraftExtensions)") {
+    // identical vectors -> cosine 1.0
+    assert(spark.sql("SELECT cosine_sim(array(1d, 0d), array(1d, 0d))")
+      .head().getDouble(0) == 1.0)
+    // trigram split
+    assert(spark.sql("SELECT char_ngrams('abcd', 3)")
+      .head().getSeq[String](0) == Seq("abc", "bcd"))
+    // non-literal n is rejected loudly, not silently miscomputed
+    intercept[Exception] {
+      spark.sql("SELECT char_ngrams('abcd', CAST(rand() * 3 AS INT))").head()
+    }
+    // ADC over a literal LUT
+    assert(spark.sql("SELECT adc_score(array(array(1d, 2d), array(3d, 4d)), array(1, 0))")
+      .head().getDouble(0) == 5.0)
+    // header parsers answer SQL over binary columns; garbage -> null struct
+    val meta = spark.sql(
+      """SELECT image_meta(unhex('89504E470D0A1A0A0000000D49484452000000400000002008060000'))
+        |       AS m""".stripMargin).select("m.format", "m.width", "m.height").head()
+    assert(meta.getString(0) == "png" && meta.getInt(1) == 64 && meta.getInt(2) == 32)
+    assert(spark.sql("SELECT audio_meta(CAST('junk' AS BINARY))").head().isNullAt(0))
+    assert(spark.sql("SELECT video_meta(CAST('junk' AS BINARY))").head().isNullAt(0))
+  }
 }
