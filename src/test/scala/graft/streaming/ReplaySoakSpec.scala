@@ -61,4 +61,37 @@ class ReplaySoakSpec extends SparkSpec {
       assert(nBatches >= 5, s"expected many micro-batches, got $nBatches")
     } finally q.stop()
   }
+
+  test("windowTopN under 1s order jitter: exact final top-N (lateness inside the margin)") {
+    // out-of-order replay (arrival displaced ±1s from event-time order):
+    // with watermark delay 4s > 2×jitter, every late row lands BEFORE its
+    // window's timer can fire, so the collector still emits exactly the
+    // batch answer — the W6 allowed-lateness story for the T1 collector
+    val dir = "/root/testdata/sf0.001"
+    val clicks = graft.io.Tables(spark, dir).events.filter(col("event_type") === "click")
+    val input = clicks.select(
+      lpad(col("user_id").cast("string"), 12, "0").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"))
+    val streamed = Replay
+      .keyedEvents(input, orderJitterSec = 1) { stream =>
+        StateMachines
+          .windowTopN(stream, sizeUs = 3600000000L, slideUs = 300000000L, n = 5,
+            watermarkDelay = "4 seconds")
+          .toDF()
+          .select(
+            col("window_start"), col("item").cast("long").as("user_id"),
+            col("cnt"), col("rank").cast("long").as("rank"))
+      }
+      .as[(Timestamp, Long, Long, Long)].collect().toSet
+    val counts = graft.ops.WindowAggs
+      .slidingCountPanes(clicks, col("ts"), "1 hour", "5 minutes", Seq(col("user_id")))
+    val batch = graft.ops.TopN
+      .perPartition(counts, Seq(col("window_start")), Seq(col("cnt").desc, col("user_id").asc), 5)
+      .select(col("window_start"), col("user_id"), col("cnt"), col("rank").cast("long").as("rank"))
+      .as[(Timestamp, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
