@@ -849,6 +849,47 @@ object SparkEntry {
           shingleLen = 3, threshold = 0.6, losslessPairs = true)
         .select(col("doc_id"))
     }),
+    "q_enrich" -> ((s, dir) => {
+      // dimension enrichment: events x customer (broadcast dim), hourly
+      // per-nation counts — the lookup-join shape every pipeline needs;
+      // the fact stream never shuffles before its aggregate
+      val t = Tables(s, dir)
+      t.events
+        .join(broadcast(t.customer), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("window.start").as("window_start"),
+          col("c_nationkey").cast("long").as("nation"),
+          col("cnt"))
+    }),
+    "q_enrich_stream" -> ((s, dir) => {
+      // stream-static form of q_enrich: the replayed stream broadcast-
+      // joins the static dimension, then a watermarked windowed count.
+      // The sentinel registers its timestamp at the watermark node BELOW
+      // the join (only isnotnull pushes past it, which the sentinel key
+      // passes), so windows finalize even though no sentinel row survives
+      // the inner join.
+      val t = Tables(s, dir)
+      val dim = t.customer.select(
+        col("c_custkey").cast("string").as("ckey"), col("c_nationkey").as("nation"))
+      val input = t.events.select(
+        col("user_id").cast("string").as("key"),
+        col("ts"),
+        col("event_type").as("kind"),
+        col("event_id").cast("string").as("id"))
+      Replay.keyedEvents(input) { stream =>
+        stream.toDF()
+          .withWatermark("ts", "0 seconds")
+          .join(broadcast(dim), col("key") === col("ckey"))
+          .groupBy(window(col("ts"), "1 hour"), col("nation"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            col("window.start").as("window_start"),
+            col("nation").cast("long").as("nation"),
+            col("cnt"))
+      }
+    }),
     "q_channel_stats_stream" -> ((s, dir) => {
       // A5 streaming: daily (channel,behavior) counts. The composite
       // grouping key — including the JSON-extracted bucket, with 'n'
@@ -1030,6 +1071,11 @@ object SparkEntry {
 
   // Shared between a batch query and its q_*_stream twin: the streaming
   // replay must hash-match the SAME oracle.
+  private val enrichSql =
+    """SELECT date_trunc('hour', e.ts) AS window_start,
+      |       CAST(c.c_nationkey AS BIGINT) AS nation, count(*) AS cnt
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2""".stripMargin
   private val channelStatsSql =
     """SELECT date_trunc('day', ts) AS window_start, event_type,
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
@@ -1139,6 +1185,8 @@ object SparkEntry {
     "q_pv_lateness_stream" -> pvHourlySql,
     "q_channel_stats" -> channelStatsSql,
     "q_channel_stats_stream" -> channelStatsSql,
+    "q_enrich" -> enrichSql,
+    "q_enrich_stream" -> enrichSql,
     "q_sessions" -> sessionsSql,
     "q_hot_items" -> slidingOracle(
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),

@@ -154,6 +154,13 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("partial_count") || p.contains("partial_"), s"no map-side combine:\n$p")
   }
 
+  test("enrichment join broadcasts the dimension; fact stream never pre-shuffles") {
+    val p = plan("q_enrich")
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle (final agg):\n$p")
+  }
+
   test("epoch shuffle is one shard exchange + local rank, never a global sort") {
     val p = plan("p_shuffle")
     assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 1,
