@@ -552,6 +552,18 @@ object SparkEntry {
         .shardedShuffle(Tables(s, dir).documents, col("doc_id"), nShards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
+    "p_split_leakage" -> ((s, dir) => {
+      // split-boundary decontamination audit: the deterministic 90/10
+      // hash split followed by cross-split near-dup detection — the
+      // composition that catches train→eval leakage BEFORE a corpus
+      // ships (5 leaked pairs exist in the sf0.01 testdata)
+      val withSplit = Sampling.split(
+        Tables(s, dir).documents, col("doc_id"), Seq("train" -> 0.9, "eval" -> 0.1))
+      Dedup.crossCorpusNearDups(
+        withSplit.filter(col("split") === "train"),
+        withSplit.filter(col("split") === "eval"),
+        col("doc_id"), col("text"), 3, 0.5)
+    }),
     "d_chunk" -> ((s, dir) => {
       // overlapping 64-token / 16-overlap chunk windows (RAG/pretraining
       // sequence shaping); chunk text re-joined with single spaces
@@ -1590,6 +1602,21 @@ object SparkEntry {
         |  64 + doc_id % 960 AS width,
         |  64 + (doc_id * 7) % 960 AS height
         |FROM documents""".stripMargin,
+    "p_split_leakage" ->
+      s"""WITH s0 AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+         |      / 281474976710656.0 < 0.9 THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents
+         |), d AS (SELECT doc_id, split, $tokensExpr AS w FROM s0),
+         |g AS (SELECT doc_id, split, $shinglesExpr AS sh FROM d)
+         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM g a JOIN g b ON a.split = 'train' AND b.split = 'eval'
+         |WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
     "p_shuffle" ->
       """WITH s AS (
         |  SELECT doc_id, md5(concat('0-', CAST(doc_id AS VARCHAR))) AS h
