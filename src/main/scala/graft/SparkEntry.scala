@@ -737,6 +737,18 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("q_md5"), col("q_min"), col("q_max"),
           col("q_sum"), col("q_nnz"))
     }),
+    "t_len_quantiles_approx" -> ((s, dir) => {
+      // the declared 100 TB quantile path (percentile_approx sketch, no
+      // per-key sort) on the correctness record: at gate scale every
+      // key's N is far below the sketch accuracy, so the sketch is
+      // loss-free and the row shares the EXACT type-1 oracle — the
+      // approximation only begins past N ~ accuracy (rank error
+      // N/accuracy), which is the documented trade
+      val d = Tables(s, dir).documents
+        .select(TextOps.langId(col("text")).as("lang"), TextOps.tokenCount(col("text")).cast("long").as("n"))
+      Stats.approxQuantilesByKey(d, col("lang"), col("n"), Seq(0.25, 0.5, 0.75, 0.9))
+        .select(col("key").as("lang_pred"), col("p"), col("value").as("n_tokens"))
+    }),
     "t_len_quantiles" -> ((s, dir) => {
       // exact type-1 token-length quantiles per predicted language —
       // the filter-threshold view of the corpus; approx_percentile is
@@ -1088,6 +1100,19 @@ object SparkEntry {
       |       CAST(c.c_nationkey AS BIGINT) AS nation, count(*) AS cnt
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2""".stripMargin
+  private val lenQuantilesSql =
+    s"""WITH d AS (
+       |  SELECT CASE WHEN $stopCntExpr >= 2 THEN 'en' ELSE 'und' END AS lang_pred,
+       |    len($tokensExpr) AS n
+       |  FROM documents
+       |), r AS (
+       |  SELECT lang_pred, n,
+       |    row_number() OVER (PARTITION BY lang_pred ORDER BY n) AS rn,
+       |    count(*) OVER (PARTITION BY lang_pred) AS cnt
+       |  FROM d
+       |), p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+       |SELECT lang_pred, p, CAST(n AS BIGINT) AS n_tokens
+       |FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * cnt) AS BIGINT))""".stripMargin
   private val channelStatsSql =
     """SELECT date_trunc('day', ts) AS window_start, event_type,
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
@@ -1553,19 +1578,8 @@ object SparkEntry {
         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
         |  CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS q_nnz
         |FROM q""".stripMargin,
-    "t_len_quantiles" ->
-      s"""WITH d AS (
-         |  SELECT CASE WHEN $stopCntExpr >= 2 THEN 'en' ELSE 'und' END AS lang_pred,
-         |    len($tokensExpr) AS n
-         |  FROM documents
-         |), r AS (
-         |  SELECT lang_pred, n,
-         |    row_number() OVER (PARTITION BY lang_pred ORDER BY n) AS rn,
-         |    count(*) OVER (PARTITION BY lang_pred) AS cnt
-         |  FROM d
-         |), p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
-         |SELECT lang_pred, p, CAST(n AS BIGINT) AS n_tokens
-         |FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * cnt) AS BIGINT))""".stripMargin,
+    "t_len_quantiles" -> lenQuantilesSql,
+    "t_len_quantiles_approx" -> lenQuantilesSql,
     "s_knn_brute" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -46,4 +46,27 @@ object Stats {
         "inner")
       .select(col("__k").as("key"), col("p"), col("__v").as("value"))
   }
+
+  /** The 100 TB path for [[quantilesByKey]]: `percentile_approx` (GK-style
+    * mergeable sketch, one pass, no per-key sort — constant memory per
+    * key at any N). Spark's contract — smallest value whose rank/N ≥ p —
+    * IS the type-1 ⌈p·N⌉ value, so whenever a key's row count stays
+    * within `accuracy` the sketch is loss-free and this returns exactly
+    * [[quantilesByKey]]'s answer (which is how the t_len_quantiles_approx
+    * correctness row can share the exact oracle at gate scale); past
+    * that, rank error is bounded by N/accuracy.
+    */
+  def approxQuantilesByKey(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "need 0 < p <= 1")
+    df.groupBy(key.as("key"))
+      .agg(percentile_approx(value, array(ps.map(lit): _*), lit(accuracy)).as("__qs"))
+      .select(col("key"), posexplode(col("__qs")).as(Seq("__pos", "value")))
+      .withColumn("p", element_at(typedlit(ps), col("__pos") + 1))
+      .select(col("key"), col("p"), col("value"))
+  }
 }

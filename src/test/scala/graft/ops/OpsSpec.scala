@@ -765,6 +765,17 @@ class OpsSpec extends SparkSpec {
     assert(got(("b", 0.25)) == 7L && got(("b", 0.5)) == 7L && got(("b", 0.9)) == 9L)
   }
 
+  test("approxQuantilesByKey below sketch accuracy equals exact type-1 quantiles") {
+    val df = (1 to 500).map(i => ("k" + (i % 3), (i * 37 % 211).toLong)).toDF("k", "v")
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("key", "p", "value").as[(String, Double, Long)].collect().toSet
+    val exact = rows(Stats.quantilesByKey(df, col("k"), col("v"), ps))
+    val approx = rows(Stats.approxQuantilesByKey(df, col("k"), col("v"), ps))
+    assert(approx == exact) // N per key << accuracy: sketch is loss-free
+    assert(exact.size == 12)
+  }
+
   test("shingleHashRows matches wordShingles content") {
     val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo")).toDF("doc_id", "text")
     val viaRows = TextOps.shingleHashRows(df, col("doc_id"), col("text"), 3)
