@@ -49,8 +49,10 @@ object Sinks {
       col(keyCol).cast("string").as("key"),
       to_json(struct(df.columns.filterNot(_ == keyCol).map(col): _*)).as("value"))
 
-  /** Streaming: kafka sink builder over [[kafkaPayload]]'s contract;
-    * exactly-once to the checkpoint + transactional producer. Returns the
+  /** Streaming: kafka sink builder over [[kafkaPayload]]'s contract.
+    * Delivery is AT-LEAST-ONCE: Spark's kafka sink does not use Kafka
+    * transactions, so a retried micro-batch can re-publish records —
+    * dedupe downstream (or key records so consumers can). Returns the
     * un-started writer so callers can override options before `.start()`.
     */
   def streamingKafka(

@@ -63,8 +63,13 @@ object AudioHeaders {
       } else if (tag(b, p, "data")) {
         dataSize = size
       }
-      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-      if (p < 0) return null // overflowed size field: corrupt
+      // Advance in Long: size is an attacker-controlled u32, and .toInt of
+      // values >= 2^31 is negative — Int math lets a crafted size make the
+      // offset cycle (e.g. 0xFFFFFFF8 advances by exactly 0) and spin the
+      // task forever. Require a strictly forward, Int-representable offset.
+      val next = p.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      if (next <= p || next > Int.MaxValue) return null // non-advancing walk: corrupt
+      p = next.toInt
     }
     if (channels <= 0 || sampleRate <= 0 || blockAlign <= 0 || dataSize < 0) return null
     val nSamples = dataSize / blockAlign

@@ -57,8 +57,13 @@ object VideoHeaders {
         moovEnd = math.min(b.length.toLong, p + size).toInt
       }
       if (size < 8) return null // largesize/to-eof unsupported here: corrupt for our purposes
-      p += size.toInt
-      if (p < 0) return null // overflowed size field
+      // Advance in Long: size is an attacker-controlled u32 and .toInt of
+      // values >= 2^31 is negative — Int math lets a small forward box plus
+      // a huge-size backward box cycle the offset without ever going
+      // negative. Require a strictly forward, Int-representable offset.
+      val next = p.toLong + size
+      if (next <= p || next > Int.MaxValue) return null // non-advancing walk: corrupt
+      p = next.toInt
     }
     if (!sawFtyp || moovStart < 0) return null
     // walk moov children: mvhd (required) + count trak boxes
@@ -84,8 +89,9 @@ object VideoHeaders {
         nTracks += 1
       }
       if (size < 8) return null
-      q += size.toInt
-      if (q < 0) return null
+      val next = q.toLong + size // same strictly-forward Long walk as top level
+      if (next <= q || next > Int.MaxValue) return null
+      q = next.toInt
     }
     if (timescale <= 0 || duration < 0) return null
     row(timescale, duration, duration * 1000L / timescale, nTracks)

@@ -125,6 +125,15 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioHeaders.parse(Array.empty[Byte]) == null)
     assert(AudioHeaders.parse("RIFFxxxxWAVE".getBytes("US-ASCII")) == null)
     assert(AudioHeaders.parse("not audio".getBytes("UTF-8")) == null)
+    // crafted size fields whose .toInt makes the walk advance by exactly 0
+    // (0xFFFFFFF8 -> -8, 0xFFFFFFF7 -> -9 + pad 1): must return null, not
+    // spin the task forever
+    for (evil <- Seq(0xFFFFFFF8, 0xFFFFFFF7, 0x80000000)) {
+      val loop = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      loop.put("RIFF".getBytes("US-ASCII")).putInt(16).put("WAVE".getBytes("US-ASCII"))
+      loop.put("JUNK".getBytes("US-ASCII")).putInt(evil).putInt(0)
+      assert(AudioHeaders.parse(loop.array()) == null)
+    }
     // ANSI-mode plumbing: nulls flow through the column path
     val df = Seq((1L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
     val viaCol = Multimodal.audioMeta(df, col("payload")).select("format").collect().head
@@ -181,6 +190,20 @@ class MultimodalSpec extends SparkSpec {
     val noFtyp = ByteBuffer.allocate(8)
     noFtyp.putInt(8).put("moov".getBytes("US-ASCII"))
     assert(VideoHeaders.parse(noFtyp.array()) == null)
+    // crafted huge-size box whose .toInt jumps BACKWARD (0xFFFFFFF0 -> -16
+    // from p=16 lands on p=0, cycling 0 -> 16 -> 0 without ever going
+    // negative): must return null, not spin the task forever
+    val cycle = ByteBuffer.allocate(28)
+    cycle.putInt(16).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII")).putInt(0)
+    cycle.putInt(0xFFFFFFF0).put("free".getBytes("US-ASCII")).putInt(0)
+    assert(VideoHeaders.parse(cycle.array()) == null)
+    // same shape inside the moov child walk
+    val childCycle = ByteBuffer.allocate(16 + 8 + 12)
+    childCycle.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    childCycle.putInt(20).put("moov".getBytes("US-ASCII"))
+    childCycle.putInt(0xFFFFFFF0).put("free".getBytes("US-ASCII")).putInt(0)
+    assert(VideoHeaders.parse(childCycle.array()) == null)
     // ANSI-mode plumbing: nulls flow through the column path
     val df = Seq((1L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
     val viaCol = Multimodal.videoMeta(df, col("payload")).select("format").collect().head
