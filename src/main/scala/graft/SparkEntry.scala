@@ -464,12 +464,31 @@ object SparkEntry {
       // model-free near-dup: feature-hashed BoW count vectors + exact
       // cosine. Integer counts make the cosine bit-exact across engines
       // (products and norms are exact doubles; one division). The N²
-      // self-join is the declared exact baseline — at scale feed the
-      // same vectors to cosineNearDupPairsLSH, as with embeddings.
+      // self-join is the declared exact baseline; d_dedup_bow_lsh below
+      // is the declared scale path over the same vectors.
       val v = TextOps
         .hashedBowVectors(Tables(s, dir).documents, col("doc_id"), col("text"), dim = 64)
         .select(col("doc_id").as("id"), col("vec"))
       Similarity.cosineNearDupPairs(v, 0.95)
+    }),
+    "d_dedup_bow_lsh" -> ((s, dir) => {
+      // scale path of d_dedup_bow: LSH-blocked candidates, exact verify;
+      // probabilistic recall -> rows-only check (no oracle).
+      // Acceptance bar (ApproxGatesSpec, same params, sf0.01): output ⊆
+      // exact d_dedup_bow pairs (exact cosine verify ⇒ precision 1) and
+      // pair recall ≥ 0.9 (measured 0.998 at sf0.1, 3.5s exact vs 0.6s
+      // LSH). The 0.95 threshold means surviving pairs sit within ~18°
+      // (per-plane sign agreement ~0.9), so DEEP planes + many tables is
+      // the right corner — the opposite knee from the loose-threshold
+      // embedding twin (4×16); see docs/SCALE.md. The vector frame is
+      // cached because the LSH plan references it 4×, and unlike the
+      // embedding twin's parquet scan this upstream is a tokenize→agg
+      // pipeline (at cluster scale: write it to parquet instead).
+      val v = TextOps
+        .hashedBowVectors(Tables(s, dir).documents, col("doc_id"), col("text"), dim = 64)
+        .select(col("doc_id").as("id"), col("vec"))
+        .cache()
+      Similarity.cosineNearDupPairsLSH(v, 0.95, dim = 64, nPlanes = 12, nTables = 16)
     }),
     "d_substring_dedup" -> ((s, dir) => {
       // cross-doc repeated-substring signal (suffix-array dedup's

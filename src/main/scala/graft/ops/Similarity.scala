@@ -331,6 +331,13 @@ object Similarity {
     * on candidates only. Same output schema/quantization as brute force,
     * probabilistic recall. The pair space is an equi-join on (table,
     * bucket), i.e. hash-partitioned shuffles — never N².
+    *
+    * `df` is referenced FOUR times in the plan (both banding sides, two
+    * verify-join sides). A cheap scan re-reads for free; if the vectors
+    * come from an expensive pipeline (e.g. tokenize→hash→agg BoW),
+    * materialize first — `.cache()` locally, a parquet write at cluster
+    * scale — or the upstream recomputes 4× (measured 18× the candidate
+    * cost at sf0.1; see docs/SCALE.md).
     */
   def cosineNearDupPairsLSH(
       df: DataFrame,

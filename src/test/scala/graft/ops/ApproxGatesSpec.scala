@@ -67,6 +67,21 @@ class ApproxGatesSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
   }
 
+  test("d_dedup_bow_lsh: output subset of exact bow pairs, recall >= 0.9 at 12 planes x 16 tables") {
+    // SparkEntry params: threshold=0.95, dim=64, nPlanes=12, nTables=16
+    // over the SAME hashed-BoW vectors as the exact d_dedup_bow baseline
+    val bow = TextOps
+      .hashedBowVectors(t.documents, col("doc_id"), col("text"), dim = 64)
+      .select(col("doc_id").as("id"), col("vec"))
+    val truth = pairs(Similarity.cosineNearDupPairs(bow, 0.95))
+    val got = pairs(
+      Similarity.cosineNearDupPairsLSH(bow, 0.95, dim = 64, nPlanes = 12, nTables = 16))
+    assert(truth.nonEmpty, "gate is vacuous: no bow near-dup pairs in testdata")
+    assert(got.subsetOf(truth), s"precision violated: ${(got -- truth).take(5)}")
+    info(s"bow lsh recall = ${recall(got, truth)}")
+    assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
+  }
+
   test("q_uv_daily_approx / q_uv_daily_bloom: per-window estimates within error bars of exact") {
     // A8's two estimators at the declared query params (1-day windows over
     // the events table): HLL++ at rsd=0.05 and the bloom-bitmap Aggregator.
