@@ -369,21 +369,70 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 42L,
       losslessPairs: Boolean = false): DataFrame = {
-    // Stage 1: collapse exact duplicates first (one cheap fingerprint
-    // aggregate). Exact dups have J = 1 ≥ any threshold, so removing the
-    // non-minimal copies up front changes nothing semantically — but on
-    // duplication-heavy corpora it removes the quadratic pair blow-up
-    // before the expensive near-dup stage (measured 10×-replicated corpus:
-    // near-dup pair count drops from ~250k to the true cross-doc pairs).
-    val reps = df.join(
+    val reps = exactRepresentatives(df, id, text)
+    dropNearDuplicates(reps, id,
+      nearDupPairs(reps, id, text, shingleLen, k, bands, threshold, seed, losslessPairs))
+  }
+
+  /** Stage-1 of the dedup pipeline, exposed for composition: collapse
+    * exact duplicates first (one cheap fingerprint aggregate). Exact dups
+    * have J = 1 ≥ any threshold, so removing the non-minimal copies up
+    * front changes nothing semantically — but on duplication-heavy corpora
+    * it removes the quadratic pair blow-up before the expensive near-dup
+    * stage (measured 10×-replicated corpus: near-dup pair count drops from
+    * ~250k to the true cross-doc pairs).
+    */
+  def exactRepresentatives(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.join(
       exact(df, id, text).select(col("keep_id").as("__keep")),
       id === col("__keep"),
       "left_semi")
-    // Stage 2: near-dup clustering among representatives only.
-    val pairs =
-      if (losslessPairs) ngramJaccardPairs(reps, id, text, shingleLen, threshold)
-      else minhashDedup(reps, id, text, shingleLen, k, bands, threshold, seed)
-    val losers = connectedComponents(pairs).filter(col("id") =!= col("cluster_id"))
+
+  /** Stage-2 pair generation, exposed for composition: the (a, b) near-dup
+    * candidate pairs over the stage-1 representatives, lossless
+    * (shared-shingle blocking, every J ≥ threshold pair found) or
+    * MinHash-LSH (probabilistic recall, the scale default).
+    *
+    * This is THE frame to compute once and share: a pipeline that wants
+    * clusters AND a keep-list AND a drop-list should derive all three from
+    * one pair frame ([[connectedComponents]], [[dropNearDuplicates]],
+    * [[dropNearDuplicatesKeepBest]] all accept it) instead of re-running
+    * shingle-explode + self-join per consumer. Pair generation is lazy —
+    * `persist()` (or checkpoint) the result before fanning out, or each
+    * consumer's internal materialization re-runs the upstream.
+    */
+  def nearDupPairs(
+      reps: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      losslessPairs: Boolean = false): DataFrame =
+    if (losslessPairs) ngramJaccardPairs(reps, id, text, shingleLen, threshold)
+    else minhashDedup(reps, id, text, shingleLen, k, bands, threshold, seed)
+
+  /** Keep-canonical consumer over a SHARED pair frame: drops every
+    * non-minimal member of each pair component from `reps` (the stage-1
+    * representatives the pairs were generated over — see
+    * [[exactRepresentatives]] / [[nearDupPairs]]). A pipeline that also
+    * wants keep-best or the clusters themselves should run
+    * [[connectedComponents]] once and use the `FromClusters` variants —
+    * CC is iterative and worth sharing just like the pair frame.
+    */
+  def dropNearDuplicates(reps: DataFrame, id: Column, pairs: DataFrame): DataFrame =
+    dropNearDuplicatesFromClusters(reps, id, connectedComponents(pairs))
+
+  /** [[dropNearDuplicates]] over a precomputed `(id, cluster_id)` label
+    * table (one [[connectedComponents]] run shared across consumers).
+    */
+  def dropNearDuplicatesFromClusters(
+      reps: DataFrame,
+      id: Column,
+      clusters: DataFrame): DataFrame = {
+    val losers = clusters.filter(col("id") =!= col("cluster_id"))
     reps.join(losers, id === losers("id"), "left_anti")
   }
 
@@ -412,14 +461,32 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 42L,
       losslessPairs: Boolean = false): DataFrame = {
-    val reps = df.join(
-      exact(df, id, text).select(col("keep_id").as("__keep")),
-      id === col("__keep"),
-      "left_semi")
-    val pairs =
-      if (losslessPairs) ngramJaccardPairs(reps, id, text, shingleLen, threshold)
-      else minhashDedup(reps, id, text, shingleLen, k, bands, threshold, seed)
-    val cc = connectedComponents(pairs) // (id, cluster_id), clustered docs only
+    val reps = exactRepresentatives(df, id, text)
+    dropNearDuplicatesKeepBest(reps, id, quality,
+      nearDupPairs(reps, id, text, shingleLen, k, bands, threshold, seed, losslessPairs))
+  }
+
+  /** Keep-best consumer over a SHARED pair frame (see
+    * [[dropNearDuplicates]]'s pair-frame overload for the composition
+    * contract): per component, keep the highest-`quality` member
+    * (tie → smallest id) of `reps` and drop the rest.
+    */
+  def dropNearDuplicatesKeepBest(
+      reps: DataFrame,
+      id: Column,
+      quality: Column,
+      pairs: DataFrame): DataFrame =
+    dropNearDuplicatesKeepBestFromClusters(reps, id, quality, connectedComponents(pairs))
+
+  /** [[dropNearDuplicatesKeepBest]] over a precomputed `(id, cluster_id)`
+    * label table (one [[connectedComponents]] run shared across
+    * consumers).
+    */
+  def dropNearDuplicatesKeepBestFromClusters(
+      reps: DataFrame,
+      id: Column,
+      quality: Column,
+      cc: DataFrame): DataFrame = {
     val qual = reps.select(id.as("__qid"), quality.cast("double").as("__q"))
     val winners = cc
       .join(qual, col("id") === col("__qid"))

@@ -318,6 +318,42 @@ class OpsSpec extends SparkSpec {
     assert(keptTied.toSeq == Seq(1L, 3L))
   }
 
+  test("dedup consumers compose over ONE shared pair frame, results identical") {
+    // The pipeline shape for a real run: stage-1 collapse and stage-2 pair
+    // generation happen ONCE; clusters, the drop keep-list, and the
+    // keep-best keep-list all derive from the same persisted pair frame —
+    // no per-consumer shingle-explode + self-join recompute.
+    val docs = graft.io.Tables(spark, "/root/testdata/sf0.01").documents
+    val reps = Dedup.exactRepresentatives(docs, col("doc_id"), col("text"))
+    val pairs = Dedup
+      .nearDupPairs(reps, col("doc_id"), col("text"), shingleLen = 3, threshold = 0.6,
+        losslessPairs = true)
+      .persist()
+    try {
+      assert(pairs.count() > 0, "composition test is vacuous: no pairs")
+      def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select(col("doc_id")).as[Long].collect().sorted.toSeq
+      val qual = TextOps.tokenCount(col("text"))
+      // shared-frame consumers == the one-shot conveniences, exactly
+      assert(ids(Dedup.dropNearDuplicates(reps, col("doc_id"), pairs)) ==
+        ids(Dedup.dropNearDuplicates(docs, col("doc_id"), col("text"),
+          shingleLen = 3, threshold = 0.6, losslessPairs = true)))
+      assert(ids(Dedup.dropNearDuplicatesKeepBest(reps, col("doc_id"), qual, pairs)) ==
+        ids(Dedup.dropNearDuplicatesKeepBest(docs, col("doc_id"), col("text"), qual,
+          shingleLen = 3, threshold = 0.6, losslessPairs = true)))
+      // deepest composition: ONE CC label table feeds both consumers too
+      val cc = Dedup.connectedComponents(pairs).persist()
+      try {
+        assert(cc.count() > 0)
+        assert(ids(Dedup.dropNearDuplicatesFromClusters(reps, col("doc_id"), cc)) ==
+          ids(Dedup.dropNearDuplicates(reps, col("doc_id"), pairs)))
+        assert(
+          ids(Dedup.dropNearDuplicatesKeepBestFromClusters(reps, col("doc_id"), qual, cc)) ==
+            ids(Dedup.dropNearDuplicatesKeepBest(reps, col("doc_id"), qual, pairs)))
+      } finally cc.unpersist()
+    } finally pairs.unpersist()
+  }
+
   test("vocabSignals: exact counts, ttr, top-token with (count desc, token asc) tie-break") {
     val df = Seq(
       (1L, "b b a a c"), // tie on count 2: 'a' < 'b' wins
