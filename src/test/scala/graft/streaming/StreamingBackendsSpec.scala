@@ -55,6 +55,28 @@ class StreamingBackendsSpec extends SparkSpec {
     } finally s.conf.unset(ProviderConf)
   }
 
+  test("q_hot_items_stream replays on RocksDBStateStoreProvider == batch twin (sf0.01)") {
+    // The 100 TB posture claims RocksDB for state that exceeds executor
+    // heap; this runs the LARGEST-state replay on the correctness record
+    // (the streaming top-N collector holds every open (window, key) pane)
+    // under the provider end-to-end — 12 micro-batches, watermark
+    // eviction, timer firing — and asserts the output is IDENTICAL to the
+    // batch twin that the DuckDB oracle checks.
+    spark.conf.set(ProviderConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.01"
+      val streamed = graft.SparkEntry.queries("q_hot_items_stream")(spark, dir)
+      val batch = graft.SparkEntry.queries("q_hot_items")(spark, dir)
+      val cols = batch.columns.sorted.toSeq
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+      val got = rows(streamed)
+      assert(got.nonEmpty)
+      assert(got == rows(batch))
+    } finally spark.conf.unset(ProviderConf)
+  }
+
   test("socketStream reads lines from a live loopback TCP server (S2, e2e)") {
     // dev/debug source, but it can be driven for real: a ServerSocket on
     // 127.0.0.1 needs no external network
