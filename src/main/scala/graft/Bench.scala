@@ -1,15 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.streaming.{KeyedEvent, Replay, StateMachines}
 
 /** Benchmark main: one JSON line with steady-state per-query seconds.
   *
-  * Protocol (unchanged since round 1, disclosed in the JSON): a full
-  * untimed warm pass first (JIT + whole-stage-codegen compilation are
-  * one-time costs a long-running service never re-pays), then the timed
-  * pass through the `noop` sink (forces every output column to be
-  * computed — a bare count() would let Catalyst prune projection-only
-  * work to a row count). `value` = steady-state total; `cold_sec` = the
-  * warm pass (cold end-to-end), so both protocols are always reported.
+  * Protocol (disclosed in the JSON): a full untimed warm pass first (JIT +
+  * whole-stage-codegen compilation are one-time costs a long-running
+  * service never re-pays), then timed passes through the `noop` sink
+  * (forces every output column to be computed — a bare count() would let
+  * Catalyst prune projection-only work to a row count). `value` =
+  * steady-state total; `cold_sec` = the warm pass (cold end-to-end), so
+  * both protocols are always reported.
+  *
+  * Contention guard (round-6 lesson: a contended host inflated the
+  * committed snapshot ~1.6× uniformly): timed passes repeat until two
+  * back-to-back totals agree within 15% (max 3 passes). The JSON carries
+  * every pass total (`steady_totals`), whether agreement was reached
+  * (`stable`) and the 1-minute loadavg at exit (`loadavg`) — a snapshot
+  * with `stable: false` or high loadavg is flagged as untrustworthy by
+  * its own record.
+  *
+  * Streaming throughput (`stream` key): the events table replayed through
+  * three representative state machines via the same harness the
+  * correctness record uses, but in 4 large chunks so micro-batch
+  * scheduling doesn't dominate; reports rows/sec per machine. No gate —
+  * visibility for the state-machine path the batch queries don't time.
   *
   * Reporting channel: the JSON line goes to stdout AND to the file named
   * by `SPARK_GRAFT_BENCH_OUT` (default `bench_out.json` in the cwd) —
@@ -43,28 +61,84 @@ object Bench {
     // q_*_stream queries are correctness-gate replays (file-source
     // micro-batches, ~0.3 s trigger cadence each): their wall time
     // measures the replay harness's scheduling, not engine throughput, so
-    // the bench covers the batch headline queries and reports the skips.
+    // the bench covers the batch headline queries and reports the skips —
+    // the state-machine path is measured separately below (`stream`).
     val (streamNames, names) = SparkEntry.queries.keys.toSeq.sorted.partition(_.endsWith("_stream"))
     val tCold = System.nanoTime()
     val cold = names.map(n => n -> runOne(n)).toMap // warm pass (also sanity)
     val coldSec = (System.nanoTime() - tCold) / 1e9
-    val results = names.map { n =>
-      n -> (if (cold(n) < 0) -1.0 else runOne(n)) // keep failures marked
+
+    def timedPass(): Seq[(String, Double)] =
+      names.map(n => n -> (if (cold(n) < 0) -1.0 else runOne(n))) // keep failures marked
+    def totalOf(p: Seq[(String, Double)]): Double =
+      p.collect { case (_, v) if v >= 0 => v }.sum
+    var results = timedPass()
+    var totals = List(totalOf(results))
+    var stable = false
+    while (!stable && totals.size < 3) {
+      val next = timedPass()
+      val nt = totalOf(next)
+      stable = math.abs(nt - totals.head) / math.max(1e-9, math.min(nt, totals.head)) <= 0.15
+      results = next // report the later (better-warmed) pass
+      totals = nt :: totals
     }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = totalOf(results)
     val failed = results.count(_._2 < 0)
     // a partial total must never be comparable to a complete one: any
     // failure nulls the headline value (per-query numbers stay reported)
     val value = if (failed > 0) "null" else total.toString
     val skipped = streamNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val steadyTotals = totals.reverse.mkString("[", ",", "]")
+    val loadavg =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    val streamJson = streamThroughput(spark, sfDir)
+
     val line =
-      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"steady-state","cold_sec":$coldSec,"failed":$failed,"skipped_stream_replays":$skipped}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"steady-state","cold_sec":$coldSec,"failed":$failed,"steady_totals":$steadyTotals,"stable":$stable,"loadavg":$loadavg,"stream":$streamJson,"skipped_stream_replays":$skipped}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
+  }
+
+  /** rows/sec of three representative streaming state machines over the
+    * full events table at `sfDir` — the windowed top-N collector (largest
+    * state), the timer-driven request/response matcher, and the as-of
+    * join. Input rows / wall seconds, end-to-end including source chunking
+    * and sink.
+    */
+  private def streamThroughput(spark: SparkSession, sfDir: String): String = {
+    val keyed = Tables(spark, sfDir).events.select(
+      col("user_id").cast("string").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"))
+    val nRows = keyed.count()
+    def one(name: String)(
+        pipeline: org.apache.spark.sql.Dataset[KeyedEvent] => DataFrame): String = {
+      val t0 = System.nanoTime()
+      try {
+        Replay.keyedEvents(keyed, nChunks = 4)(pipeline).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        f""""$name":{"rows":$nRows,"sec":$sec%.2f,"rows_per_sec":${(nRows / sec).toLong}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] stream $name failed: $e")
+          s""""$name":{"rows":$nRows,"sec":-1,"rows_per_sec":-1}"""
+      }
+    }
+    Seq(
+      one("windowTopN")(s =>
+        StateMachines.windowTopN(s, sizeUs = 3600000000L, slideUs = 300000000L, n = 5).toDF()),
+      one("matchWithTimeout")(s =>
+        StateMachines.matchWithTimeout(s, "signup", "purchase", timeoutSec = 86400L).toDF()),
+      one("asOf")(s =>
+        StateMachines.asOf(s, buildKind = "purchase", probeKind = "click").toDF()))
+      .mkString("{", ",", "}")
   }
 }

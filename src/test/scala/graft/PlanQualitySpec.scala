@@ -215,6 +215,15 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"WindowGroupLimit pruning missing:\n$p")
   }
 
+  test("bow LSH dedup plans NO nested-loop join: bucket equi-join only") {
+    // d_dedup_bow's N² self-join is the declared exact baseline; the scale
+    // twin must never regress to it — candidates come from the (table,
+    // bucket) equi-join, vectors only join back by id for verification
+    val p = plan("d_dedup_bow_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"N² join crept into the LSH scale path:\n$p")
+  }
+
   test("brute-force knn broadcasts the probe side; only pruned top-k crosses the shuffle") {
     val p = plan("s_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // probe broadcast x corpus scan
