@@ -408,6 +408,39 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(discPrice).cast("double").as("revenue"))
     }),
+    "q_rollup_revenue" -> ((s, dir) => {
+      // OLAP grouping sets — the reference's DWS summary layer (per-dim
+      // cubes materialized app-by-app) re-expressed as one declarative
+      // rollup: region → nation subtotals + grand total in a SINGLE scan
+      // (Catalyst plans one Expand + one hash agg, with partial
+      // aggregation per grouping set — not one pass per level). Decimal
+      // money math as in q1/q5 keeps the sums order-independent.
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    }),
+    "q_pivot_daily" -> ((s, dir) => {
+      // OLAP pivot: the reference's DWS wide tables (one counter column
+      // per behavior, maintained app-by-app) as ONE declarative pivot.
+      // Values are PINNED: Spark then skips the distinct-collect job an
+      // open pivot needs and plans the PivotFirst path — count
+      // pre-combines map-side at (day,type) grain, then a pivot agg
+      // routes day-grain rows into columns. Both exchanges carry only
+      // aggregated rows (days × 5 types), never event-grain data, at
+      // any corpus size. Absent (day,type) combos surface as null from
+      // pivot-count; coalesce to 0 to match COUNT semantics.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables(s, dir).events
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+    }),
     "q_top_orders" -> ((s, dir) => {
       // T1 batch flavor on relational data: top-10 orders by price per priority
       TopN
@@ -545,6 +578,23 @@ object SparkEntry {
           Tables(s, dir).documents, col("doc_id"),
           TextOps.langId(col("text")), Map("en" -> 0.1, "und" -> 0.6))
         .select(col("doc_id"))
+    }),
+    "p_sample_weighted" -> ((s, dir) => {
+      // importance sampling: inclusion probability proportional to doc
+      // length (n_chars/2000 × 0.2, capped at 1) — upsample long docs in
+      // a mixture; the same engine-portable md5 decision as p_sample, so
+      // the oracle replicates the exact keep-set, not just its size
+      Sampling.sampleWeighted(Tables(s, dir).documents, col("doc_id"),
+          col("n_chars").cast("double") / 2000.0 * 0.2)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+    "p_mixture_sqrt" -> ((s, dir) => {
+      // corpus mixture rebalancing: α=1/2 temperature sampling — each
+      // source's expected contribution is c·sqrt(n_s), so dominant
+      // sources are down-weighted and any source with ≤ c² docs is kept
+      // whole. sqrt (not pow) keeps the md5 keep-set engine-exact.
+      Sampling.sampleSqrtSmoothed(Tables(s, dir).documents, col("doc_id"), col("source"), 3.0)
+        .select(col("doc_id"), col("source"))
     }),
     "p_token_budget" -> ((s, dir) => {
       // corpus mixing: each source contributes docs in md5 order until
@@ -1010,6 +1060,26 @@ object SparkEntry {
             col("rank"))
       }
     }),
+    "q_dedup_stream" -> ((s, dir) => {
+      // streaming exact dedup: Structured Streaming's dropDuplicates —
+      // THE ingestion-dedup op (state = seen keys, every first arrival
+      // emitted immediately in append mode, duplicates across micro-
+      // batches dropped by the state store). The output is the KEY SET:
+      // which physical row arrives first per key depends on partition
+      // scheduling, so emitting payload columns would be nondeterministic
+      // — the key set equals the DISTINCT oracle exactly. Scale posture:
+      // state grows with distinct keys; bound it with
+      // dropDuplicatesWithinWatermark when keys recur only within a
+      // horizon, or dedup at rest (d_dedup_exact) otherwise.
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          stream.toDF()
+            .dropDuplicates("key", "kind")
+            .select(col("key"), col("kind"))
+        }
+        .filter(col("key") =!= Replay.Sentinel)
+        .select(col("key").cast("long").as("user_id"), col("kind").as("event_type"))
+    }),
     "q_interval_stream" -> ((s, dir) => {
       // J1 streaming form on the correctness record: symmetric hash
       // interval join under watermarks (StreamJoins.intervalJoin), both
@@ -1289,6 +1359,7 @@ object SparkEntry {
     "q_asof_stream" -> asOfSql,
     "q_interval_join" -> intervalJoinSql,
     "q_interval_stream" -> intervalJoinSql,
+    "q_dedup_stream" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q_reconcile" ->
       """SELECT coalesce(p.user_id, sg.user_id) AS user_id,
         |       p.event_id AS p_id, sg.event_id AS s_id,
@@ -1326,6 +1397,23 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
+    "q_rollup_revenue" ->
+      s"""SELECT r_name, n_name, CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "q_top_orders" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -1448,6 +1536,11 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
         |      / 281474976710656.0 < 0.1""".stripMargin,
+    "p_sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      / 281474976710656.0
+        |      < least(1.0, CAST(n_chars AS DOUBLE) / 2000.0 * 0.2)""".stripMargin,
     "p_split" ->
       """SELECT CASE
         |    WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
@@ -1459,6 +1552,12 @@ object SparkEntry {
          |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
          |      / 281474976710656.0
          |      < CASE WHEN $stopCntExpr >= 2 THEN 0.1 ELSE 0.6 END""".stripMargin,
+    "p_mixture_sqrt" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM documents
+        |) WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |        / 281474976710656.0 < least(1.0, 3.0 / sqrt(CAST(n_s AS DOUBLE)))""".stripMargin,
     "p_token_budget" ->
       s"""WITH d AS (
          |  SELECT source, doc_id, len($tokensExpr) AS tok,

@@ -22,6 +22,16 @@ object Sampling {
   def sample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(hashUnit(key) < fraction)
 
+  /** Importance-weighted deterministic Bernoulli: keep each row with
+    * probability `min(1, prob)` where `prob` is any per-row expression
+    * (length- or quality-proportional — the corpus-reweighting
+    * primitive: upsample the documents a mixture wants more of). Same
+    * md5 decision as [[sample]]: per-row, shuffle-free, and the exact
+    * keep-set is reproducible on any engine that can evaluate `prob`.
+    */
+  def sampleWeighted(df: DataFrame, key: Column, prob: Column): DataFrame =
+    df.filter(hashUnit(key) < least(lit(1.0), prob.cast("double")))
+
   /** Stratified deterministic sample: a per-stratum keep fraction
     * (rebalancing a corpus by language/source/quality tier). `strata` is
     * any string expression; unlisted strata fall back to
@@ -38,6 +48,27 @@ object Sampling {
       case (acc, (s, f)) => when(strata === s, f).otherwise(acc)
     }
     df.filter(hashUnit(key) < frac)
+  }
+
+  /** Temperature-style mixture rebalancing: keep each row of stratum `s`
+    * with probability `min(1, c / sqrt(n_s))`, so a stratum's EXPECTED
+    * contribution is `c·sqrt(n_s)` — the square-root smoothing used to
+    * rebalance multilingual / multi-source corpora (big sources
+    * down-sampled, small sources kept whole once `n_s <= c²`). This is
+    * `p_s ∝ n_s^α` mixture sampling at α = 1/2 with the normalizer
+    * folded into `c`; α = 1/2 specifically because IEEE `sqrt` is
+    * correctly rounded on every engine, so the keep-set (decided by the
+    * same md5 unit hash as [[sample]]) reproduces bit-exactly where a
+    * `pow(n, α)` would be library-dependent.
+    *
+    * Scale: the stratum-count aggregate is one partial-agg scan whose
+    * output is |strata| rows, broadcast back — no shuffle of `df` itself.
+    */
+  def sampleSqrtSmoothed(df: DataFrame, key: Column, strata: Column, c: Double): DataFrame = {
+    val counts = df.groupBy(strata.as("__stratum")).agg(count(lit(1)).as("__n"))
+    df.join(broadcast(counts), strata === col("__stratum"))
+      .filter(hashUnit(key) < least(lit(1.0), lit(c) / sqrt(col("__n").cast("double"))))
+      .drop("__stratum", "__n")
   }
 
   /** Deterministic global shuffle — a reproducible random training order

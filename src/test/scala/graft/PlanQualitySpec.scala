@@ -33,6 +33,33 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected exactly one shuffle exchange (final agg):\n$p")
   }
 
+  test("rollup is one Expand + one partial-final agg pair, not a pass per level") {
+    val p = plan("q_rollup_revenue")
+    assert("Expand".r.findAllIn(p).size == 1,
+      s"rollup must plan exactly one Expand (3 grouping sets in one scan):\n$p")
+    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle exchange (the grouping-set agg):\n$p")
+  }
+
+  test("pivot with pinned values: map-side partials, no Expand, no distinct-scan job") {
+    val p = plan("q_pivot_daily")
+    assert(!p.contains("Expand"), s"pinned-value pivot must not Expand:\n$p")
+    // PivotFirst path: count pre-combines at (day,type) grain BEFORE its
+    // exchange, then the pivot agg runs on day-grain rows only — both
+    // exchanges carry aggregated rows, never event-grain data
+    assert(p.contains("partial_count"), s"count must pre-combine map-side:\n$p")
+    assert(p.contains("partial_pivotfirst"), s"pivot agg must pre-combine too:\n$p")
+    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly the two post-aggregation exchanges:\n$p")
+  }
+
+  test("sqrt-smoothed mixture broadcasts the stratum counts: corpus never shuffles") {
+    val p = plan("p_mixture_sqrt")
+    assert(p.contains("BroadcastHashJoin"), s"stratum counts must broadcast:\n$p")
+    assert(!"(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning.*doc_id".r.findAllIn(p).hasNext,
+      s"document corpus must not shuffle:\n$p")
+  }
+
   test("windowed counts pre-aggregate before the shuffle (q_hot_items)") {
     val p = plan("q_hot_items")
     // map-side combine: a partial count below the agg exchange

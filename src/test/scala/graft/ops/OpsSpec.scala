@@ -366,6 +366,39 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 4L, 2L, 2.0 / 4.0, "x", 3.0 / 4.0)))
   }
 
+  test("sampleWeighted keeps rows proportional to weight, capped at 1") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 500) 0.1 else 10.0)).toDF("id", "w")
+    val kept = Sampling.sampleWeighted(df, col("id"), col("w"))
+      .select("id").as[Long].collect().toSet
+    val low = kept.count(_ <= 500) // expect ~50 of 500 at p=0.1
+    assert(low > 20 && low < 90, s"low-weight keep count $low far from 10%")
+    assert(kept.count(_ > 500) == 500, "prob 10 must cap at 1: keep ALL high-weight rows")
+    // deterministic: the same keep-set on a re-run
+    val again = Sampling.sampleWeighted(df, col("id"), col("w"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == again)
+  }
+
+  test("sampleSqrtSmoothed keeps c*sqrt(n) per stratum and whole small strata") {
+    // skewed mixture: 10000-doc giant, 400-doc mid, 4-doc tail (4 <= c^2 with c=2)
+    val df = ((1L to 10000L).map(i => (i, "big")) ++
+      (10001L to 10400L).map(i => (i, "mid")) ++
+      (10401L to 10404L).map(i => (i, "tiny"))).toDF("id", "s")
+    val kept = Sampling.sampleSqrtSmoothed(df, col("id"), col("s"), 2.0)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    // expected: big 2*sqrt(10000)=200, mid 2*sqrt(400)=40, tiny all 4
+    assert(kept("tiny") == 4L, "stratum with n <= c^2 must be kept whole")
+    assert(kept("big") > 120 && kept("big") < 300, s"big kept ${kept("big")}, want ~200")
+    assert(kept("mid") > 15 && kept("mid") < 75, s"mid kept ${kept("mid")}, want ~40")
+    // rebalanced: big/mid ratio ~5 (sqrt of 25), not the raw 25
+    assert(kept("big").toDouble / kept("mid") < 12, "mixture must be sqrt-flattened")
+    // deterministic keep-set
+    val again = Sampling.sampleSqrtSmoothed(df, col("id"), col("s"), 2.0)
+      .select("id").as[Long].collect().toSet
+    assert(again == Sampling.sampleSqrtSmoothed(df, col("id"), col("s"), 2.0)
+      .select("id").as[Long].collect().toSet)
+  }
+
   test("deterministic sampling and splitting are stable and well-proportioned") {
     val df = spark.range(10000).toDF("id")
     val s1 = Sampling.sample(df, col("id"), 0.1).as[Long].collect().toSet
