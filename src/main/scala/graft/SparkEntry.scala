@@ -540,6 +540,15 @@ object SparkEntry {
         col("doc_id"), col("text"), 3, 0.5)
     }),
 
+    "d_contamination_frac" -> ((s, dir) => {
+      // per-eval-doc n-gram overlap score vs the train corpus: catches
+      // jointly-contaminated docs no single Jaccard pair flags
+      val docs = Tables(s, dir).documents
+      Dedup.contaminationFraction(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), 3)
+    }),
     "d_drop_near_dups" -> ((s, dir) => {
       // end-to-end two-stage removal (exact-collapse → near-dup pairs →
       // CC → keep canonical): lossless pair mode so the keep-list is
@@ -826,6 +835,15 @@ object SparkEntry {
         .select(TextOps.langId(col("text")).as("lang"), TextOps.tokenCount(col("text")).cast("long").as("n"))
       Stats.quantilesByKey(d, col("lang"), col("n"), Seq(0.25, 0.5, 0.75, 0.9))
         .select(col("key").as("lang_pred"), col("p"), col("value").as("n_tokens"))
+    }),
+    "t_length_filter" -> ((s, dir) => {
+      // corpus trim: keep docs inside each source's own [p05, p95]
+      // char-length band — drops truncated fragments and concatenation
+      // monsters per stratum; bounds broadcast, corpus never shuffles
+      Stats
+        .filterByKeyQuantiles(
+          Tables(s, dir).documents, col("source"), col("n_chars"), 0.05, 0.95)
+        .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
     // ---- multimodal plumbing ----
@@ -1499,6 +1517,20 @@ object SparkEntry {
          |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
          |)
          |SELECT id, min(l) AS cluster_id FROM lab GROUP BY id""".stripMargin,
+    "d_contamination_frac" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, $shinglesExpr AS sh FROM d
+         |), t AS (
+         |  SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % 2 = 1
+         |), e AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % 2 = 0
+         |)
+         |SELECT e.doc_id, count(*) AS n_shingles, count(t.s) AS n_hits,
+         |  CAST(count(t.s) AS DOUBLE) / count(*) AS contamination
+         |FROM e LEFT JOIN t ON e.s = t.s
+         |GROUP BY e.doc_id""".stripMargin,
     "d_drop_near_dups" ->
       s"""WITH RECURSIVE r0 AS (
          |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY $fpExpr) AS keep
@@ -1698,6 +1730,23 @@ object SparkEntry {
         |FROM q""".stripMargin,
     "t_len_quantiles" -> lenQuantilesSql,
     "t_len_quantiles_approx" -> lenQuantilesSql,
+    "t_length_filter" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents
+        |), b AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * cnt) AS BIGINT))
+        |        THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * cnt) AS BIGINT))
+        |        THEN n_chars END) AS hi
+        |  FROM r GROUP BY source
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN b ON d.source = b.source
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin,
     "s_knn_brute" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -219,6 +219,41 @@ object Dedup {
       .select(col("train_id"), col("eval_id"), col("jaccard"))
   }
 
+  /** Per-document contamination FRACTION — the graded companion to
+    * [[crossCorpusNearDups]]'s pair sweep: for every eval doc, what share
+    * of its distinct word-n-gram shingles occurs ANYWHERE in the train
+    * corpus. This is the per-example n-gram-overlap score used to grade
+    * benchmark leakage (GPT-3/PaLM-style decontamination reports) — a
+    * doc can be contaminated by many train docs jointly without any
+    * single pair clearing a Jaccard bar, which the pair sweep misses.
+    *
+    * Plan: train collapses to a distinct shingle-hash SET (no doc ids —
+    * the aggregate is corpus-size-bound, not pair-bound), eval explodes
+    * to distinct (doc, shingle) rows, one left equi-join on the 64-bit
+    * hash, one per-doc count aggregate. Shuffle keys are hashes and doc
+    * ids only; text never crosses the wire, output is |eval docs| rows.
+    * Asymmetric corpora (huge train, small eval) need no plan change.
+    * The fraction is one IEEE division of exact integer counts —
+    * engine-portable.
+    */
+  def contaminationFraction(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int): DataFrame = {
+    val trainSh = TextOps.shingleHashRows(train, id, text, n).select(col("s")).distinct()
+    TextOps
+      .shingleHashRows(eval, id, text, n)
+      .distinct()
+      .join(trainSh.withColumn("__hit", lit(1)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+      .withColumn(
+        "contamination",
+        col("n_hits").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Cross-document repeated-substring detection — the distributed
     * stand-in for suffix-array exact-substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): a

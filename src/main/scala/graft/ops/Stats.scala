@@ -69,4 +69,34 @@ object Stats {
       .withColumn("p", element_at(typedlit(ps), col("__pos") + 1))
       .select(col("key"), col("p"), col("value"))
   }
+
+  /** Quantile-band outlier filter: keep rows whose `value` lies within
+    * the per-key [type-1 `loP`, `hiP`] quantile band — the corpus-
+    * cleaning trim that drops truncated fragments and concatenation
+    * monsters relative to each stratum's own distribution, not a global
+    * threshold. Bounds come from [[quantilesByKey]] (oracle-exact); the
+    * bounds table is |keys| rows and BROADCASTS back, so the corpus
+    * itself is filtered in place — scan + broadcast-join + filter, no
+    * corpus shuffle. At 100 TB swap the bounds source for
+    * [[approxQuantilesByKey]] (`approx = true`): same contract within
+    * sketch accuracy, no per-key sort anywhere.
+    */
+  def filterByKeyQuantiles(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      loP: Double,
+      hiP: Double,
+      approx: Boolean = false): DataFrame = {
+    require(loP < hiP, "need loP < hiP")
+    val qs = (if (approx) approxQuantilesByKey(df, key, value, Seq(loP, hiP))
+              else quantilesByKey(df, key, value, Seq(loP, hiP)))
+      .groupBy(col("key").as("__qk"))
+      .agg(
+        max(when(col("p") === loP, col("value"))).as("__lo"),
+        max(when(col("p") === hiP, col("value"))).as("__hi"))
+    df.join(broadcast(qs), key === col("__qk"))
+      .filter(value >= col("__lo") && value <= col("__hi"))
+      .drop("__qk", "__lo", "__hi")
+  }
 }

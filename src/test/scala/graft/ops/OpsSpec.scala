@@ -286,6 +286,32 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L)))
   }
 
+  test("contaminationFraction grades joint overlap the pair sweep misses") {
+    // eval 100: tokens "a b c d" -> shingles {"a b c","b c d"}; train docs
+    // 1 and 2 each contain ONE of them — jointly 100% contaminated even
+    // though neither single pair has high Jaccard
+    val train = Seq((1L, "a b c x y z q w e r t u"), (2L, "p b c d m n o k l f g h")).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d"), (101L, "u v w x")).toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(train, eval, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(100L) == ((100L, 2L, 2L, 1.0)), s"jointly leaked doc: ${got(100L)}")
+    assert(got(101L)._4 == 0.0, "clean doc must score 0")
+  }
+
+  test("filterByKeyQuantiles trims each key to its own band, exact and approx") {
+    val df = ((1L to 100L).map(v => ("a", v)) ++ (1L to 10L).map(v => ("b", v * 1000L)))
+      .toDF("k", "v")
+    val kept = Stats.filterByKeyQuantiles(df, col("k"), col("v"), 0.05, 0.95)
+      .as[(String, Long)].collect().toSet
+    // a: type-1 bounds ceil(.05*100)=5th, ceil(.95*100)=95th -> [5, 95]
+    assert(kept.filter(_._1 == "a") == (5L to 95L).map(("a", _)).toSet)
+    // b: bounds 1st and ceil(9.5)=10th value -> the whole stratum
+    assert(kept.count(_._1 == "b") == 10)
+    val approx = Stats.filterByKeyQuantiles(df, col("k"), col("v"), 0.05, 0.95, approx = true)
+      .as[(String, Long)].collect().toSet
+    assert(approx == kept, "sketch must be loss-free at this size")
+  }
+
   test("dropNearDuplicates keeps one canonical doc per cluster, others intact") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and often"
