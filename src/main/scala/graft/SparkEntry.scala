@@ -1078,6 +1078,15 @@ object SparkEntry {
             col("rank"))
       }
     }),
+    "t_user_sequences" -> ((s, dir) => {
+      // training-sequence construction: each user's chronological event
+      // history, capped at 50 events, as a portable '|'-joined string;
+      // n_events keeps the pre-cap count visible
+      val e = Tables(s, dir).events
+      Sequences.eventSequences(
+        e, col("user_id"), col("ts"), col("event_id"), col("event_type"), 50)
+        .select(col("key").as("user_id"), col("n_events"), col("sequence"))
+    }),
     "q_dedup_stream" -> ((s, dir) => {
       // streaming exact dedup: Structured Streaming's dropDuplicates —
       // THE ingestion-dedup op (state = seen keys, every first arrival
@@ -1097,6 +1106,31 @@ object SparkEntry {
         }
         .filter(col("key") =!= Replay.Sentinel)
         .select(col("key").cast("long").as("user_id"), col("kind").as("event_type"))
+    }),
+    "q_dedup_bounded_stream" -> ((s, dir) => {
+      // the BOUNDED-state streaming dedup — the 100 TB posture
+      // q_dedup_stream's scaladoc promises: dropDuplicatesWithinWatermark
+      // evicts a key's state once the watermark passes its event time +
+      // delay, so state is O(events in the horizon), not O(distinct keys
+      // ever). Replayed on the events frame unioned with itself: every
+      // row recurs at the SAME event time, so all duplicates fall inside
+      // any horizon and the emitted first-arrivals equal the DISTINCT
+      // (user, type, ts) oracle exactly. Identity includes ts — a key
+      // recurring PAST the horizon is a new row by construction, which
+      // is the contract that makes bounded state sound at scale.
+      val frame = keyedEventsFrame(Tables(s, dir))
+      Replay
+        .keyedEvents(frame.unionAll(frame)) { stream =>
+          stream.toDF()
+            .withWatermark("ts", "30 seconds")
+            .dropDuplicatesWithinWatermark("key", "kind", "ts")
+            .select(col("key"), col("kind"), col("ts"))
+        }
+        .filter(col("key") =!= Replay.Sentinel)
+        .select(
+          col("key").cast("long").as("user_id"),
+          col("kind").as("event_type"),
+          col("ts"))
     }),
     "q_interval_stream" -> ((s, dir) => {
       // J1 streaming form on the correctness record: symmetric hash
@@ -1378,6 +1412,18 @@ object SparkEntry {
     "q_interval_join" -> intervalJoinSql,
     "q_interval_stream" -> intervalJoinSql,
     "q_dedup_stream" -> "SELECT DISTINCT user_id, event_type FROM events",
+    "q_dedup_bounded_stream" -> "SELECT DISTINCT user_id, event_type, ts FROM events",
+    "t_user_sequences" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events
+        |)
+        |SELECT user_id, any_value(cnt) AS n_events,
+        |  string_agg(event_type, '|' ORDER BY rn) AS sequence
+        |FROM r WHERE rn <= 50
+        |GROUP BY user_id""".stripMargin,
     "q_reconcile" ->
       """SELECT coalesce(p.user_id, sg.user_id) AS user_id,
         |       p.event_id AS p_id, sg.event_id AS s_id,

@@ -111,4 +111,40 @@ object Sequences {
       .agg(min(col("resp_ts")).as("resp_ts"))
       .withColumn("status", when(col("resp_ts").isNotNull, "matched").otherwise("timeout"))
   }
+
+  /** Per-key chronological event-sequence construction — building
+    * behavioral training sequences from an event log: each key's events
+    * sorted by (ts, tiebreak id), truncated to `maxLen` (every real
+    * pipeline caps sequence length), serialized as a '|'-joined kind
+    * string next to the UNtruncated event count (so downstream can see
+    * what the cap dropped).
+    *
+    * One hash exchange on the key; the sort happens inside the aggregated
+    * array (collect_list + array_sort), never as a corpus-wide sort. The
+    * struct sort key is (ts, id) — a total order, so the sequence string
+    * is deterministic on any engine. Memory is O(events per key) before
+    * the cap: for keys that can exceed executor memory, pre-trim with
+    * [[Sampling.capPerKey]] (same (ts, id) order) — the composition keeps
+    * the exchange count at one.
+    */
+  def eventSequences(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      id: Column,
+      kind: Column,
+      maxLen: Int): DataFrame =
+    df.select(
+        key.as("key"),
+        struct(ts.as("ts"), id.as("id"), kind.as("kind")).as("__e"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"), collect_list(col("__e")).as("__seq"))
+      .withColumn(
+        "sequence",
+        concat_ws(
+          "|",
+          transform(
+            slice(array_sort(col("__seq")), 1, maxLen),
+            e => e.getField("kind"))))
+      .drop("__seq")
 }

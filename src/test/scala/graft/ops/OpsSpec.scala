@@ -286,6 +286,20 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L)))
   }
 
+  test("eventSequences orders by (ts, id), caps the string, keeps the full count") {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new Timestamp(t0.getTime + s * 1000L)
+    // out-of-insertion-order events; two share ts=1 -> id 2L before 10L
+    val df = Seq(
+      (1L, ts(5), 9L, "e"), (1L, ts(1), 10L, "c"), (1L, ts(1), 2L, "b"),
+      (1L, ts(0), 1L, "a"), (1L, ts(9), 3L, "z"), (2L, ts(0), 4L, "x"))
+      .toDF("u", "t", "eid", "k")
+    val got = Sequences.eventSequences(df, col("u"), col("t"), col("eid"), col("k"), 3)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, "a|b|c")), s"cap at 3, (ts,id) order: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, "x")))
+  }
+
   test("contaminationFraction grades joint overlap the pair sweep misses") {
     // eval 100: tokens "a b c d" -> shingles {"a b c","b c d"}; train docs
     // 1 and 2 each contain ONE of them — jointly 100% contaminated even
