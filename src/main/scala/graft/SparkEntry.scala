@@ -1078,6 +1078,17 @@ object SparkEntry {
             col("rank"))
       }
     }),
+    "q_funnel" -> ((s, dir) => {
+      // 3-step conversion funnel (view → click → purchase within 1 day
+      // of the first view): greedy earliest chain per user, one exchange,
+      // no per-step self-joins
+      val e = Tables(s, dir).events
+      Sequences.funnel(
+        e, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"), 86400L)
+        .select(col("key").as("user_id"), col("n_reached"),
+          col("ts_first"), col("ts_reached"))
+    }),
     "t_user_sequences" -> ((s, dir) => {
       // training-sequence construction: each user's chronological event
       // history, capped at 50 events, as a portable '|'-joined string;
@@ -1106,6 +1117,20 @@ object SparkEntry {
         }
         .filter(col("key") =!= Replay.Sentinel)
         .select(col("key").cast("long").as("user_id"), col("kind").as("event_type"))
+    }),
+    "q_funnel_stream" -> ((s, dir) => {
+      // watermark-driven funnel: each user's row emits (final) once the
+      // watermark passes first-view + 1 day; same chain CTEs as q_funnel
+      import s.implicits._
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          StateMachines.funnel(stream, Seq("view", "click", "purchase"), 86400L).toDF()
+        }
+        .select(
+          col("key").cast("long").as("user_id"),
+          col("n_reached"),
+          col("ts_first"),
+          col("ts_reached"))
     }),
     "q_dedup_bounded_stream" -> ((s, dir) => {
       // the BOUNDED-state streaming dedup — the 100 TB posture
@@ -1233,6 +1258,26 @@ object SparkEntry {
       |  ELSE [array_to_string(w, ' ')] END""".stripMargin
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+
+  /** Shared greedy min-chain CTEs for q_funnel and its streaming twin
+    * (both must hash-match the same chain; only the outer join frame
+    * differs — batch keeps chainless users, the stream emits s1 only). */
+  private val funnelChainSql =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1
+      |)""".stripMargin
 
   // Shared between a batch query and its q_*_stream twin: the streaming
   // replay must hash-match the SAME oracle.
@@ -1413,6 +1458,26 @@ object SparkEntry {
     "q_interval_stream" -> intervalJoinSql,
     "q_dedup_stream" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q_dedup_bounded_stream" -> "SELECT DISTINCT user_id, event_type, ts FROM events",
+    "q_funnel" ->
+      s"""$funnelChainSql
+         |SELECT u.user_id,
+         |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+         |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS n_reached,
+         |  t1 AS ts_first, coalesce(t3, t2, t1) AS ts_reached
+         |FROM (SELECT DISTINCT user_id FROM events
+         |      WHERE event_type IN ('view', 'click', 'purchase')) u
+         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // the streaming twin emits only keys whose chain STARTED (s1 rows):
+    // emission is anchored at t1 + horizon, so keys without a step-1
+    // event have nothing to anchor to and stay silent by design
+    "q_funnel_stream" ->
+      s"""$funnelChainSql
+         |SELECT s1.user_id,
+         |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+         |       ELSE 1 END AS n_reached,
+         |  t1 AS ts_first, coalesce(t3, t2, t1) AS ts_reached
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
     "t_user_sequences" ->
       """WITH r AS (
         |  SELECT user_id, event_type,

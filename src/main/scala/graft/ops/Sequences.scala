@@ -112,6 +112,57 @@ object Sequences {
       .withColumn("status", when(col("resp_ts").isNotNull, "matched").otherwise("timeout"))
   }
 
+  /** Conversion funnel — the batch CEP companion to [[consecutiveMatches]]
+    * for ORDERED multi-step patterns: per key, the greedy earliest chain
+    * through `steps` (step i+1 must be strictly after step i, and every
+    * step within `windowSec` of step 1). Greedy-earliest over the
+    * time-sorted events equals the sequential min-chain (each accepted
+    * step is the earliest candidate given the previous one), which is the
+    * SQL the oracle runs. Returns one row per key holding ≥ 1 event of
+    * ANY step kind: (key, n_reached, ts_first, ts_reached).
+    *
+    * Shape: filter to step kinds at the scan (corpus prune), ONE hash
+    * exchange on the key, then the chain folds inside each key's sorted
+    * array — no per-step self-joins (k-step funnels via joins pay k
+    * scans + k shuffles and rescan the fact table per step; this pays
+    * one of each at any k). Memory is O(step-kind events per key).
+    */
+  def funnel(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      kind: Column,
+      steps: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val stepArr = array(steps.map(lit): _*)
+    val horizon = lit(windowSec * 1000000L)
+    val folded = aggregate(
+      array_sort(col("__seq")),
+      expr("cast(array() as array<timestamp>)"),
+      (acc, e) => {
+        val t = e.getField("ts")
+        val accepts = size(acc) < steps.size &&
+          e.getField("kind") === element_at(stepArr, size(acc) + 1) &&
+          (size(acc) === 0 ||
+            (unix_micros(t) > unix_micros(element_at(acc, -1)) &&
+              unix_micros(t) <= unix_micros(element_at(acc, 1)) + horizon))
+        when(accepts, concat(acc, array(t))).otherwise(acc)
+      })
+    df.select(key.as("key"), struct(ts.as("ts"), kind.as("kind")).as("__e"))
+      .filter(col("__e.kind").isin(steps: _*))
+      .groupBy(col("key"))
+      .agg(collect_list(col("__e")).as("__seq"))
+      .withColumn("__chain", folded)
+      .select(
+        col("key"),
+        size(col("__chain")).as("n_reached"),
+        // try_: an empty chain (key never reached step 1) is null, not an
+        // ANSI index error
+        try_element_at(col("__chain"), lit(1)).as("ts_first"),
+        try_element_at(col("__chain"), lit(-1)).as("ts_reached"))
+  }
+
   /** Per-key chronological event-sequence construction — building
     * behavioral training sequences from an event log: each key's events
     * sorted by (ts, tiebreak id), truncated to `maxLen` (every real

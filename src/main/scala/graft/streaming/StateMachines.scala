@@ -423,4 +423,77 @@ object StateMachines {
         out.result().iterator
       })
   }
+
+  // ---- conversion funnel ----
+
+  /** `done` = emitted tombstone (no second chain may start); `chain` =
+    * accepted step times (epoch us, ascending); `lastUs` = newest event
+    * time seen (GC deadline for chainless keys). */
+  case class FunnelState(chain: List[Long], lastUs: Long, done: Boolean)
+  case class FunnelRow(key: String, n_reached: Int, ts_first: Timestamp, ts_reached: Timestamp)
+
+  /** Streaming conversion funnel — the watermark-driven twin of
+    * [[graft.ops.Sequences.funnel]]: per key, the greedy earliest chain
+    * through `steps` starting at the key's FIRST step-1 event, each step
+    * strictly after the previous and within `windowSec` of step 1. The
+    * row emits once the watermark passes `t1 + windowSec` — at that point
+    * no event inside the horizon can still arrive, so the chain is FINAL
+    * (exactly the batch/SQL answer); keys that never start a chain emit
+    * nothing and their state is GC'd `windowSec` after their last event.
+    *
+    * State posture: an emitted key keeps a tombstone (the "first step-1
+    * ever" anchor makes this inherent — the same O(keys) posture as
+    * dropDuplicates; bound it with a state TTL in production when keys
+    * are unbounded). Non-step kinds are ignored (they only refresh the
+    * GC deadline), so the stream needn't be pre-filtered — which also
+    * lets the replay sentinel ride through the watermark node.
+    */
+  def funnel(
+      events: Dataset[KeyedEvent],
+      steps: Seq[String],
+      windowSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[FunnelRow] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowUs = windowSec * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        val st0 = state.getOption.getOrElse(FunnelState(Nil, Long.MinValue, done = false))
+        var chain = st0.chain
+        var lastUs = st0.lastUs
+        if (!st0.done) for (e <- sorted(it); if e.kind != Replay.Sentinel) {
+          val us = usOf(e.ts)
+          lastUs = math.max(lastUs, us)
+          val idx = chain.size
+          if (idx < steps.size && e.kind == steps(idx) &&
+            (chain.isEmpty || (us > chain.last && us <= chain.head + windowUs)))
+            chain = chain :+ us
+        }
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val out =
+          if (st0.done) Iterator.empty
+          else if (chain.nonEmpty && chain.head + windowUs <= wmUs) {
+            // horizon closed: the chain is final; tombstone the key
+            state.update(FunnelState(Nil, lastUs, done = true))
+            Iterator.single(
+              FunnelRow(key, chain.size, tsOf(chain.head), tsOf(chain.last)))
+          } else if (chain.isEmpty && lastUs + windowUs <= wmUs) {
+            // no chain started and none can retroactively include events
+            // this old — drop the state, nothing to emit
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(FunnelState(chain, lastUs, done = false))
+            val deadline = if (chain.nonEmpty) chain.head + windowUs else lastUs + windowUs
+            state.setTimeoutTimestamp((deadline + 999L) / 1000L)
+            Iterator.empty
+          }
+        out
+      })
+  }
 }

@@ -286,6 +286,28 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L)))
   }
 
+  test("funnel: greedy earliest chain, strict order, window from step 1") {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new Timestamp(t0.getTime + s * 1000L)
+    val df = Seq(
+      // u1 full chain; the click BEFORE the first view must not count
+      (1L, ts(0), "b"), (1L, ts(1), "a"), (1L, ts(2), "b"), (1L, ts(3), "c"),
+      // u2: step-2 only outside the 10 s window of its first "a"
+      (2L, ts(0), "a"), (2L, ts(20), "b"),
+      // u3: only a later-step event -> present with n_reached 0
+      (3L, ts(0), "c"),
+      // u4: same-ts step2 as step1 must NOT chain (strictly after)
+      (4L, ts(0), "a"), (4L, ts(0), "b"))
+      .toDF("u", "t", "k")
+    val got = Sequences.funnel(df, col("u"), col("t"), col("k"), Seq("a", "b", "c"), 10L)
+      .select("key", "n_reached").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 1), got.toString)
+    val u1 = Sequences.funnel(df, col("u"), col("t"), col("k"), Seq("a", "b", "c"), 10L)
+      .filter(col("key") === 1L).select("ts_first", "ts_reached")
+      .as[(Timestamp, Timestamp)].head()
+    assert(u1 == ((ts(1), ts(3))), s"chain must start at the first 'a': $u1")
+  }
+
   test("eventSequences orders by (ts, id), caps the string, keeps the full count") {
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(s: Int) = new Timestamp(t0.getTime + s * 1000L)

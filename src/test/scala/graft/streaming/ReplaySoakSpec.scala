@@ -94,4 +94,34 @@ class ReplaySoakSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("funnel under 2s order jitter: exact final chains, single emission per key") {
+    // out-of-order replay: with watermark delay 5s > 2×jitter every
+    // displaced event arrives before the t1+horizon timer can fire, so
+    // the greedy chain is exact AND the tombstone guarantees one row per
+    // key even though users keep producing views past the horizon
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val input = events.select(
+      col("user_id").cast("string").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"))
+    val steps = Seq("view", "click", "purchase")
+    val streamed = Replay
+      .keyedEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines.funnel(stream, steps, 86400L, watermarkDelay = "5 seconds").toDF()
+      }
+      .select(col("key").cast("long"), col("n_reached"), col("ts_first"), col("ts_reached"))
+      .as[(Long, Int, Timestamp, Timestamp)].collect()
+    assert(streamed.map(_._1).distinct.length == streamed.length,
+      "tombstone must hold: exactly one row per key")
+    val batch = graft.ops.Sequences
+      .funnel(events, col("user_id"), col("ts"), col("event_type"), steps, 86400L)
+      .filter(col("n_reached") >= 1)
+      .select(col("key"), col("n_reached"), col("ts_first"), col("ts_reached"))
+      .as[(Long, Int, Timestamp, Timestamp)].collect().toSet
+    assert(streamed.toSet == batch)
+    assert(batch.nonEmpty)
+  }
 }
