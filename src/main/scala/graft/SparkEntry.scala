@@ -1078,6 +1078,22 @@ object SparkEntry {
             col("rank"))
       }
     }),
+    "q_retention" -> ((s, dir) => {
+      // cohort retention matrix: users grouped by first-seen date, active
+      // count per (cohort, day offset). TWO exchanges total: one per-user
+      // aggregate carries cohort + the distinct active-day set together
+      // (collect_set instead of a separate DISTINCT + join, which costs
+      // three), then the (cohort, day_n) count — after the explode each
+      // (user, day) is unique, so count(1) IS count-distinct-users.
+      // collect_set memory is O(active days per user), calendar-bounded.
+      val e = Tables(s, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      e.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort"), collect_set(col("d")).as("__days"))
+        .select(col("cohort"), explode(col("__days")).as("d"))
+        .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_n"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
     "q_funnel" -> ((s, dir) => {
       // 3-step conversion funnel (view → click → purchase within 1 day
       // of the first view): greedy earliest chain per user, one exchange,
@@ -1458,6 +1474,15 @@ object SparkEntry {
     "q_interval_stream" -> intervalJoinSql,
     "q_dedup_stream" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q_dedup_bounded_stream" -> "SELECT DISTINCT user_id, event_type, ts FROM events",
+    "q_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |)
+        |SELECT f.cohort, datediff('day', f.cohort, a.d) AS day_n,
+        |  count(*) AS n_active
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       s"""$funnelChainSql
          |SELECT u.user_id,

@@ -60,6 +60,26 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"document corpus must not shuffle:\n$p")
   }
 
+  test("funnel: step filter pushed to the scan, one exchange at any depth") {
+    val p = plan("q_funnel")
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+      s"step-kind prune must reach the parquet scan:\n$p")
+    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the chain folds inside the per-key array — exactly one exchange:\n$p")
+  }
+
+  test("retention: two exchanges — per-user day set, then the cohort matrix") {
+    val p = plan("q_retention")
+    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"collect_set carries the day set through ONE user exchange:\n$p")
+  }
+
+  test("eventSequences: one exchange; the sort lives inside the aggregated array") {
+    val p = plan("t_user_sequences")
+    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Sort ["), s"no corpus-wide or per-key WindowExec sort:\n$p")
+  }
+
   test("windowed counts pre-aggregate before the shuffle (q_hot_items)") {
     val p = plan("q_hot_items")
     // map-side combine: a partial count below the agg exchange
