@@ -441,6 +441,19 @@ object SparkEntry {
         .agg(count(lit(1)))
       types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
     }),
+    "q_cube_events" -> ((s, dir) => {
+      // full cube over (event_type, day): all four grouping sets in ONE
+      // Expand + one agg exchange, same single-scan plan family as
+      // q_rollup_revenue — the declarative answer to the reference
+      // maintaining each marginal as its own DWS app
+      Tables(s, dir).events
+        .cube(col("event_type"), to_date(col("ts")).as("day"))
+        // decimal before the sum: exact integer-scaled addition is
+        // order-independent, so the hash matches any engine (q1 pattern)
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    }),
     "q_top_orders" -> ((s, dir) => {
       // T1 batch flavor on relational data: top-10 orders by price per priority
       TopN
@@ -835,6 +848,19 @@ object SparkEntry {
         .select(TextOps.langId(col("text")).as("lang"), TextOps.tokenCount(col("text")).cast("long").as("n"))
       Stats.quantilesByKey(d, col("lang"), col("n"), Seq(0.25, 0.5, 0.75, 0.9))
         .select(col("key").as("lang_pred"), col("p"), col("value").as("n_tokens"))
+    }),
+    "t_heavy_tokens" -> ((s, dir) => {
+      // bounded-memory approximate top tokens (Misra–Gries, k=64): the
+      // sketch path for vocabularies too large to count exactly. The
+      // guarantees are deterministic, gated in ApproxGatesSpec: every
+      // token with freq > N/65 present, estimates undercount by ≤ N/65.
+      // no_oracle: counter survival near the cut depends on merge order.
+      val toks = Tables(s, dir).documents
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      toks
+        .agg(HeavyHitters.heavyHitters(col("tok"), 64).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).as("rank_est"), col("e._1").as("token"), col("e._2").as("est"))
     }),
     "t_length_filter" -> ((s, dir) => {
       // corpus trim: keep docs inside each source's own [p05, p95]
@@ -1474,6 +1500,10 @@ object SparkEntry {
     "q_interval_stream" -> intervalJoinSql,
     "q_dedup_stream" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q_dedup_bounded_stream" -> "SELECT DISTINCT user_id, event_type, ts FROM events",
+    "q_cube_events" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin,
     "q_retention" ->
       """WITH f AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1

@@ -135,6 +135,28 @@ class ApproxGatesSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.9, s"recall@5 ${recall(got, truth)} < 0.9")
   }
 
+  test("t_heavy_tokens: MG deterministic guarantees at k=64 vs exact token counts") {
+    // SparkEntry params: k=64 over exploded TextOps.tokens(text)
+    val toks = t.documents.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / 65.0 // N/(k+1)
+    val got = toks.agg(HeavyHitters.heavyHitters(col("tok"), 64).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e._1", "e._2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && exact.nonEmpty, "gate is vacuous")
+    val mustHave = exact.filter(_._2 > bound).keySet
+    assert(mustHave.nonEmpty, "gate is vacuous: no token above N/(k+1)")
+    assert(mustHave.subsetOf(got.keySet),
+      s"missing guaranteed heavy hitters: ${(mustHave -- got.keySet).take(5)}")
+    for ((tok, est) <- got) {
+      val truth = exact.getOrElse(tok, 0L)
+      assert(est <= truth, s"'$tok' over-estimated: $est > $truth")
+      assert(truth - est <= bound, s"'$tok' undercount ${truth - est} > $bound")
+    }
+  }
+
   test("s_knn_lsh: recall@5 >= 0.9 vs brute force at 4 planes x 16 tables") {
     // SparkEntry params: probes id<10, k=5, dim=64, nPlanes=4, nTables=16
     def knnPairs(df: DataFrame): Set[(Long, Long)] =
