@@ -138,7 +138,9 @@ object Bench {
       one("matchWithTimeout")(s =>
         StateMachines.matchWithTimeout(s, "signup", "purchase", timeoutSec = 86400L).toDF()),
       one("asOf")(s =>
-        StateMachines.asOf(s, buildKind = "purchase", probeKind = "click").toDF()))
+        StateMachines.asOf(s, buildKind = "purchase", probeKind = "click").toDF()),
+      one("funnel")(s =>
+        StateMachines.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()))
       .mkString("{", ",", "}")
   }
 }

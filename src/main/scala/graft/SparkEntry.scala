@@ -441,6 +441,30 @@ object SparkEntry {
         .agg(count(lit(1)))
       types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
     }),
+    "q_anti_join" -> ((s, dir) => {
+      // set-membership joins, anti flavor (TPC-H Q22 shape): customers
+      // with no URGENT order. left_anti never materializes the match —
+      // the build side carries only the join key, and at scale the
+      // planner can run it as a broadcast/shuffled hash anti or SMJ
+      // anti; no pay-then-filter outer join
+      val t = Tables(s, dir)
+      t.customer
+        .join(
+          t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      // semi flavor: customers with at least one URGENT order — EXISTS
+      // without duplicating customers per matching order (an inner join
+      // + distinct pays the full match cardinality first)
+      val t = Tables(s, dir)
+      t.customer
+        .join(
+          t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
     "q_cube_events" -> ((s, dir) => {
       // full cube over (event_type, day): all four grouping sets in ONE
       // Expand + one agg exchange, same single-scan plan family as
@@ -1500,6 +1524,16 @@ object SparkEntry {
     "q_interval_stream" -> intervalJoinSql,
     "q_dedup_stream" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q_dedup_bounded_stream" -> "SELECT DISTINCT user_id, event_type, ts FROM events",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q_cube_events" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
