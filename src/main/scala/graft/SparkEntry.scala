@@ -844,6 +844,14 @@ object SparkEntry {
         m = 16, nCentroids = 16, k = 5, refine = 12)
     }),
 
+    "e_centroids" -> ((s, dir) => {
+      // per-label centroid vectors (cluster prototypes): one aggregated
+      // exchange at (label, dim) grain; 1e-6 element flooring keeps the
+      // sum order-independent and engine-exact
+      Embeddings.centroidByKey(
+        Tables(s, dir).embeddings, col("label"), col("embedding"))
+        .select(col("key").as("label"), col("pos"), col("mean_v"))
+    }),
     "e_quantize_int8" -> ((s, dir) => {
       // symmetric int8 quantization of the embedding store, pinned
       // element-exactly via the md5 digest of the quantized vector
@@ -1911,6 +1919,14 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score_1e4 DESC, token) AS rank
          |  FROM scored
          |) ranked WHERE rank <= 5""".stripMargin,
+    "e_centroids" ->
+      """SELECT label, u.pos AS pos,
+        |  CAST(sum(CAST(floor(u.v * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000 / count(*) AS mean_v
+        |FROM (SELECT label, unnest(list_transform(CAST(embedding AS DOUBLE[]),
+        |        (x, i) -> {'pos': i - 1, 'v': x})) AS u
+        |      FROM embeddings)
+        |GROUP BY label, u.pos""".stripMargin,
     "e_quantize_int8" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

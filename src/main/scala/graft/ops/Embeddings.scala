@@ -53,4 +53,30 @@ object Embeddings {
       array_max(col("q")).as("q_max"),
       aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
       size(filter(col("q"), x => x =!= 0L)).cast("long").as("q_nnz"))
+
+  /** Per-key centroid (mean vector) — cluster prototypes / per-source
+    * profile embeddings (the k-means M-step as a standalone op; the
+    * E-step is [[Similarity.ivfTopK]]'s broadcast argmax assignment).
+    * Output is LONG format (key, pos, mean_v): join-ready for distance
+    * scans and oracle-checkable; reassemble with
+    * `sort_array(collect_list(struct(pos, mean_v)))` when an array is
+    * wanted.
+    *
+    * Shape: posexplode then one aggregated exchange at (key, dim) grain —
+    * partials combine map-side, so shuffle rows are |keys|·dims, not
+    * |vectors|·dims. Determinism: each element floors to an integer
+    * micro-unit before the sum (the repo's 1e-6 flooring pattern), so
+    * the aggregate is order-independent and engine-exact; the mean loses
+    * < 1e-6 per element, documented.
+    */
+  def centroidByKey(df: DataFrame, key: Column, vec: Column): DataFrame =
+    df.select(key.as("key"), posexplode(vec.cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("key"), col("pos"))
+      .agg(
+        sum(floor(col("v") * 1e6).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(
+        col("key"),
+        col("pos"),
+        (col("__s").cast("double") / 1e6 / col("__n")).as("mean_v"))
 }

@@ -286,6 +286,15 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L)))
   }
 
+  test("centroidByKey averages per (key, dim) with micro-unit flooring") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)), ("b", Seq(10.0f, 0.0f)))
+      .toDF("k", "vec")
+    val got = Embeddings.centroidByKey(df, col("k"), col("vec"))
+      .as[(String, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("a", 0) -> 2.0, ("a", 1) -> 4.0, ("b", 0) -> 10.0, ("b", 1) -> 0.0))
+  }
+
   test("funnel: greedy earliest chain, strict order, window from step 1") {
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(s: Int) = new Timestamp(t0.getTime + s * 1000L)
