@@ -60,6 +60,18 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"document corpus must not shuffle:\n$p")
   }
 
+  test("semi/anti joins: hash joins on the key with the priority filter pushed down") {
+    val anti = plan("q_anti_join")
+    val semi = plan("q_semi_join")
+    assert(anti.contains("LeftAnti") && semi.contains("LeftSemi"), s"$anti\n$semi")
+    for (p <- Seq(anti, semi)) {
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"membership join must stay a hash/merge join:\n$p")
+      assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+        s"priority filter must reach the orders scan:\n$p")
+    }
+  }
+
   test("funnel: step filter pushed to the scan, one exchange at any depth") {
     val p = plan("q_funnel")
     assert(p.contains("PushedFilters") && p.contains("In(event_type"),
