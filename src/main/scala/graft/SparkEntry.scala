@@ -894,6 +894,15 @@ object SparkEntry {
         .select(posexplode(col("hh")).as(Seq("pos", "e")))
         .select((col("pos") + 1).as("rank_est"), col("e._1").as("token"), col("e._2").as("est"))
     }),
+    "t_calibrate" -> ((s, dir) => {
+      // cross-source score calibration: each doc's length mapped to its
+      // in-source percent rank, so one global cutoff means the same
+      // thing in every stratum
+      Stats
+        .percentRankByKey(
+          Tables(s, dir).documents.select(col("doc_id"), col("source"), col("n_chars")),
+          col("source"), col("n_chars"))
+    }),
     "t_length_filter" -> ((s, dir) => {
       // corpus trim: keep docs inside each source's own [p05, p95]
       // char-length band — drops truncated fragments and concatenation
@@ -1946,6 +1955,10 @@ object SparkEntry {
         |FROM q""".stripMargin,
     "t_len_quantiles" -> lenQuantilesSql,
     "t_len_quantiles_approx" -> lenQuantilesSql,
+    "t_calibrate" ->
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct_rank
+        |FROM documents""".stripMargin,
     "t_length_filter" ->
       """WITH r AS (
         |  SELECT source, n_chars,

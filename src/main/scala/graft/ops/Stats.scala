@@ -70,6 +70,22 @@ object Stats {
       .select(col("key"), col("p"), col("value"))
   }
 
+  /** Per-key percent-rank calibration: map `value` to its [0,1] rank
+    * position WITHIN its stratum — the cross-source score normalizer (a
+    * raw quality score of 0.4 can be "good" for web text and "poor" for
+    * curated reference text; calibrating to in-stratum rank makes one
+    * global threshold meaningful). `(rank-1)/(n-1)` competition ranking,
+    * identical on any engine: integer ranks, one IEEE division.
+    *
+    * Scale: one exchange on the key + per-key sort (the same posture as
+    * [[quantilesByKey]], and the spill note there applies); the output
+    * adds a column, never a second pass.
+    */
+  def percentRankByKey(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.withColumn(
+      "pct_rank",
+      percent_rank().over(Window.partitionBy(key).orderBy(value)))
+
   /** Quantile-band outlier filter: keep rows whose `value` lies within
     * the per-key [type-1 `loP`, `hiP`] quantile band — the corpus-
     * cleaning trim that drops truncated fragments and concatenation
