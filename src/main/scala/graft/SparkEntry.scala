@@ -894,6 +894,13 @@ object SparkEntry {
         .select(posexplode(col("hh")).as(Seq("pos", "e")))
         .select((col("pos") + 1).as("rank_est"), col("e._1").as("token"), col("e._2").as("est"))
     }),
+    "t_bm25" -> ((s, dir) => {
+      // BM25 (doc, term) relevance for the 20 highest-DF terms: tf
+      // saturation + length normalization, the retrieval scorer TF-IDF
+      // lacks; k1=1.25 / b=0.75 are exact binary doubles so only ln is
+      // inexact, and the 1e-4 floor hides its last ulp
+      TextOps.bm25PerTerm(Tables(s, dir).documents, col("doc_id"), col("text"), 20)
+    }),
     "t_calibrate" -> ((s, dir) => {
       // cross-source score calibration: each doc's length mapped to its
       // in-source percent rank, so one global cutoff means the same
@@ -1955,6 +1962,29 @@ object SparkEntry {
         |FROM q""".stripMargin,
     "t_len_quantiles" -> lenQuantilesSql,
     "t_len_quantiles_approx" -> lenQuantilesSql,
+    "t_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($tokensExpr) AS token FROM documents
+         |), dfreq AS (
+         |  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+         |), top AS (
+         |  SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 20
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+         |), st AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |)
+         |SELECT tf.doc_id, tf.token, tf.tf, top.df,
+         |  CAST(floor(
+         |    ln(1.0 + (st.n_docs - top.df + 0.5) / (top.df + 0.5)) *
+         |    ((CAST(tf.tf AS DOUBLE) * 1.25 + CAST(tf.tf AS DOUBLE)) /
+         |     (CAST(tf.tf AS DOUBLE) +
+         |      1.25 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))) *
+         |    10000) AS BIGINT) AS score_1e4
+         |FROM tf JOIN top USING (token) JOIN dl USING (doc_id) CROSS JOIN st""".stripMargin,
     "t_calibrate" ->
       """SELECT doc_id, source, n_chars,
         |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct_rank

@@ -271,6 +271,53 @@ object TextOps {
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
 
+  /** BM25 per-term relevance — the standard retrieval scorer that TF-IDF
+    * lacks: term-frequency SATURATION (tf's marginal value decays via k1)
+    * and document-length normalization (b penalizes long docs against the
+    * corpus average). Scores every (doc, term) pair for the `topTerms`
+    * highest-DF vocabulary terms: `idf(t) · (tf·k1 + tf) / (tf + k1·(1 −
+    * b + b·dl/avgdl))` with `idf = ln(1 + (N − df + ½)/(df + ½))`
+    * (Robertson–Spärck Jones).
+    *
+    * Engine-exactness discipline: defaults k1 = 1.25 and b = 0.75 are
+    * EXACT binary doubles, every constant expression ((1−b), tf·k1+tf)
+    * is exact, dl/avgdl divides exact integers — the single inexact step
+    * is `ln`, and the score floors to a 1e-4 integer so the last ulp
+    * never surfaces (the [[tfidfTopTerms]] pattern).
+    *
+    * Plan shape: tf aggregate on (doc_id, token) semi-joined to the
+    * broadcast top-term table; dl is the per-doc count reusing the same
+    * exploded scan; (N, avgdl) is a one-row broadcast. The only
+    * corpus-grain exchange is the tf aggregate's.
+    */
+  def bm25PerTerm(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      topTerms: Int,
+      k1: Double = 1.25,
+      b: Double = 0.75): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val top = docFrequency(df, id, text)
+      .orderBy(col("df").desc, col("token").asc).limit(topTerms)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tfD = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = (tfD * k1 + tfD) /
+      (tfD + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(top), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(
+        col("doc_id"), col("token"), col("tf"), col("df"),
+        floor(idf * norm * lit(10000)).cast("long").as("score_1e4"))
+  }
+
   /** Top-k TF-IDF terms per document — the cheap keyword extractor for
     * corpus exploration and topic-balanced sampling. `tf × ln((N+1)/(df+1))`
     * with the score floored to a 1e-4 integer BEFORE ranking, so the

@@ -286,6 +286,21 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L)))
   }
 
+  test("bm25: tf saturates and longer docs score lower at equal tf") {
+    val df = Seq(
+      (1L, "cat dog"), // tf(cat)=1, dl=2
+      (2L, "cat cat dog"), // tf=2: more, but sub-linear
+      (3L, "cat dog bird fish mouse wolf bear lion tiger fox"), // tf=1, dl=10
+      (4L, "dog bird fish")) // keeps df(cat) < N
+      .toDF("doc_id", "text")
+    val s = TextOps.bm25PerTerm(df, col("doc_id"), col("text"), 10)
+      .filter(col("token") === "cat")
+      .select("doc_id", "score_1e4").as[(Long, Long)].collect().toMap
+    assert(s(2L) > s(1L), "higher tf must score higher")
+    assert(s(2L) < 2 * s(1L), "saturation: doubling tf must not double the score")
+    assert(s(3L) < s(1L), "length normalization: longer doc scores lower at tf=1")
+  }
+
   test("centroidByKey averages per (key, dim) with micro-unit flooring") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)), ("b", Seq(10.0f, 0.0f)))
