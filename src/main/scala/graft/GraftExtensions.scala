@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{AdcScore, AudioMeta, CharNgrams, CosineSim, ImageMeta, VideoMeta}
+import org.apache.spark.sql.graft.{AdcScore, AudioMeta, CharNgrams, CosineSim, ImageMeta, VideoMeta, ZOrder2}
 
 /** SQL-surface registration for the engine's native expressions — the
   * `SparkSessionExtensions` injection point, so a `spark.sql` user (or a
@@ -49,6 +49,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("audio_meta"),
       info("audio_meta", "audio_meta(binary) - RIFF/WAVE header metadata struct"),
       (es: Seq[Expression]) => AudioMeta(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      info("zorder2", "zorder2(x, y) - Morton bit-interleave of two bucket coordinates"),
+      (es: Seq[Expression]) => ZOrder2(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("video_meta"),
       info("video_meta", "video_meta(binary) - ISO BMFF (MP4) header metadata struct"),

@@ -667,6 +667,29 @@ object SparkEntry {
         .shardedShuffle(Tables(s, dir).documents, col("doc_id"), nShards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
+    "p_zorder_layout" -> ((s, dir) => {
+      // multi-dimensional clustering key for data-skipping writes: Morton
+      // interleave of (user bucket, hour bucket) — sorting by z bounds
+      // every file's range in BOTH dims, so min/max stats prune filters
+      // on either (Sinks.zorderedParquet is the write path; the native
+      // codegen'd ZOrder2 kernel is what the oracle replays bit-for-bit)
+      Tables(s, dir).events.select(
+        col("event_id"),
+        pmod(col("user_id"), lit(1024L)).as("ux"),
+        pmod(expr("unix_micros(ts) div 3600000000"), lit(1024L)).as("uy"),
+        org.apache.spark.sql.graft.ZOrderFunctions.zorder2(
+          pmod(col("user_id"), lit(1024L)),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(1024L))).as("z"))
+    }),
+    "p_corpus_e2e" -> ((s, dir) => {
+      // the flagship composition: raw documents → exact dedup → quality +
+      // language gate → 90/10 split → eval-leakage decontamination →
+      // sqrt-mixture → 8-shard epoch shuffle, ONE dataflow whose full
+      // chain the oracle replays; (shard, pos) is the training order
+      TrainingPipeline
+        .buildCorpus(Tables(s, dir).documents, col("doc_id"), col("text"), col("source"))
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+    }),
     "p_split_leakage" -> ((s, dir) => {
       // split-boundary decontamination audit: the deterministic 90/10
       // hash split followed by cross-split near-dup detection — the
@@ -2042,6 +2065,54 @@ object SparkEntry {
         |  64 + doc_id % 960 AS width,
         |  64 + (doc_id * 7) % 960 AS height
         |FROM documents""".stripMargin,
+    "p_zorder_layout" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id % 1024 AS ux,
+        |    (epoch_us(ts) // 3600000000) % 1024 AS uy
+        |  FROM events
+        |)
+        |SELECT event_id, ux, uy,
+        |  CAST((SELECT sum((((ux >> i) & 1) << (2*i)) + (((uy >> i) & 1) << (2*i+1)))
+        |        FROM range(10) t(i)) AS BIGINT) AS z
+        |FROM b""".stripMargin,
+    "p_corpus_e2e" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text, $fpExpr AS fp, $tokensExpr AS w FROM documents
+         |), dedup AS (
+         |  SELECT doc_id, source, text, w FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM base
+         |  ) WHERE doc_id = keep_id
+         |), q AS (
+         |  SELECT doc_id, source, w FROM dedup
+         |  WHERE len(w) >= 5 AND $stopCntExpr >= 2
+         |), sp AS (
+         |  SELECT doc_id, source, w,
+         |    CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+         |      / 281474976710656.0 < 0.9 THEN 'train' ELSE 'eval' END AS split
+         |  FROM q
+         |), g AS (SELECT doc_id, split, $shinglesExpr AS sh FROM sp),
+         |leak AS (
+         |  SELECT DISTINCT a.doc_id FROM g a JOIN g b ON a.split = 'train' AND b.split = 'eval'
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.5
+         |), tr AS (
+         |  SELECT doc_id, source FROM sp WHERE split = 'train'
+         |    AND doc_id NOT IN (SELECT doc_id FROM leak)
+         |), mix AS (
+         |  SELECT doc_id, source FROM (
+         |    SELECT doc_id, source, count(*) OVER (PARTITION BY source) AS n_s FROM tr
+         |  ) WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+         |        / 281474976710656.0 < least(1.0, 3.0 / sqrt(CAST(n_s AS DOUBLE)))
+         |), sh AS (
+         |  SELECT doc_id, source, md5(concat('0-', CAST(doc_id AS VARCHAR))) AS h FROM mix
+         |)
+         |SELECT doc_id, source,
+         |  CAST(concat('0x', substring(h, 1, 12)) AS BIGINT) % 8 AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY CAST(concat('0x', substring(h, 1, 12)) AS BIGINT) % 8
+         |    ORDER BY h, CAST(doc_id AS VARCHAR)) AS BIGINT) AS pos
+         |FROM sh""".stripMargin,
     "p_split_leakage" ->
       s"""WITH s0 AS (
          |  SELECT doc_id, text,

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Tables
+
+/** End-to-end corpus build (TrainingPipeline) and z-order layout specs.
+  *
+  * The DuckDB oracle already replays the full p_corpus_e2e chain value-
+  * exactly at sf0.01; these tests pin the SEMANTIC invariants on crafted
+  * rows (each stage demonstrably fires) and on real testdata (outputs
+  * never violate the decontamination / split guarantees), plus the
+  * z-order locality property that justifies the layout at 100 TB.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc_id 44 hashes into the 10% eval band (hashUnit(44) >= 0.9); the
+  // other ids land in train — chosen so every pipeline stage fires.
+  private val corpus = Seq(
+    // (doc_id, source, text)
+    (1L, "web", "the cat sat on the mat and the dog watched"),
+    (2L, "web", "the cat sat on the mat and the dog watched"), // exact dup of 1
+    (5L, "web", "xyzzy plugh quux veeblefetzer gostak distims doshes"), // no stopwords -> und
+    (7L, "web", "a b"), // too short
+    (44L, "books", "the quick brown fox jumps over the lazy dog today"), // eval
+    (8L, "books", "the quick brown fox jumps over the lazy dog now"), // leaks into 44
+    (9L, "books", "we walked to the store and bought a loaf of bread"))
+    .toDF("doc_id", "source", "text")
+
+  test("buildCorpus: dedup, gates, leakage drop and mixture each fire; output is addressed") {
+    val out = TrainingPipeline
+      .buildCorpus(corpus, col("doc_id"), col("text"), col("source"))
+      .select("doc_id", "source", "shard", "pos")
+      .collect()
+    val ids = out.map(_.getLong(0)).toSet
+    // 2 collapsed into 1 (exact dup), 5 gated (lang), 7 gated (length),
+    // 44 is eval-side, 8 dropped for leaking into 44; mixture keeps all
+    // survivors (every source has <= 9 docs <= c^2 = 9)
+    assert(ids == Set(1L, 9L))
+    // every kept row is shard/pos-addressed
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 8 && r.getLong(3) >= 1))
+  }
+
+  test("buildCorpus: deterministic re-run, disjoint from eval, no surviving leak (sf0.001)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    def run() = TrainingPipeline
+      .buildCorpus(docs, col("doc_id"), col("text"), col("source"))
+      .select("doc_id", "shard", "pos")
+    val a = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b), "pipeline must be bit-deterministic across runs")
+    // the output never contains an eval-band doc, and no output doc
+    // near-dups any eval-band doc at the pipeline's own threshold
+    val evalBand = Sampling
+      .split(docs, col("doc_id"), Seq("train" -> 0.9, "eval" -> 0.1))
+      .filter(col("split") === "eval")
+    val evalIds = evalBand.select("doc_id").as[Long].collect().toSet
+    assert(a.map(_._1).forall(!evalIds.contains(_)))
+    val kept = docs.join(
+      run().select(col("doc_id").as("__k")), col("doc_id") === col("__k"), "left_semi")
+    val leaks = Dedup
+      .crossCorpusNearDups(kept, evalBand, col("doc_id"), col("text"), 3, 0.5)
+    assert(leaks.isEmpty, "no kept doc may near-dup an eval doc")
+  }
+
+  test("zorder2 matches the per-bit reference and nulls out-of-range input") {
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val samples = Seq[(Long, Long)](
+      (0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1023L, 1L),
+      (Int.MaxValue.toLong, Int.MaxValue.toLong), (1L << 30, 7L))
+    val got = samples.toDF("x", "y")
+      .select(org.apache.spark.sql.graft.ZOrderFunctions.zorder2(col("x"), col("y")))
+      .as[Long].collect()
+    assert(got.toSeq == samples.map { case (x, y) => ref(x, y) })
+    val bad = Seq((-1L, 3L), (3L, Long.MaxValue)).toDF("x", "y")
+      .select(org.apache.spark.sql.graft.ZOrderFunctions.zorder2(col("x"), col("y")))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)), "out-of-range coordinates must yield null, not garbage")
+    // SQL surface
+    assert(spark.sql("SELECT zorder2(3L, 5L)").head().getLong(0) == ref(3L, 5L))
+  }
+
+  test("z-order ranges bound BOTH dims; lexicographic bounds only the leading one") {
+    // full 32x32 grid, cut into 16 contiguous runs of 64 cells each
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def extents(sorted: Seq[(Long, Long)]): (Long, Long) =
+      sorted.grouped(64).map { g =>
+        (g.map(_._1).max - g.map(_._1).min, g.map(_._2).max - g.map(_._2).min)
+      }.toSeq.unzip match { case (xs, ys) => (xs.max, ys.max) }
+    val byZ = grid
+      .withColumn("z", org.apache.spark.sql.graft.ZOrderFunctions.zorder2(col("x"), col("y")))
+      .orderBy("z").select("x", "y").as[(Long, Long)].collect().toSeq
+    val byLex = grid.orderBy("x", "y").select("x", "y").as[(Long, Long)].collect().toSeq
+    val (zx, zy) = extents(byZ)
+    val (lx, ly) = extents(byLex)
+    // each 64-cell z-run is an aligned 8x8 quad: extent 7 in both dims
+    assert(zx == 7 && zy == 7, s"z-order run extents ($zx, $zy) should be (7, 7)")
+    // lexicographic runs: 2 consecutive x columns (extent 1) but the FULL
+    // y range — a y-filter can prune nothing
+    assert(lx <= 1 && ly == 31, s"lex run extents ($lx, $ly) should be (<=1, 31)")
+  }
+}
