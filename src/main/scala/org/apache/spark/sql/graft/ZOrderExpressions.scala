@@ -38,14 +38,17 @@ case class ZOrder2(left: Expression, right: Expression)
   override def nullSafeEval(x: Any, y: Any): Any =
     ZOrder2.eval(x.asInstanceOf[Long], y.asInstanceOf[Long])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ev2 = nullSafeCodeGen(ctx, ev, (x, y) => {
-      s"""Long z = org.apache.spark.sql.graft.ZOrder2.eval($x, $y);
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // call through MODULE$: scalac suppresses the static eval(long,long)
+    // forwarder here (name collision with Expression.eval), and Janino
+    // then can't resolve a bare ZOrder2.eval — which would silently
+    // demote every z-ordered write to interpreted eval via codegen
+    // fallback (PipelineSpec pins compiled execution with fallback off)
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""java.lang.Long z = org.apache.spark.sql.graft.ZOrder2$$.MODULE$$.eval($x, $y);
          |if (z == null) { ${ev.isNull} = true; } else { ${ev.value} = z.longValue(); }
          |""".stripMargin
     })
-    ev2
-  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

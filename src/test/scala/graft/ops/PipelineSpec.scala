@@ -75,9 +75,14 @@ class PipelineSpec extends SparkSpec {
     val samples = Seq[(Long, Long)](
       (0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1023L, 1L),
       (Int.MaxValue.toLong, Int.MaxValue.toLong), (1L << 30, 7L))
-    val got = samples.toDF("x", "y")
-      .select(org.apache.spark.sql.graft.ZOrderFunctions.zorder2(col("x"), col("y")))
-      .as[Long].collect()
+    // fallback off: a codegen compile failure must FAIL here, not demote
+    // the write path to interpreted eval (the Janino static-forwarder trap)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val got =
+      try samples.toDF("x", "y")
+        .select(org.apache.spark.sql.graft.ZOrderFunctions.zorder2(col("x"), col("y")))
+        .as[Long].collect()
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
     assert(got.toSeq == samples.map { case (x, y) => ref(x, y) })
     val bad = Seq((-1L, 3L), (3L, Long.MaxValue)).toDF("x", "y")
       .select(org.apache.spark.sql.graft.ZOrderFunctions.zorder2(col("x"), col("y")))
