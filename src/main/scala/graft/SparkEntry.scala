@@ -415,14 +415,23 @@ object SparkEntry {
       // (Catalyst plans one Expand + one hash agg, with partial
       // aggregation per grouping set — not one pass per level). Decimal
       // money math as in q1/q5 keeps the sums order-independent.
+      // Every rollup dim is order-side, so lineitem pre-aggregates to
+      // order grain BEFORE the joins: exact (decimal sums associate,
+      // counts sum) and the join shuffle + 3-way Expand then carry one
+      // row per order instead of one per lineitem — at cluster scale
+      // that's the fact-table grain off the wire.
       val t = Tables(s, dir)
-      t.lineitem
+      val perOrder = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum(discPrice).as("ord_rev"), count(lit(1)).as("ord_items"))
+      perOrder
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(col("ord_rev")).cast("double").as("revenue"),
+          sum(col("ord_items")).as("n_items"))
     }),
     "q_pivot_daily" -> ((s, dir) => {
       // OLAP pivot: the reference's DWS wide tables (one counter column
@@ -528,6 +537,19 @@ object SparkEntry {
       // shallow planes + many tables; see docs/SCALE.md).
       Similarity.cosineNearDupPairsLSH(embeddingsIdVec(Tables(s, dir)), 0.40, dim = 64,
         nPlanes = 4, nTables = 16)
+    }),
+    "d_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup (arXiv:2303.09540): k-means cluster-blocked near-dup
+      // pairs with exact cosine verify — the third scale path for
+      // d_dedup_embed, best when embeddings are genuinely clustered (the
+      // pair space becomes within-cluster equi-joins). Probabilistic
+      // recall -> rows-only check (no oracle). Acceptance bar
+      // (ApproxGatesSpec, same params, sf0.01): output ⊆ brute pairs
+      // (exact verify ⇒ precision 1) and recall ≥ 0.9 at 16 clusters,
+      // nProbe=4 (multi-probe recovers boundary pairs; the near-uniform
+      // testdata needs 4 probes where clustered corpora need fewer).
+      Similarity.semanticDedupPairs(
+        embeddingsIdVec(Tables(s, dir)), 0.40, nClusters = 16, nProbe = 4)
     }),
 
     "d_dedup_bow" -> ((s, dir) => {
@@ -706,6 +728,14 @@ object SparkEntry {
       // overlapping 64-token / 16-overlap chunk windows (RAG/pretraining
       // sequence shaping); chunk text re-joined with single spaces
       Chunking.chunk(Tables(s, dir).documents, col("doc_id"), col("text"))
+    }),
+    "d_chunk_cdc" -> ((s, dir) => {
+      // content-defined chunking: rolling-hash cuts (8-token window,
+      // 2^5-token expected length, 128-token force-split) — boundaries
+      // survive upstream edits, so chunk-grain dedup stays stable across
+      // corpus snapshots; the md5/Horner fold replays bit-for-bit in the
+      // oracle
+      Chunking.contentDefinedChunks(Tables(s, dir).documents, col("doc_id"), col("text"))
     }),
 
     // ---- text analysis ----
@@ -1863,6 +1893,37 @@ object SparkEntry {
          |SELECT doc_id, shard, CAST(cum // 512 AS BIGINT) AS pack_id,
          |  CAST(cum % 512 AS BIGINT) AS offset_tokens
          |FROM c""".stripMargin,
+    "d_chunk_cdc" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), t2 AS (
+         |  SELECT doc_id, w, len(w) AS n,
+         |    list_transform(w, t ->
+         |      CAST(concat('0x', substring(md5(t), 1, 10)) AS BIGINT)) AS h
+         |  FROM t WHERE len(w) > 0 AND w != ['']
+         |), cuts AS (
+         |  SELECT doc_id, w, n,
+         |    list_sort(list_distinct(list_concat(list_concat([0],
+         |      list_filter(CASE WHEN n >= 8 THEN range(8, n + 1) ELSE [] END,
+         |        i -> list_reduce(h[i - 7 : i],
+         |               (a, x) -> (a * 31 + x) % 1099511627776) % 32 = 0)),
+         |      [CAST(n AS BIGINT)]))) AS b1
+         |  FROM t2
+         |), b AS (
+         |  SELECT doc_id, w,
+         |    list_sort(list_distinct(list_concat(b1,
+         |      flatten(list_transform(range(1, len(b1)), j ->
+         |        CASE WHEN b1[CAST(j + 1 AS INT)] - b1[CAST(j AS INT)] > 128
+         |             THEN range(b1[CAST(j AS INT)] + 128, b1[CAST(j + 1 AS INT)], 128)
+         |             ELSE [] END))))) AS bs
+         |  FROM cuts
+         |), e AS (
+         |  SELECT doc_id, w, bs, unnest(range(1, len(bs))) AS j FROM b
+         |)
+         |SELECT doc_id, j - 1 AS chunk_id,
+         |  bs[CAST(j + 1 AS INT)] - bs[CAST(j AS INT)] AS n_tokens,
+         |  array_to_string(w[CAST(bs[CAST(j AS INT)] + 1 AS INT) : CAST(bs[CAST(j + 1 AS INT)] AS INT)], ' ') AS chunk
+         |FROM e""".stripMargin,
     "d_chunk" ->
       s"""WITH t AS (SELECT doc_id, $tokensExpr AS w FROM documents),
          |s AS (

@@ -95,4 +95,88 @@ object Chunking {
         expr(s"__cum div ${budgetTokens}L").as("pack_id"),
         (col("__cum") % lit(budgetTokens)).as("offset_tokens"))
   }
+
+  /** Content-defined chunking (rsync/CDC family: boundaries from a
+    * rolling hash, not fixed offsets): cut after token `i` whenever the
+    * polynomial hash of the `window` tokens ending at `i` lands in the
+    * zero residue class mod `2^maskBits` — expected chunk length
+    * `2^maskBits` tokens. Because a cut depends only on the `window`
+    * tokens before it, an insertion re-chunks at most the text within
+    * `window` tokens of the edit and every later chunk is IDENTICAL —
+    * the invariant that makes chunk-grain exact dedup stable across
+    * corpus versions/snapshots where [[chunk]]'s fixed-stride windows
+    * all shift. Over-long gaps are force-split at `maxChunk` offsets
+    * from the preceding content cut (those splits are content-local
+    * too: anchored to a cut, not to position 0).
+    *
+    * Determinism/portability: the only hash is md5 (40-bit per-token
+    * ints; the 31-ary Horner fold is reduced mod 2^40 each step so both
+    * engines stay in exact int64 range) — a DuckDB oracle replays the
+    * whole pipeline bit-for-bit. Empty/whitespace-only docs yield no
+    * chunks; every other doc yields ≥ 1.
+    *
+    * Scale: per-row array expressions only — the rolling fold is
+    * O(tokens · window) inside one codegen'd projection, output rows ≈
+    * tokens / 2^maskBits via one `posexplode`, no shuffle anywhere.
+    */
+  def contentDefinedChunks(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      window: Int = 8,
+      maskBits: Int = 5,
+      maxChunk: Int = 128): DataFrame = {
+    require(window >= 1 && maskBits >= 1 && maxChunk >= 2,
+      "need window >= 1, maskBits >= 1, maxChunk >= 2")
+    val mod = lit(1L << 40)
+    val emptyInts = array().cast("array<integer>")
+
+    val withCuts = df
+      .select(id.as("doc_id"), TextOps.tokens(text).as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .filter(col("__n") > 0 && (col("__w") =!= array(lit(""))))
+      .withColumn(
+        "__h",
+        transform(col("__w"), t => conv(substring(md5(t), 1, 10), 16, 10).cast("long")))
+      .withColumn(
+        "__cuts",
+        filter(
+          when(col("__n") >= window, sequence(lit(window), col("__n"))).otherwise(emptyInts),
+          i =>
+            aggregate(
+              slice(col("__h"), i - lit(window - 1), lit(window)),
+              lit(0L),
+              (a, x) => pmod(a * lit(31L) + x, mod)) % lit(1L << maskBits) === lit(0L)))
+      .withColumn(
+        "__b1",
+        array_distinct(array_sort(
+          concat(array(lit(0)), col("__cuts"), array(col("__n"))))))
+      .withColumn(
+        "__b",
+        array_distinct(array_sort(concat(
+          col("__b1"),
+          flatten(transform(
+            sequence(lit(1), size(col("__b1")) - 1),
+            j => {
+              val s = element_at(col("__b1"), j)
+              val e = element_at(col("__b1"), j + 1)
+              when(e - s > maxChunk, sequence(s + lit(maxChunk), e - lit(1), lit(maxChunk)))
+                .otherwise(emptyInts)
+            }))))))
+    withCuts
+      .select(
+        col("doc_id"),
+        col("__w"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__b")) - 1),
+          j => struct(
+            element_at(col("__b"), j).as("s"),
+            element_at(col("__b"), j + 1).as("e")))).as(Seq("chunk_id", "__c")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("__c.e") - col("__c.s")).cast("long").as("n_tokens"),
+        array_join(slice(col("__w"), col("__c.s") + 1, col("__c.e") - col("__c.s")), " ")
+          .as("chunk"))
+  }
 }

@@ -154,6 +154,22 @@ object Similarity {
     * (list-id) equi-join of probes against lists — hash-partitioned, never
     * all-pairs. List sizes ~N/nLists; skewed lists are AQE's problem.
     */
+  /** K-means codebook as a broadcastable (list_id, cent) frame — the
+    * shared index build for [[ivfTopK]] and [[semanticDedupPairs]].
+    * spark.ml KMeans fits distributed (Euclidean); assignment downstream
+    * is by cosine, consistent on the unit-normalized testdata regime.
+    */
+  private def fitCentroids(
+      v: DataFrame, vecCol: String, k: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val km = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(10).setTol(1e-3).setFeaturesCol("feat")
+      .fit(v.select(array_to_vector(col(vecCol)).as("feat")))
+    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+    v.sparkSession.createDataFrame(cents).toDF("list_id", "cent")
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -162,14 +178,8 @@ object Similarity {
       k: Int,
       seed: Long = 42L,
       excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col("id").as("nbr_id"), col("vec").cast("array<double>").as("nbr_vec"))
-    val km = new KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(10).setTol(1e-3).setFeaturesCol("feat")
-      .fit(c.select(array_to_vector(col("nbr_vec")).as("feat")))
-    val cents = km.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }.toSeq
-    val centDf = c.sparkSession.createDataFrame(cents).toDF("list_id", "cent")
+    val centDf = fitCentroids(c, "nbr_vec", nLists, seed)
 
     def nearestLists(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
       df.join(broadcast(centDf))
@@ -359,6 +369,59 @@ object Similarity {
         banded.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+      .join(v.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(v.select(col("id").as("b"), col("v").as("vb")), "b")
+      .withColumn("sim", quantize(cosine(col("va"), col("vb"))))
+      .filter(col("sim") >= lit((threshold * 10000).toLong))
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** SemDeDup-style cluster-blocked near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partitions the corpus, candidate pairs
+    * must be CO-ASSIGNED to at least one of each vector's `nProbe`
+    * nearest centroids (multi-probe assignment recovers the boundary
+    * pairs a single hard assignment loses), and every candidate is
+    * verified by exact cosine. Same output contract as
+    * [[cosineNearDupPairs]]: emitted ⊆ brute-force pairs (precision 1 by
+    * construction), probabilistic recall — ApproxGatesSpec gates the
+    * declared parameters.
+    *
+    * Scale: the N² pair space becomes Σ_c n_c² within-cluster equi-joins
+    * on list_id — ids-only cross that exchange; vectors join back only
+    * for candidate verification. The centroid table broadcasts and
+    * assignment is a map-side argmax, so ~√N clusters bounds pair work
+    * near N^1.5 even on uniform data — and far lower on genuinely
+    * clustered embeddings, the regime semantic dedup targets.
+    * `nClusters = 1` degenerates to exactly brute force (OpsSpec pins
+    * it).
+    */
+  def semanticDedupPairs(
+      df: DataFrame,
+      threshold: Double,
+      nClusters: Int,
+      nProbe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val v = df.select(col("id"), col("vec").cast("array<double>").as("v"))
+    val assigned =
+      if (nClusters == 1) v.select(col("id"), lit(0).as("list_id")) // spark.ml KMeans needs k >= 2
+      else {
+        val centDf = fitCentroids(v, "v", nClusters, seed)
+        v.join(broadcast(centDf))
+          .withColumn("__sim", cosine(col("v"), col("cent")))
+          .withColumn(
+            "__r",
+            row_number().over(
+              Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("list_id"))))
+          .filter(col("__r") <= nProbe)
+          .select(col("id"), col("list_id"))
+      }
+    assigned
+      .as("l")
+      .join(
+        assigned.as("r"),
+        col("l.list_id") === col("r.list_id") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
       .join(v.select(col("id").as("a"), col("v").as("va")), "a")

@@ -34,8 +34,13 @@ case class CharNgrams(child: Expression, n: Int)
     CharNgrams.eval(v.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // call through MODULE$: scalac suppresses the static eval(UTF8String,
+    // int) forwarder here (name collision with Expression.eval), and a
+    // bare CharNgrams.eval fails Janino resolution — silently demoting
+    // the whole langid scan to interpreted eval via codegen fallback
+    // (OpsSpec pins compiled execution with fallback off)
     nullSafeCodeGen(ctx, ev, s => {
-      s"${ev.value} = org.apache.spark.sql.graft.CharNgrams.eval($s, $n);"
+      s"${ev.value} = org.apache.spark.sql.graft.CharNgrams$$.MODULE$$.eval($s, $n);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

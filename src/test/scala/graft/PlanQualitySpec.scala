@@ -37,8 +37,15 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val p = plan("q_rollup_revenue")
     assert("Expand".r.findAllIn(p).size == 1,
       s"rollup must plan exactly one Expand (3 grouping sets in one scan):\n$p")
-    assert("(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"expected exactly one shuffle exchange (the grouping-set agg):\n$p")
+    // two exchanges by design: the order-grain pre-aggregation of lineitem
+    // (so the joins and the 3-way Expand never carry fact-table grain) and
+    // the grouping-set agg itself
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly two shuffle exchanges (order-grain pre-agg + grouping-set agg):\n$p")
+    // the pre-agg must survive into the final plan (not be optimized away):
+    // the grouping-set agg consumes ord_rev/ord_items order-grain partials
+    assert(p.contains("ord_rev"),
+      s"Expand must consume the pre-aggregated (order-grain) side:\n$p")
   }
 
   test("pivot with pinned values: map-side partials, no Expand, no distinct-scan job") {

@@ -82,6 +82,16 @@ class ApproxGatesSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
   }
 
+  test("d_dedup_semantic: output subset of brute pairs, recall >= 0.9 at 16 clusters, nProbe=4") {
+    // SparkEntry params: threshold=0.40, nClusters=16, nProbe=4
+    val truth = pairs(Similarity.cosineNearDupPairs(v, 0.40))
+    val got = pairs(Similarity.semanticDedupPairs(v, 0.40, nClusters = 16, nProbe = 4))
+    assert(truth.nonEmpty, "gate is vacuous: no near-dup pairs in testdata")
+    assert(got.subsetOf(truth), s"precision violated: ${(got -- truth).take(5)}")
+    info(s"semantic dedup recall = ${recall(got, truth)}")
+    assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
+  }
+
   test("q_uv_daily_approx / q_uv_daily_bloom: per-window estimates within error bars of exact") {
     // A8's two estimators at the declared query params (1-day windows over
     // the events table): HLL++ at rsd=0.05 and the bloom-bitmap Aggregator.

@@ -99,4 +99,74 @@ class ChunkingSpec extends SparkSpec {
       .select("doc_id").as[String].collect().toSet
     assert(some == again && some.nonEmpty && some.size < 50)
   }
+
+  // ---- content-defined chunking ----
+
+  /** Driver-side reference CDC, same spec as contentDefinedChunks:
+    * 40-bit md5 token hashes, 31-ary Horner fold mod 2^40 over the
+    * trailing `w` tokens, cut where the fold ≡ 0 mod 2^maskBits,
+    * force-split gaps > maxChunk at maxChunk offsets from the prior cut.
+    */
+  private def refCdcBounds(
+      hs: IndexedSeq[Long], w: Int = 8, maskBits: Int = 5, maxChunk: Int = 128): Seq[Int] = {
+    val mod = 1L << 40
+    val n = hs.size
+    val cuts = (w to n).filter { i =>
+      hs.slice(i - w, i).foldLeft(0L)((a, x) => (a * 31 + x) % mod) % (1L << maskBits) == 0
+    }
+    val b1 = (Seq(0) ++ cuts ++ Seq(n)).distinct.sorted
+    val forced = b1.zip(b1.tail).flatMap { case (s, e) =>
+      if (e - s > maxChunk) (s + maxChunk) until e by maxChunk else Seq.empty
+    }
+    (b1 ++ forced).distinct.sorted
+  }
+
+  private def h40(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(5).map("%02x".format(_)).mkString, 16)
+  }
+
+  private def refCdc(tokens: IndexedSeq[String]): Seq[(Long, Long, String)] = {
+    val b = refCdcBounds(tokens.map(h40))
+    b.zip(b.tail).zipWithIndex.map { case ((s, e), j) =>
+      (j.toLong, (e - s).toLong, tokens.slice(s, e).mkString(" "))
+    }
+  }
+
+  test("contentDefinedChunks matches the per-token reference on real docs (sf0.001)") {
+    val docs = graft.io.Tables(spark, "/root/testdata/sf0.001").documents
+    val got = Chunking.contentDefinedChunks(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> refCdc(r.getString(1).trim.split("\\s+").toIndexedSeq))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for ((id, chunks) <- want) assert(got(id) == chunks, s"doc $id")
+    // and chunk concatenation reconstructs every doc exactly
+    for ((id, chunks) <- got)
+      assert(chunks.map(_._3).mkString(" ") ==
+        want(id).map(_._3).mkString(" "), s"doc $id reconstruction")
+  }
+
+  test("contentDefinedChunks: boundaries are content-local (shift resistance)") {
+    val toks = (0 until 2000).map(i => s"tok${(i * 2654435761L) % 9973}")
+    val prefix = (0 until 17).map(i => s"new$i")
+    val c1 = Chunking.contentDefinedChunks(
+      docs("d1" -> toks.mkString(" ")), col("doc_id"), col("text"))
+      .orderBy("chunk_id").collect().map(_.getString(3)).toSeq
+    val c2 = Chunking.contentDefinedChunks(
+      docs("d2" -> (prefix ++ toks).mkString(" ")), col("doc_id"), col("text"))
+      .orderBy("chunk_id").collect().map(_.getString(3)).toSeq
+    // every boundary at/after the first content cut is shared, so the
+    // chunk lists agree from that cut onward — fixed-stride chunking
+    // (Chunking.chunk) shares NOTHING after a 17-token prepend
+    val bounds = refCdcBounds(toks.map(h40).toIndexedSeq)
+    val firstCut = bounds.find(b => b > 0 && b < toks.size).getOrElse(toks.size)
+    val expectShared = c1.size - c1.scanLeft(0)((acc, c) =>
+      acc + c.split(" ").length).tail.count(_ <= firstCut)
+    val lcs = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.size
+    assert(lcs >= expectShared && expectShared > 10,
+      s"lcs=$lcs expectShared=$expectShared c1=${c1.size} c2=${c2.size}")
+  }
 }

@@ -571,6 +571,17 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("semanticDedupPairs at nClusters=1 equals brute-force near-dup pairs") {
+    val t = graft.io.Tables(spark, "/root/testdata/sf0.001")
+    val v = t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val brute = Similarity.cosineNearDupPairs(v, 0.40)
+      .select("a", "b", "sim").as[(Long, Long, Long)].collect().toSet
+    val sem = Similarity.semanticDedupPairs(v, 0.40, nClusters = 1, nProbe = 1)
+      .select("a", "b", "sim").as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(sem == brute) // one cluster holds everything: blocking is a no-op
+  }
+
   test("ivfTopK with full probing equals brute force; partial probing is subset") {
     val t = graft.io.Tables(spark, "/root/testdata/sf0.001")
     val v = t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
