@@ -186,14 +186,18 @@ object TextOps {
       langLabel: Column,
       profileSize: Int = 50): DataFrame = {
     val t = lower(text)
-    // native codegen'd n-gram explode (org.apache.spark.sql.graft
-    // .CharNgrams) — the transform(sequence)/substr HOF formulation it
-    // replaced interprets one lambda tree per character (measured 5.8 s →
-    // 3.5 s for t_langid_model at sf0.1); bit-equality pinned in OpsSpec
+    // native codegen'd n-gram explode, PACKED: CharNgramCodes emits one
+    // primitive long per trigram (21 bits/codepoint, order-compatible
+    // with the string form, so the profile's count-then-gram tie-break
+    // is engine-identical) — the string-gram explode allocated one
+    // UTF8String per trigram and that object churn dominated both scan
+    // passes (measured 12.7 s → 1.3 s per bare explode pass on the 10×
+    // corpus; 25 s → 8 s end-to-end); code-vs-string equivalence pinned
+    // in OpsSpec
     val tris = df.select(
       id.as("doc_id"),
       langLabel.as("__lang"),
-      explode(org.apache.spark.sql.graft.TextFunctions.charNgrams(t, 3)).as("g"))
+      explode(org.apache.spark.sql.graft.TextFunctions.charNgramCodes(t, 3)).as("g"))
     val profile = tris
       .groupBy(col("__lang"), col("g"))
       .agg(count(lit(1)).as("__cnt"))

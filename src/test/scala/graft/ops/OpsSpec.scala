@@ -690,6 +690,36 @@ class OpsSpec extends SparkSpec {
       .collect().forall(!_.isNullAt(0)))
   }
 
+  test("CharNgramCodes packs the same trigrams as CharNgrams, order-compatibly") {
+    import org.apache.spark.sql.graft.TextFunctions
+    val df = Seq("hello world", "ab", "abc", "", "héllo ünïcode", "日本語のテキスト")
+      .toDF("t").select(lower(col("t")).as("t"))
+    val rows = df.select(
+      TextFunctions.charNgrams(col("t"), 3).as("s"),
+      TextFunctions.charNgramCodes(col("t"), 3).as("c"))
+      .as[(Seq[String], Seq[Long])].collect()
+    for ((ss, cs) <- rows) {
+      // same grams: unpacking 3 × 21-bit codepoints reproduces the strings
+      val unpacked = cs.map { c =>
+        val cps = Array(((c >> 42) & 0x1FFFFF).toInt, ((c >> 21) & 0x1FFFFF).toInt,
+          (c & 0x1FFFFF).toInt)
+        new String(cps, 0, 3)
+      }
+      assert(unpacked == ss)
+      // same order: numeric code order == UTF-8 byte order of the grams
+      // (what Spark and DuckDB both sort strings by)
+      def utf8Lt(a: String, b: String): Boolean = {
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n && x(i) == y(i)) i += 1
+        if (i < n) (x(i) & 0xFF) < (y(i) & 0xFF) else x.length < y.length
+      }
+      assert(ss.zip(cs).sortWith((p, q) => utf8Lt(p._1, q._1)).map(_._2) ==
+        cs.sorted)
+    }
+  }
+
   test("native CosineSim equals HOF formulation bit-for-bit") {
     val df = Seq((Array(0.1, 0.2, 0.7), Array(0.3, 0.9, 0.11))).toDF("a", "b")
     val hof = df.select(
