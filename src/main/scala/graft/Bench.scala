@@ -112,7 +112,7 @@ object Bench {
     * join. Input rows / wall seconds, end-to-end including source chunking
     * and sink.
     */
-  private def streamThroughput(spark: SparkSession, sfDir: String): String = {
+  private def streamThroughput(spark: SparkSession, sfDir: String): String = try {
     val keyed = Tables(spark, sfDir).events.select(
       col("user_id").cast("string").as("key"),
       col("ts"),
@@ -142,5 +142,12 @@ object Bench {
       one("funnel")(s =>
         StateMachines.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()))
       .mkString("{", ",", "}")
+  } catch {
+    // Round-7 lesson: an AnalysisException in the events load / count()
+    // preamble killed the whole JVM and nulled the entire bench record.
+    // A broken stream section must never take the batch numbers with it.
+    case e: Throwable =>
+      System.err.println(s"[bench] streamThroughput preamble failed: $e")
+      "{\"error\":\"preamble_failed\"}"
   }
 }

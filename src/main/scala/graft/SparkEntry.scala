@@ -555,17 +555,21 @@ object SparkEntry {
     "d_dedup_bow" -> ((s, dir) => {
       // model-free near-dup: feature-hashed BoW count vectors + exact
       // cosine. Integer counts make the cosine bit-exact across engines
-      // (products and norms are exact doubles; one division). The N²
-      // self-join is the declared exact baseline; d_dedup_bow_lsh below
-      // is the declared scale path over the same vectors.
+      // (products and norms are exact doubles; one division).
+      // ORACLE-ANCHOR ONLY — this N² self-join exists so the driver's
+      // DuckDB record has an exact-SQL row for the BoW family; it is NOT
+      // the declared plan and cannot run at 100× (quadratic pair space).
+      // The declared plan for BoW near-dup is d_dedup_bow_lsh below
+      // (same vectors, same exact verify, measured recall 0.998), whose
+      // ApproxGatesSpec gate recomputes this baseline internally.
       val v = TextOps
         .hashedBowVectors(Tables(s, dir).documents, col("doc_id"), col("text"), dim = 64)
         .select(col("doc_id").as("id"), col("vec"))
       Similarity.cosineNearDupPairs(v, 0.95)
     }),
     "d_dedup_bow_lsh" -> ((s, dir) => {
-      // scale path of d_dedup_bow: LSH-blocked candidates, exact verify;
-      // probabilistic recall -> rows-only check (no oracle).
+      // THE declared BoW near-dup plan: LSH-blocked candidates, exact
+      // verify; probabilistic recall -> rows-only check (no oracle).
       // Acceptance bar (ApproxGatesSpec, same params, sf0.01): output ⊆
       // exact d_dedup_bow pairs (exact cosine verify ⇒ precision 1) and
       // pair recall ≥ 0.9 (measured 0.998 at sf0.1, 3.5s exact vs 0.6s
@@ -1275,6 +1279,38 @@ object SparkEntry {
           col("ts_first"),
           col("ts_reached"))
     }),
+    "q_retention_stream" -> ((s, dir) => {
+      // streaming twin of q_retention: the state machine emits one FINAL
+      // (key, cohort, day) row per active day once the watermark proves
+      // the cohort can no longer change; the tiny (cohort, day_n) count
+      // over the emitted feed reproduces the batch matrix — each (key,
+      // day) row is unique so count(1) is count-distinct-users. Same
+      // oracle SQL as the batch twin.
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          StateMachines.retentionDays(stream).toDF()
+        }
+        .groupBy(
+          col("cohort"),
+          datediff(col("day"), col("cohort")).as("day_n"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+    "t_user_sequences_stream" -> ((s, dir) => {
+      // streaming twin of t_user_sequences: per-key capped chronological
+      // sequence finalized after 10 days of event-time inactivity —
+      // above the corpus's max per-key gap (~6 d) and below the replay
+      // sentinel's +30 d horizon, so every key closes exactly once and
+      // the rows hash-match the batch oracle. State is O(maxLen) per
+      // key, strictly better than the batch collect_list.
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          StateMachines.eventSequences(stream, maxLen = 50, idleSec = 10L * 86400).toDF()
+        }
+        .select(
+          col("key").cast("long").as("user_id"),
+          col("n_events"),
+          col("sequence"))
+    }),
     "q_dedup_bounded_stream" -> ((s, dir) => {
       // the BOUNDED-state streaming dedup — the 100 TB posture
       // q_dedup_stream's scaladoc promises: dropDuplicatesWithinWatermark
@@ -1624,6 +1660,16 @@ object SparkEntry {
         |SELECT f.cohort, datediff('day', f.cohort, a.d) AS day_n,
         |  count(*) AS n_active
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // streaming twin checks against the SAME matrix as the batch query
+    "q_retention_stream" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |)
+        |SELECT f.cohort, datediff('day', f.cohort, a.d) AS day_n,
+        |  count(*) AS n_active
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       s"""$funnelChainSql
          |SELECT u.user_id,
@@ -1645,6 +1691,19 @@ object SparkEntry {
          |  t1 AS ts_first, coalesce(t3, t2, t1) AS ts_reached
          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
     "t_user_sequences" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events
+        |)
+        |SELECT user_id, any_value(cnt) AS n_events,
+        |  string_agg(event_type, '|' ORDER BY rn) AS sequence
+        |FROM r WHERE rn <= 50
+        |GROUP BY user_id""".stripMargin,
+    // streaming twin: every key closes exactly once (idle horizon > max
+    // per-key gap), so the rows equal the batch fold over the full log
+    "t_user_sequences_stream" ->
       """WITH r AS (
         |  SELECT user_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,

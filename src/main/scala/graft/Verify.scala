@@ -27,9 +27,24 @@ object Verify {
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // Round-7 lesson: a silent stderr line made 45 failed queries
+        // vanish from the driver's record entirely. Leave a tombstone so
+        // every declared query produces a trace — an `err` row, never an
+        // omission.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try Files.writeString(Paths.get(s"$outDir/$name.error"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+        catch { case _: Throwable => () }
       }
     }
+    // Summary manifest: declared vs succeeded vs failed, so the record's
+    // completeness is auditable without diffing directory listings.
+    val declared = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val failedNames = declared.filter(n => Files.exists(Paths.get(s"$outDir/$n.error")))
+    System.err.println(
+      s"[verify] declared=${declared.size} ok=${declared.size - failedNames.size} " +
+      s"failed=${failedNames.size}${if (failedNames.nonEmpty) " " + failedNames.mkString(",") else ""}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -21,20 +21,36 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read the raw int64 nanos and truncate to µs — exactly
-    * what DuckDB's reader does, so oracle timestamps stay bit-identical.
+  /** The `ts` column's physical parquet type has changed across testdata
+    * regenerations (TIMESTAMP(NANOS) ↔ TIMESTAMP(MICROS)), so the loader
+    * adapts to whatever is on disk instead of hardcoding one layout:
     *
-    * NOTE: this sets `spark.sql.legacy.parquet.nanosAsLong` SESSION-WIDE
-    * (nano-timestamp columns in any later parquet read surface as raw
-    * longs instead of erroring). It cannot be save/restored around the
-    * call: the returned frame is lazy and the conf is read again at
-    * execution time, so restoring it would break the scan. There is no
-    * per-read option for this legacy flag in Spark 4.1.
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so we set
+    *    `spark.sql.legacy.parquet.nanosAsLong` (surfaces the raw int64
+    *    nanos as LongType) and truncate to µs — exactly what DuckDB's
+    *    reader does, so oracle timestamps stay bit-identical.
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false: Spark infers
+    *    TIMESTAMP_NTZ; cast to TIMESTAMP. The session timezone is pinned
+    *    to UTC everywhere (Verify/Bench/specs), so the cast preserves the
+    *    stored µs value bit-for-bit and matches DuckDB's reading.
+    *  - TIMESTAMP (µs, UTC-adjusted): pass through.
+    *
+    * NOTE: the nanosAsLong conf is set SESSION-WIDE up front (it only
+    * affects nano-typed columns, so it is a no-op for micros files). It
+    * cannot be save/restored around the call: the returned frame is lazy
+    * and the conf is read again at execution time. There is no per-read
+    * option for this legacy flag in Spark 4.1.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType)) // TIMESTAMP_NTZ
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -496,4 +496,134 @@ object StateMachines {
         out
       })
   }
+
+  // ---- cohort retention (streaming twin of q_retention) ----
+
+  private val DayUs = 86400000000L
+
+  case class RetentionState(minDay: Long, pending: List[Long], emitted: List[Long])
+  case class RetentionRow(key: String, cohort: java.time.LocalDate, day: java.time.LocalDate)
+
+  /** Streaming cohort-retention feed: one FINAL row per (key, active day)
+    * carrying the key's cohort (= first-seen UTC day). Aggregating the
+    * output by (cohort, datediff(day, cohort)) reproduces the batch
+    * retention matrix exactly — each (key, day) row is unique, so a plain
+    * count IS count-distinct-users.
+    *
+    * Finality argument: the cohort can only be lowered by an event with
+    * `ts < midnight(minDay)`; once the watermark reaches midnight(minDay)
+    * such events are dropped by the watermark filter, so the cohort is
+    * final and every pending day can be emitted. Until then days buffer in
+    * state and an event-time timer re-checks when the watermark crosses.
+    * Active-day membership itself is monotone (a set only grows), so no
+    * emitted row is ever retracted.
+    *
+    * State posture: O(active days per key) — calendar-bounded, the same
+    * bound as the batch collect_set; in production cap it with a horizon
+    * (drop days older than the reporting window) to keep it O(horizon).
+    * Day arithmetic is UTC (epoch-day of the µs event time), matching
+    * `to_date(ts)` under the session's pinned UTC timezone.
+    */
+  def retentionDays(
+      events: Dataset[KeyedEvent],
+      watermarkDelay: String = "0 seconds"): Dataset[RetentionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RetentionState, RetentionRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        val st0 = state.getOption.getOrElse(RetentionState(Long.MaxValue, Nil, Nil))
+        var minDay = st0.minDay
+        var pending = st0.pending
+        for (e <- it; if e.kind != Replay.Sentinel) {
+          val d = Math.floorDiv(usOf(e.ts), DayUs)
+          minDay = math.min(minDay, d)
+          if (!pending.contains(d) && !st0.emitted.contains(d)) pending = d :: pending
+        }
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        if (minDay == Long.MaxValue) {
+          // sentinel-only group (or spurious timeout with empty state)
+          state.remove()
+          Iterator.empty
+        } else if (minDay * DayUs <= wmUs) {
+          state.update(RetentionState(minDay, Nil, st0.emitted ++ pending))
+          pending.sorted.iterator.map(d =>
+            RetentionRow(
+              key,
+              java.time.LocalDate.ofEpochDay(minDay),
+              java.time.LocalDate.ofEpochDay(d)))
+        } else {
+          state.update(RetentionState(minDay, pending, st0.emitted))
+          // fire once the watermark passes midnight(minDay): +1 ms because
+          // timers fire strictly after the watermark passes the deadline
+          state.setTimeoutTimestamp(minDay * DayUs / 1000L + 1)
+          Iterator.empty
+        }
+      })
+  }
+
+  // ---- per-key training-sequence construction (streaming twin of
+  //      t_user_sequences / graft.ops.Sequences.eventSequences) ----
+
+  case class SeqState(nEvents: Long, buf: List[(Long, String, String)], lastUs: Long)
+  case class SequenceRow(key: String, n_events: Long, sequence: String)
+
+  /** Streaming event-sequence builder: per key, the chronological kind
+    * sequence capped at `maxLen`, finalized (one FINAL append-mode row)
+    * after `idleSec` of EVENT-TIME inactivity — the streaming notion of
+    * "this key's history is complete". The batch twin folds the whole log
+    * at rest; here a key whose quiet period exceeds the horizon closes and
+    * re-opens as a fresh sequence (a second row), so pick `idleSec` above
+    * the corpus's max per-key gap when exact batch parity is the goal (the
+    * replay gate checks exactly that).
+    *
+    * State posture: O(maxLen) per key — the buffer keeps only the maxLen
+    * (ts, id)-smallest events plus a running total count, STRICTLY BETTER
+    * than the batch collect_list's O(events per key). Ties on ts break by
+    * the id string; the events table has µs timestamps and no (key, ts)
+    * duplicates, so string-vs-numeric id order never diverges from the
+    * batch twin (asserted by the oracle hash row).
+    */
+  def eventSequences(
+      events: Dataset[KeyedEvent],
+      maxLen: Int,
+      idleSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SequenceRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idleUs = idleSec * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SeqState, SequenceRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        val st0 = state.getOption.getOrElse(SeqState(0L, Nil, Long.MinValue))
+        var n = st0.nEvents
+        var lastUs = st0.lastUs
+        val fresh = sorted(it).filter(_.kind != Replay.Sentinel)
+        for (e <- fresh) { n += 1; lastUs = math.max(lastUs, usOf(e.ts)) }
+        val buf = (st0.buf ++ fresh.map(e => (usOf(e.ts), e.id, e.kind)))
+          .sortBy(t => (t._1, t._2))
+          .take(maxLen)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        if (n == 0L) {
+          state.remove() // sentinel-only group
+          Iterator.empty
+        } else if (lastUs + idleUs <= wmUs) {
+          // horizon closed: the sequence is final; drop the state so a
+          // late-reopening key shows up as a visible second row, never a
+          // silent merge
+          state.remove()
+          Iterator.single(SequenceRow(key, n, buf.map(_._3).mkString("|")))
+        } else {
+          state.update(SeqState(n, buf, lastUs))
+          state.setTimeoutTimestamp((lastUs + idleUs) / 1000L + 1)
+          Iterator.empty
+        }
+      })
+  }
 }

@@ -222,4 +222,66 @@ class StateMachinesSpec extends SparkSpec {
         ("2020-01-01 00:05:00.0", "c", 1L, 1)))
     } finally q.stop()
   }
+
+  test("retentionDays(stream): cohort final at watermark, days emit once, late day buffers") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.retentionDays(input.toDS())
+      .writeStream.format("memory").queryName("sm_retention").outputMode("append").start()
+    try {
+      // u1 active on Jan 1 and Jan 3; u2 first appears Jan 2. First batch's
+      // watermark is 0 → nothing final yet; day rows must NOT leak early.
+      input.addData(Seq(
+        ev("u1", "2020-01-01 10:00:00", "view", "e1"),
+        ev("u2", "2020-01-02 09:00:00", "view", "e2")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        ev("u1", "2020-01-03 08:00:00", "click", "e3"),
+        ev("u1", "2020-01-01 23:00:00", "view", "e4"))) // same-day repeat: no extra row
+      q.processAllAvailable()
+      for (i <- 0 until 2) {
+        input.addData(Seq(KeyedEvent(
+          Replay.Sentinel, ts(s"2030-01-01 00:00:0$i"), Replay.Sentinel, s"s$i")))
+        q.processAllAvailable()
+      }
+      val got = spark.table("sm_retention")
+        .as[StateMachines.RetentionRow].collect()
+        .map(r => (r.key, r.cohort.toString, r.day.toString)).toSet
+      assert(got == Set(
+        ("u1", "2020-01-01", "2020-01-01"),
+        ("u1", "2020-01-01", "2020-01-03"),
+        ("u2", "2020-01-02", "2020-01-02")))
+    } finally q.stop()
+  }
+
+  test("eventSequences(stream): capped (ts,id) order across batches, idle horizon finalizes once") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.eventSequences(input.toDS(), maxLen = 3, idleSec = 3600L)
+      .writeStream.format("memory").queryName("sm_seq").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        ev("u1", "2020-01-01 00:00:02", "click", "e2"),
+        ev("u1", "2020-01-01 00:00:01", "view", "e1"),
+        ev("u2", "2020-01-01 00:00:01", "view", "f1")))
+      q.processAllAvailable()
+      // u1 gets two more events: cap 3 keeps the (ts,id)-smallest three,
+      // but n_events counts all 4
+      input.addData(Seq(
+        ev("u1", "2020-01-01 00:00:03", "cart", "e3"),
+        ev("u1", "2020-01-01 00:00:04", "purchase", "e4")))
+      q.processAllAvailable()
+      for (i <- 0 until 2) {
+        input.addData(Seq(KeyedEvent(
+          Replay.Sentinel, ts(s"2030-01-01 00:00:0$i"), Replay.Sentinel, s"s$i")))
+        q.processAllAvailable()
+      }
+      val got = spark.table("sm_seq")
+        .as[StateMachines.SequenceRow].collect()
+        .map(r => (r.key, r.n_events, r.sequence)).toSet
+      assert(got == Set(
+        ("u1", 4L, "view|click|cart"),
+        ("u2", 1L, "view")))
+    } finally q.stop()
+  }
 }
