@@ -124,4 +124,66 @@ class ReplaySoakSpec extends SparkSpec {
     assert(streamed.toSet == batch)
     assert(batch.nonEmpty)
   }
+
+  test("retentionDays under 2s order jitter: exact cohort matrix, no early emission") {
+    // cohort finality is watermark-proved (an event lowering the cohort
+    // would be older than midnight(minDay) ≤ wm, hence dropped), so with
+    // delay 5s > 2×jitter no real event is ever dropped and the emitted
+    // (key, cohort, day) feed aggregates to exactly the batch matrix
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val input = events.select(
+      col("user_id").cast("string").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"))
+    val streamed = Replay
+      .keyedEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines.retentionDays(stream, watermarkDelay = "5 seconds").toDF()
+      }
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_n"))
+      .agg(count(lit(1)).as("n_active"))
+      .as[(java.sql.Date, Int, Long)].collect().toSet
+    val e = events.select(col("user_id"), to_date(col("ts")).as("d"))
+    val batch = e.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort"), collect_set(col("d")).as("days"))
+      .select(col("cohort"), explode(col("days")).as("d"))
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_n"))
+      .agg(count(lit(1)).as("n_active"))
+      .as[(java.sql.Date, Int, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("eventSequences under 2s order jitter: exact capped sequences, one close per key") {
+    // the maxLen-smallest buffer is union-associative (the cap of a union
+    // equals the cap of capped parts ∪ new rows), so late arrivals inside
+    // the watermark margin cannot corrupt the final sequence; idle 10d >
+    // max per-key gap (~3.2d at sf0.001) pins a single close per key
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val input = events.select(
+      col("user_id").cast("string").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"))
+    val streamed = Replay
+      .keyedEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines
+          .eventSequences(stream, maxLen = 50, idleSec = 10L * 86400,
+            watermarkDelay = "5 seconds")
+          .toDF()
+      }
+      .select(col("key").cast("long"), col("n_events"), col("sequence"))
+      .as[(Long, Long, String)].collect()
+    assert(streamed.map(_._1).distinct.length == streamed.length,
+      "idle horizon must close every key exactly once")
+    val batch = graft.ops.Sequences
+      .eventSequences(
+        events, col("user_id"), col("ts"), col("event_id"), col("event_type"), 50)
+      .select(col("key"), col("n_events"), col("sequence"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed.toSet == batch)
+    assert(batch.nonEmpty)
+  }
 }
