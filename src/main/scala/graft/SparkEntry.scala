@@ -751,6 +751,27 @@ object SparkEntry {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))
     }),
+    "t_bpe_train" -> ((s, dir) => {
+      // REAL BPE tokenizer training (Sennrich merges), distributed: one
+      // corpus-grain shuffle builds the (word, freq) table, then each of
+      // the 24 merge rounds costs O(vocab) — at 100 TB the loop never
+      // re-reads the corpus. Iterative ⇒ not SQL-expressible ⇒ rows-only
+      // record row; exactness gate = BpeSpec (merge-by-merge equality
+      // with a sequential reference implementation, deterministic
+      // tie-break pinned).
+      Bpe.trainTable(Tables(s, dir).documents, col("text"), nMerges = 24)
+    }),
+    "t_bpe_encode" -> ((s, dir) => {
+      // token counts under the trained merges: k fold passes over the
+      // DISTINCT-WORD table, then one equi-join back to doc grain —
+      // corpus is touched twice total (word-freq + final join), never
+      // per merge. Rows-only record row; BpeSpec gates exact equality
+      // with per-word sequential encoding.
+      val docs = Tables(s, dir).documents
+      val merges = Bpe.train(docs, col("text"), nMerges = 16)
+      Bpe.encodeTokenCounts(docs, col("doc_id"), col("text"), merges)
+        .select(col("id").as("doc_id"), col("n_tokens"))
+    }),
     "t_quality" -> ((s, dir) => {
       TextOps
         .qualitySignals(Tables(s, dir).documents, col("text"))
