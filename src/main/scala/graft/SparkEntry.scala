@@ -938,6 +938,28 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("q_md5"), col("q_min"), col("q_max"),
           col("q_sum"), col("q_nnz"))
     }),
+    "e_pca" -> ((s, dir) => {
+      // PCA compression of the embedding store to k=8: two treeAggregate
+      // passes fit the basis (O(dim²) driver artifact, corpus never
+      // collected), projection is a pure per-row HOF. Eigendecomposition
+      // is not SQL-expressible ⇒ rows-only record row; PcaSpec gates
+      // orthonormality, planted-direction recovery, dense-projection
+      // equality, and digest stability.
+      val e = Tables(s, dir).embeddings
+      val b = Embeddings.pcaBasis(e, col("embedding"), k = 8)
+      Embeddings.pcaProjectDigest(e, col("vec_id"), col("embedding"), b)
+        .select(col("id").as("vec_id"), col("proj_md5"), col("k"), col("sq_norm_micro"))
+    }),
+    "e_whiten" -> ((s, dir) => {
+      // whitened PCA projection (unit variance per retained direction —
+      // the preprocessing that makes cosine/L2 treat every direction
+      // equally before SemDeDup/ANN). Same gates as e_pca plus the
+      // unit-variance check in PcaSpec.
+      val e = Tables(s, dir).embeddings
+      val b = Embeddings.pcaBasis(e, col("embedding"), k = 8)
+      Embeddings.pcaProjectDigest(e, col("vec_id"), col("embedding"), b, whiten = true)
+        .select(col("id").as("vec_id"), col("proj_md5"), col("k"), col("sq_norm_micro"))
+    }),
     "t_len_quantiles_approx" -> ((s, dir) => {
       // the declared 100 TB quantile path (percentile_approx sketch, no
       // per-key sort) on the correctness record: at gate scale every

@@ -79,4 +79,106 @@ object Embeddings {
         col("key"),
         col("pos"),
         (col("__s").cast("double") / 1e6 / col("__n")).as("mean_v"))
+
+  // ---- PCA / whitening ----
+
+  /** A trained PCA basis: the artifact is O(dim²) — bounded and
+    * corpus-size-independent, like [[Similarity]]'s PQ codebooks.
+    * `components(j)` is the j-th principal direction (length `dim`),
+    * ordered by descending eigenvalue; `eigenvalues(j)` is the variance
+    * along it.
+    */
+  final case class PcaBasis(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** Fit a k-component PCA basis over an embedding column — the standard
+    * preprocessing for SemDeDup-style semantic dedup and ANN index
+    * compression.
+    *
+    * Scale shape: TWO distributed passes, both
+    * `RowMatrix` treeAggregates (column summary stats for the mean,
+    * then the dim×dim covariance); the corpus never ships to the driver.
+    * The eigendecomposition runs on the driver over the dim×dim
+    * covariance — O(dim³) work on a 64×64 matrix, constant in corpus
+    * size (the same bounded-driver-work posture as PQ codebook
+    * training). Sign convention: each component is flipped so its
+    * largest-|entry| coordinate is positive, making the basis
+    * deterministic across runs and platforms.
+    */
+  def pcaBasis(df: DataFrame, vec: Column, k: Int): PcaBasis = {
+    import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = df
+      .select(vec.cast("array<double>").as("v"))
+      .rdd
+      .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
+    val mat = new RowMatrix(rows)
+    val dim = mat.numCols().toInt
+    require(k >= 1 && k <= dim, s"k=$k out of range for dim=$dim")
+    val mean = mat.computeColumnSummaryStatistics().mean.toArray
+    val cov = mat.computeCovariance() // dim×dim local, from one treeAggregate
+    val bcov = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => cov(i, j))
+    val es = breeze.linalg.eigSym(bcov) // ascending eigenvalues
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i)).take(k)
+    val comps = order.map { j =>
+      val c = Array.tabulate(dim)(i => es.eigenvectors(i, j))
+      // deterministic sign: largest-|entry| coordinate positive
+      val m = c.indices.maxBy(i => (math.abs(c(i)), -i))
+      if (c(m) < 0) c.map(-_) else c
+    }.toArray
+    PcaBasis(mean, comps, order.map(j => math.max(0d, es.eigenvalues(j))).toArray)
+  }
+
+  /** Project (and optionally whiten) an embedding column onto a trained
+    * basis. Pure per-row projection — no shuffle, k·dim multiplies per
+    * row through codegen'd `zip_with`/`aggregate` HOFs; the basis rides
+    * into the plan as literals (O(k·dim) plan size, fine for ANN-scale
+    * k·dim; at very large bases switch to a broadcast + native
+    * expression).
+    *
+    * Whitening divides each coordinate by √eigenvalue (components with
+    * eigenvalue ≤ `eps` pass through unscaled instead of exploding), so
+    * downstream cosine/L2 treats every retained direction equally.
+    */
+  def pcaProject(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      basis: PcaBasis,
+      whiten: Boolean = false,
+      eps: Double = 1e-9): DataFrame = {
+    val meanLit = array(basis.mean.map(lit): _*)
+    val centered = zip_with(vec.cast("array<double>"), meanLit, (a, b) => a - b)
+    val coords = basis.components.zipWithIndex.map { case (c, j) =>
+      val dot = aggregate(
+        zip_with(centered, array(c.map(lit): _*), (a, b) => a * b),
+        lit(0.0),
+        (acc, x) => acc + x)
+      val lam = basis.eigenvalues(j)
+      if (whiten && lam > eps) dot / lit(math.sqrt(lam)) else dot
+    }
+    df.select(id.as("id"), array(coords: _*).as("proj"))
+  }
+
+  /** [[pcaProject]] flattened to engine-portable scalars (the
+    * quantizeInt8Digest pattern): per-vector digest of micro-unit-floored
+    * coordinates plus summary stats — deterministic across runs because
+    * the basis itself is (sign convention + deterministic eigensolver).
+    */
+  def pcaProjectDigest(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      basis: PcaBasis,
+      whiten: Boolean = false): DataFrame =
+    pcaProject(df, id, vec, basis, whiten).select(
+      col("id"),
+      md5(concat_ws(",",
+        transform(col("proj"), x => floor(x * 1e6).cast("long")).cast("array<string>")))
+        .as("proj_md5"),
+      size(col("proj")).cast("long").as("k"),
+      floor(aggregate(col("proj"), lit(0.0), (acc, x) => acc + x * x) * 1e6)
+        .cast("long").as("sq_norm_micro"))
 }
