@@ -624,6 +624,26 @@ object SparkEntry {
     }),
 
     // ---- sampling / splitting ----
+    "p_lm_filter" -> ((s, dir) => {
+      // CCNet-style LM quality band: score each doc by its PER-TOKEN
+      // corpus-unigram log-prob (composing t_unigram_lm's integer-exact
+      // scorer), percent-rank WITHIN its source, keep the [0.1, 0.9]
+      // band — drops each stratum's worst boilerplate AND its
+      // suspiciously-predictable head with one calibrated rule. The
+      // division of two exact ints is IEEE-identical on any engine and
+      // percent_rank = (rank-1)/(n-1) ties deterministically, so the
+      // band membership is oracle-exact. Per-source window sort carries
+      // the same stratum-sort scale caveat as t_calibrate (documented
+      // there; strata sort independently).
+      val docs = Tables(s, dir).documents
+      val lm = TextOps.unigramLogProb(docs, col("doc_id"), col("text"))
+      val scored = lm
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("score", col("logprob_1e6").cast("double") / col("n_tokens"))
+      Stats.percentRankByKey(scored, col("source"), col("score"))
+        .filter(col("pct_rank") >= 0.1 && col("pct_rank") <= 0.9)
+        .select(col("doc_id"), col("source"), col("logprob_1e6"), col("n_tokens"))
+    }),
     "p_cap_per_key" -> ((s, dir) => {
       // source-balance capping: at most 20 docs per source, deterministic
       // (WindowGroupLimit-pruned rank — same plan family as T1)
@@ -2085,6 +2105,26 @@ object SparkEntry {
          |  CAST(sum(tf) AS BIGINT) AS n_tokens
          |FROM tf JOIN c USING (w) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+    "p_lm_filter" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |c AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM c),
+         |lm AS (
+         |  SELECT doc_id,
+         |    CAST(sum(tf * CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+         |      / CAST(n + v AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS logprob_1e6,
+         |    CAST(sum(tf) AS BIGINT) AS n_tokens
+         |  FROM tf JOIN c USING (w) CROSS JOIN tot
+         |  GROUP BY doc_id
+         |), ranked AS (
+         |  SELECT lm.doc_id, d.source, lm.logprob_1e6, lm.n_tokens,
+         |    percent_rank() OVER (PARTITION BY d.source
+         |      ORDER BY CAST(lm.logprob_1e6 AS DOUBLE) / lm.n_tokens) AS pct
+         |  FROM lm JOIN documents d USING (doc_id)
+         |)
+         |SELECT doc_id, source, logprob_1e6, n_tokens
+         |FROM ranked WHERE pct >= 0.1 AND pct <= 0.9""".stripMargin,
     "t_pmi_bigrams" ->
       s"""WITH t AS (SELECT doc_id, $tokensExpr AS ws FROM documents),
          |toks AS (SELECT unnest(ws) AS w FROM t),
