@@ -593,6 +593,15 @@ object SparkEntry {
       Dedup.sharedShingleStats(
         Tables(s, dir).documents, col("doc_id"), col("text"), shingleLen = 16)
     }),
+    "d_remove_dup_substrings" -> ((s, dir) => {
+      // the SCRUB counterpart of d_substring_dedup (Lee et al. 2022
+      // ExactSubstr at shingle granularity): drop every token covered by
+      // a full 16-token run appearing in another doc, reassemble, and
+      // pin the cleaned text with md5. All equi-joins at corpus grain —
+      // no pair output, never output-bound.
+      Dedup.removeDuplicateShingles(
+        Tables(s, dir).documents, col("doc_id"), col("text"), shingleLen = 16)
+    }),
     "d_decontaminate" -> ((s, dir) => {
       // cross-corpus contamination sweep: odd-id docs as "train", even-id
       // as "eval" (deterministic stand-ins for two real corpora)
@@ -1873,6 +1882,31 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
          |FROM e JOIN f USING (s)
          |GROUP BY doc_id""".stripMargin,
+    "d_remove_dup_substrings" ->
+      s"""WITH t AS (SELECT doc_id, $tokensExpr AS ws FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS w,
+         |         unnest(generate_series(1, len(ws))) - 1 AS pos
+         |  FROM t),
+         |sh AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+15], ' ') AS s
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS i
+         |        FROM t WHERE len(ws) >= 16)),
+         |dup AS (
+         |  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+         |  WHERE nd > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + o AS pos
+         |  FROM (SELECT sh.doc_id, sh.pos, unnest(generate_series(0, 15)) AS o
+         |        FROM sh JOIN dup USING (s))),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.pos, tok.w
+         |  FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos)
+         |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+         |  CAST(count(k.pos) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '')) AS cleaned_md5
+         |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         |GROUP BY t.doc_id, len(t.ws)""".stripMargin,
     "d_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, $tokensExpr AS w FROM documents

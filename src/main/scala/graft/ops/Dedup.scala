@@ -288,6 +288,81 @@ object Dedup {
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
   }
 
+  /** Cross-document duplicate-SUBSTRING REMOVAL — the scrub counterpart of
+    * [[sharedShingleStats]]'s audit (Lee et al. 2022, arXiv:2107.06499,
+    * "ExactSubstr" at token-shingle granularity): every token covered by a
+    * full `shingleLen`-token run that also appears in at least one OTHER
+    * document is dropped, and the survivors are reassembled in order.
+    * Returns (doc_id, n_tokens, n_kept, cleaned_md5) — the md5 pins the
+    * cleaned text element-exactly while keeping the record row small.
+    *
+    * Plan shape, all corpus-grain stages equi-joined — no pair output, so
+    * never output-bound on dup-heavy corpora:
+    *   1. positioned tokens (one exchange on doc_id for the shingle
+    *      window; reused by the final per-doc reassembly);
+    *   2. full shingles as (doc_id, pos, hash) — hashes travel, never
+    *      16-token strings (xxhash64 like the rest of the shingle family;
+    *      a collision needs ~2³² distinct shingles, document the 128-bit
+    *      upgrade path for 100 TB);
+    *   3. duplicated shingles = distinct-doc count > 1 (partial-agg
+    *      count, broadcast back when small);
+    *   4. covered positions: explode each duplicated occurrence into its
+    *      `shingleLen` positions, distinct at (doc, pos) grain —
+    *      O(shingleLen · dup occurrences), not O(corpus);
+    *   5. anti-join tokens against covered, reassemble per doc.
+    *
+    * Docs shorter than `shingleLen` tokens contain no full run and pass
+    * through unchanged (deliberately different from the stats op's
+    * whole-text shingle for short docs: a doc that cannot contain a full
+    * run cannot be scrubbed by this rule). A fully-covered doc yields
+    * n_kept = 0 and md5("").
+    */
+  def removeDuplicateShingles(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int = 16): DataFrame = {
+    require(shingleLen >= 2, "shingleLen must be >= 2")
+    val toks = df.select(
+      id.as("doc_id"), posexplode(TextOps.tokens(text)).as(Seq("pos", "w")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until shingleLen).map(i => lead(col("w"), i).over(w))
+    val sh = toks
+      .withColumn(
+        "s",
+        when(leads.last.isNotNull, xxhash64(concat_ws(" ", (col("w") +: leads): _*))))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("pos"), col("s"))
+    val dup = sh
+      .select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("s"))
+    val covered = sh
+      .join(dup, "s")
+      .select(
+        col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(shingleLen - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            e => e.getField("w"))).as("__cleaned"))
+    df.select(id.as("doc_id"), size(TextOps.tokens(text)).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("__cleaned"), lit(""))).as("cleaned_md5"))
+  }
+
   // ---- near-dup clustering ----
 
   /** Connected components over a near-dup pair list: every doc in a

@@ -275,6 +275,37 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("removeDuplicateShingles scrubs shared runs, keeps short and unique docs intact") {
+    // shingleLen=3: docs 1 and 2 share the run "a b c d" (two overlapping
+    // 3-shingles "a b c" and "b c d" → positions 0..3 covered in both);
+    // doc 3 is unique; doc 4 is shorter than a shingle and untouchable.
+    val df = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p q a b c d"),
+      (3L, "u v w r s t"),
+      (4L, "m n"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateShingles(df, col("doc_id"), col("text"), shingleLen = 3)
+      .select("doc_id", "n_tokens", "n_kept", "cleaned_md5")
+      .as[(Long, Long, Long, String)].collect().map(r => (r._1, (r._2, r._3, r._4))).toMap
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got(1L) == ((7L, 3L, m("x y z"))))
+    assert(got(2L) == ((6L, 2L, m("p q"))))
+    assert(got(3L) == ((6L, 6L, m("u v w r s t"))))
+    assert(got(4L) == ((2L, 2L, m("m n"))))
+  }
+
+  test("removeDuplicateShingles: fully-duplicated doc empties to md5 of empty string") {
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateShingles(df, col("doc_id"), col("text"), shingleLen = 3)
+      .select("doc_id", "n_kept", "cleaned_md5").as[(Long, Long, String)].collect().toSet
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(got == Set((1L, 0L, emptyMd5), (2L, 0L, emptyMd5)))
+  }
+
   test("crossCorpusNearDups flags the leaked eval doc only") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val leak = "the quick brown fox jumps over the lazy dog again and often"
