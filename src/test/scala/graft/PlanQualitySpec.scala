@@ -305,4 +305,26 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.indexOf("row_number(), 5, Final") < p.indexOf("Exchange hashpartitioning") &&
       p.indexOf("Exchange hashpartitioning") < p.indexOf("row_number(), 5, Partial"), p)
   }
+
+  test("duplicate-substring removal: hash equi-joins only, no pair output anywhere") {
+    val p = plan("d_remove_dup_substrings")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"scrub must stay equi-join shaped:\n$p")
+    // the duplicated-shingle membership check and the covered-position
+    // anti-join are both hash joins; the per-doc rebuild aggregates
+    assert(p.contains("LeftAnti"), s"kept-token filter must be an anti join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_finalmerge"),
+      s"shingle doc-frequency must pre-combine map-side:\n$p")
+  }
+
+  test("LM band filter: corpus LM aggregates pre-combine; only the stratum sort shuffles docs") {
+    val p = plan("p_lm_filter")
+    assert(!p.contains("CartesianProduct"), p)
+    // the token-count aggregates combine map-side before their exchanges
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"LM aggregates must pre-combine:\n$p")
+    // exactly one WindowExec (the per-source percent_rank) — no second
+    // corpus-wide sort sneaks in
+    assert("Window \\[percent_rank".r.findAllIn(p).size == 1, p)
+  }
 }
