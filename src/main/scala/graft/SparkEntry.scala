@@ -633,6 +633,39 @@ object SparkEntry {
     }),
 
     // ---- sampling / splitting ----
+    "p_corpus_report" -> ((s, dir) => {
+      // per-source corpus DATASHEET — the rollup you run before training:
+      // doc/token volume, language spread + dominant language
+      // (deterministic tie-break: count desc then lexicographic), exact
+      // duplicate rate (md5 fingerprints), and the exact type-1 median
+      // char length. Every branch aggregates to source grain before any
+      // join, so the joins carry |sources| rows (broadcast) — the corpus
+      // is scanned once per signal family, never joined at doc grain.
+      val d = Tables(s, dir).documents.select(
+        col("source"), col("doc_id"), col("lang"), col("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+        md5(col("text")).as("fp"))
+      val base = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      val dup = d.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
+      val med = Stats.quantilesByKey(d, col("source"), col("n_chars"), Seq(0.5))
+        .select(col("key").as("source"), col("value").cast("long").as("chars_p50"))
+      val lw = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n").desc, col("lang"))
+      val topLang = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(lw))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("n").as("top_lang_n"))
+      base.join(dup, "source").join(med, "source").join(topLang, "source")
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_dup_docs"), col("chars_p50"), col("top_lang"), col("top_lang_n"))
+    }),
     "p_lm_filter" -> ((s, dir) => {
       // CCNet-style LM quality band: score each doc by its PER-TOKEN
       // corpus-unigram log-prob (composing t_unigram_lm's integer-exact
@@ -779,6 +812,19 @@ object SparkEntry {
     "t_tokens_bpe" -> ((s, dir) => {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))
+    }),
+    "t_cms_counts" -> ((s, dir) => {
+      // Count-Min point-frequency estimates, completing the sketch
+      // family (HLL distinct / Bloom membership / Misra-Gries heavy
+      // hitters): one treeAggregate pass builds the mergeable d×w grid,
+      // probes are driver-side O(d) lookups — the corpus is never
+      // rescanned per query. Probe set = distinct tokens of the 10
+      // lowest-id docs (bounded, deterministic). Sketch output ⇒
+      // rows-only record row; ApproxGatesSpec asserts the one-sided
+      // Cormode-Muthukrishnan bound on every probe.
+      val docs = Tables(s, dir).documents
+      val probes = Sketches.probeTokens(docs, col("doc_id"), col("text"), 10)
+      Sketches.cmsTokenEstimates(docs, col("text"), probes)
     }),
     "t_bpe_train" -> ((s, dir) => {
       // REAL BPE tokenizer training (Sennrich merges), distributed: one
@@ -2139,6 +2185,37 @@ object SparkEntry {
          |  CAST(sum(tf) AS BIGINT) AS n_tokens
          |FROM tf JOIN c USING (w) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+    "p_corpus_report" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id, lang, n_chars,
+         |    len($tokensExpr) AS n_toks, md5(text) AS fp
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    count(DISTINCT lang) AS n_langs
+         |  FROM d GROUP BY 1),
+         |dup AS (
+         |  SELECT source,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT source, fp, count(*) AS c FROM d GROUP BY 1, 2) GROUP BY 1),
+         |med AS (
+         |  SELECT source, CAST(n_chars AS BIGINT) AS chars_p50 FROM (
+         |    SELECT source, n_chars,
+         |      row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         |      count(*) OVER (PARTITION BY source) AS cnt
+         |    FROM d) r
+         |  WHERE rn = greatest(1, CAST(ceil(0.5 * cnt) AS BIGINT))),
+         |lr AS (
+         |  SELECT source, lang AS top_lang, CAST(n AS BIGINT) AS top_lang_n FROM (
+         |    SELECT source, lang, count(*) AS n,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY count(*) DESC, lang) AS rk
+         |    FROM d GROUP BY source, lang) t
+         |  WHERE rk = 1)
+         |SELECT base.source, n_docs, n_tokens, n_langs, n_dup_docs, chars_p50,
+         |  top_lang, top_lang_n
+         |FROM base JOIN dup USING (source) JOIN med USING (source)
+         |JOIN lr USING (source)""".stripMargin,
     "p_lm_filter" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS w FROM documents),
          |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -117,6 +117,30 @@ class ApproxGatesSpec extends SparkSpec {
       .select(col("window_start"), col("uv_bloom")))
   }
 
+  test("t_cms_counts: every estimate within the Cormode-Muthukrishnan bound, never under") {
+    // SparkEntry params: probes = distinct tokens of the 10 lowest-id
+    // docs, eps=0.001, confidence=0.99. One-sided error: est >= exact
+    // always; est <= exact + eps*N for all probes (31-token vocab, so
+    // collisions are unlikely and the bound is slack — the gate catches
+    // a broken merge/hash, which overshoots by orders of magnitude).
+    val docs = t.documents
+    val probes = Sketches.probeTokens(docs, col("doc_id"), col("text"), 10)
+    val est = Sketches.cmsTokenEstimates(docs, col("text"), probes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = exact.values.sum
+    assert(probes.nonEmpty && est.keySet == probes.toSet)
+    for (w <- probes) {
+      assert(est(w) >= exact(w), s"CMS under-counted $w: ${est(w)} < ${exact(w)}")
+      assert(est(w) <= exact(w) + (0.001 * n).ceil.toLong,
+        s"CMS overshoot on $w: ${est(w)} vs exact ${exact(w)} (N=$n)")
+    }
+  }
+
   test("s_knn_ivf: recall@5 >= 0.55 vs brute force at 16 lists, nProbe=4") {
     // SparkEntry params: probes id<10, k=5, nLists=16, nProbe=4
     // (measured 0.60 at sf0.01 — near-uniform embeddings are IVF's worst
