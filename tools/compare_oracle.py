@@ -28,6 +28,13 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
+        # a Verify-side failure leaves a tombstone instead of a parquet dir
+        # (round-7 lesson: failures must surface as err rows, not vanish)
+        import os
+        tomb = f"{out_dir}/{name}.error"
+        if os.path.exists(tomb):
+            results[name] = "ERR(spark) " + open(tomb).read().strip()[:120]
+            continue
         try:
             got = canon(con.sql(
                 f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')"))
