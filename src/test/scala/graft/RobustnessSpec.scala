@@ -121,4 +121,42 @@ class RobustnessSpec extends SparkSpec {
     assert(spark.sql("SELECT audio_meta(CAST('junk' AS BINARY))").head().isNullAt(0))
     assert(spark.sql("SELECT video_meta(CAST('junk' AS BINARY))").head().isNullAt(0))
   }
+
+  test("round-8 ops on degenerate input: empty corpus, short docs, guard rails") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val tiny = Seq((1L, "a"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
+
+    // BPE on an empty corpus: no merges, no throw; on a corpus with no
+    // repeating pair at minPairFreq=2, early-stops empty
+    assert(Bpe.train(empty, col("text"), nMerges = 5).isEmpty)
+    Bpe.train(tiny, col("text"), nMerges = 5) // single-char corpus: no throw
+    // encode under zero merges: every word counts chars + </w>
+    val enc = Bpe.encodeTokenCounts(tiny, col("doc_id"), col("text"), Nil)
+      .as[(Long, Long)].collect().toMap
+    assert(enc(1L) == 2L) // 'a' + </w>
+    assert(!enc.contains(2L) && !enc.contains(3L)) // no tokens -> no row
+
+    // substring removal: empty corpus -> empty; all-short docs untouched
+    assert(Dedup.removeDuplicateShingles(empty, col("doc_id"), col("text")).count() == 0)
+    val rds = Dedup.removeDuplicateShingles(tiny, col("doc_id"), col("text"), shingleLen = 3)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(rds == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // tokens() of '' is ['']
+
+    // PCA guards: k out of range fails loudly, never a silent truncation
+    val vecs = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Embeddings.pcaBasis(vecs, col("embedding"), k = 3)
+    }
+    // k = dim basis on 2 points still orthonormal
+    val b = Embeddings.pcaBasis(vecs, col("embedding"), k = 2)
+    assert(math.abs(b.components(0).map(x => x * x).sum - 1.0) < 1e-8)
+
+    // CMS: empty probe list rejected loudly; zero-count token estimates 0
+    intercept[IllegalArgumentException] {
+      Sketches.cmsTokenEstimates(tiny, col("text"), Seq.empty)
+    }
+    val est = Sketches.cmsTokenEstimates(tiny, col("text"), Seq("absent"))
+      .as[(String, Long)].collect().toMap
+    assert(est("absent") == 0L)
+  }
 }
