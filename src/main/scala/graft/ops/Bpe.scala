@@ -93,18 +93,80 @@ object Bpe {
       .groupBy(col("p.l").as("left"), col("p.r").as("right"))
       .agg(sum(col("freq")).as("cnt"))
 
+  /** Greedy left-to-right merge application, driver-side form (same
+    * semantics as the codegen'd [[applyMerge]] fold).
+    */
+  private def applyMergeSeq(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Driver-side merge loop over a COLLECTED (syms, freq) table — the
+    * fast path when the vocabulary fits the bounded driver budget.
+    * Identical semantics to the distributed rounds (same deterministic
+    * tie-break); BpeSpec pins the two paths equal on the real corpus.
+    */
+  private def trainDriver(
+      words0: Seq[(Seq[String], Long)],
+      nMerges: Int,
+      minPairFreq: Long): Seq[Merge] = {
+    var words = words0
+    val out = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      val eligible = counts.filter(_._2 >= minPairFreq)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((l, r), _) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        out += Merge(rank, l, r)
+        words = words.map { case (s, f) => (applyMergeSeq(s, l, r), f) }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
   /** Train `nMerges` BPE merges over `docs`. Returns the learned merge
     * table as a local Seq — THE tokenizer artifact (bounded: k rows).
     * Stops early if no pair occurs at least `minPairFreq` times.
+    *
+    * When the distinct-word table has at most `driverVocabLimit` rows the
+    * merge loop runs on the driver over the collected (symbols, freq)
+    * table — a BOUNDED collect (O(limit · word length), the same posture
+    * as PQ codebook training) that replaces k collect-barrier rounds
+    * with one, exactly what sentencepiece-style trainers do. Above the
+    * limit the loop stays fully distributed (the 100 TB path); both
+    * paths share the deterministic tie-break and BpeSpec pins them
+    * equal. Set `driverVocabLimit = 0` to force the distributed loop.
     */
   def train(
       docs: DataFrame,
       text: Column,
       nMerges: Int,
-      minPairFreq: Long = 2L): Seq[Merge] = {
+      minPairFreq: Long = 2L,
+      driverVocabLimit: Long = 100000L): Seq[Merge] = {
     var words = wordFreq(docs, text)
       .select(initialSymbols(col("word")).as("syms"), col("freq"))
       .persist()
+    val vocabN = words.count()
+    if (vocabN <= driverVocabLimit) {
+      val local = words
+        .collect()
+        .map(r => (r.getSeq[String](0).toSeq, r.getLong(1)))
+        .toSeq
+      words.unpersist()
+      return trainDriver(local, nMerges, minPairFreq)
+    }
     // ONE job per round: the round's pair-count collect() materializes the
     // persisted frame as a side effect, so the parent stays cached until
     // the round after its child is materialized (no explicit count() job,
@@ -164,17 +226,41 @@ object Bpe {
       docs: DataFrame,
       id: Column,
       text: Column,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge],
+      driverVocabLimit: Long = 100000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val vocab0 = wordFreq(docs, text)
       .select(col("word"), initialSymbols(col("word")).as("syms"))
-    val encoded = merges
-      .sortBy(_.rank)
-      .zipWithIndex
-      .foldLeft(vocab0) { case (v, (m, i)) =>
-        val next = v.select(col("word"), applyMerge(col("syms"), m.left, m.right).as("syms"))
-        if ((i + 1) % 10 == 0) next.localCheckpoint() else next
+      .persist()
+    val sorted = merges.sortBy(_.rank)
+    val encoded =
+      if (vocab0.count() <= driverVocabLimit) {
+        // bounded driver path (same budget rationale as train): apply the
+        // merges to the collected vocab, ship back a (word, n) dictionary
+        val dict = vocab0
+          .collect()
+          .map { r =>
+            val syms = sorted.foldLeft(r.getSeq[String](1).toSeq)((s, m) =>
+              applyMergeSeq(s, m.left, m.right))
+            (r.getString(0), syms.length.toLong)
+          }
+          .toSeq
+        vocab0.unpersist()
+        dict.toDF("word", "n_word_tokens")
+      } else {
+        // distributed fold path (the 100 TB shape): the persist only
+        // served the size probe — drop it, the plan recomputes the
+        // word-freq aggregate once at action time
+        vocab0.unpersist()
+        sorted.zipWithIndex
+          .foldLeft(vocab0.toDF()) { case (v, (m, i)) =>
+            val next =
+              v.select(col("word"), applyMerge(col("syms"), m.left, m.right).as("syms"))
+            if ((i + 1) % 10 == 0) next.localCheckpoint() else next
+          }
+          .select(col("word"), size(col("syms")).cast("long").as("n_word_tokens"))
       }
-      .select(col("word"), size(col("syms")).as("n_word_tokens"))
     docs
       .select(id.as("id"), explode(TextOps.tokens(lower(text))).as("word"))
       .filter(col("word") =!= "")

@@ -91,6 +91,19 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, col("text"), nMerges = 5, minPairFreq = 2L).isEmpty)
   }
 
+  test("driver and distributed merge loops learn identical merges (real corpus)") {
+    val docs = graft.io.Tables(spark, "/root/testdata/sf0.001").documents
+    val fast = Bpe.train(docs, col("text"), nMerges = 12) // vocab << limit: driver path
+    val dist = Bpe.train(docs, col("text"), nMerges = 12, driverVocabLimit = 0L)
+    assert(fast == dist, s"\ndriver: $fast\ndistributed: $dist")
+    val encFast = Bpe.encodeTokenCounts(docs, col("doc_id"), col("text"), fast)
+      .as[(Long, Long)].collect().toMap
+    val encDist = Bpe
+      .encodeTokenCounts(docs, col("doc_id"), col("text"), fast, driverVocabLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(encFast == encDist)
+  }
+
   test("encodeTokenCounts equals per-word sequential encoding under the trained merges") {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val merges = Bpe.train(docs, col("text"), nMerges = 12)
