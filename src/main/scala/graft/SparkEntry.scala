@@ -450,6 +450,26 @@ object SparkEntry {
         .agg(count(lit(1)))
       types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
     }),
+    "q_pivot_daily_stream" -> ((s, dir) => {
+      // the DWS wide table maintained INCREMENTALLY: pivot is unsupported
+      // on streaming datasets, and the conditional-count form IS its
+      // streaming expression (same map-side partial counts, one windowed
+      // aggregate finalized at the watermark). Sentinels must reach the
+      // aggregate (q_pv_hourly_stream's reasoning); their all-zero day
+      // row — and only it — is dropped batch-side, matching the batch
+      // semantics where a day appears iff it has at least one event.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(t => count(when(col("kind") === t, 1)).as(t))
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          stream.toDF()
+            .withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 day"))
+            .agg(aggs.head, aggs.tail: _*)
+            .select(col("window.start").cast("date").as("day") +: types.map(col): _*)
+        }
+        .filter(types.map(col(_) > 0).reduce(_ || _))
+    }),
     "q_anti_join" -> ((s, dir) => {
       // set-membership joins, anti flavor (TPC-H Q22 shape): customers
       // with no URGENT order. left_anti never materializes the match —
@@ -1879,6 +1899,15 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
     "q_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    // streaming twin: same wide-table oracle as the batch pivot
+    "q_pivot_daily_stream" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
