@@ -181,4 +181,38 @@ object Embeddings {
       size(col("proj")).cast("long").as("k"),
       floor(aggregate(col("proj"), lit(0.0), (acc, x) => acc + x * x) * 1e6)
         .cast("long").as("sq_norm_micro"))
+
+  /** Matryoshka-style truncation: keep the first `k` dimensions and
+    * L2-renormalize — the MRL serving trick (Kusupati et al. 2022) that
+    * trades recall for a k/dim memory and dot-product cost cut in ANN
+    * retrieval, assuming the encoder was trained with nested losses.
+    * Zero-norm prefixes pass through unnormalized (no 0/0 NaN path).
+    *
+    * Pure per-row projection (slice + one fold + one map, all HOFs over
+    * a k-length array) — no shuffle, linear scale-out. Determinism: the
+    * norm is a LEFT-TO-RIGHT fold of exact float→double widenings, and
+    * both engines fold lists in order, so digest parity is exact; the
+    * digest floors to micro-units like [[pcaProjectDigest]].
+    */
+  def truncateRenorm(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val t = slice(vec.cast("array<double>"), 1, k)
+    val norm = sqrt(aggregate(t, lit(0.0), (acc, x) => acc + x * x))
+    df.select(
+      id.as("id"),
+      when(norm > 0d, transform(t, x => x / norm)).otherwise(t).as("proj"))
+  }
+
+  /** [[truncateRenorm]] flattened to engine-portable scalars (the
+    * digest pattern shared with [[pcaProjectDigest]]).
+    */
+  def truncateRenormDigest(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame =
+    truncateRenorm(df, id, vec, k).select(
+      col("id"),
+      md5(concat_ws(",",
+        transform(col("proj"), x => floor(x * 1e6).cast("long")).cast("array<string>")))
+        .as("proj_md5"),
+      size(col("proj")).cast("long").as("k"),
+      floor(aggregate(col("proj"), lit(0.0), (acc, x) => acc + x * x) * 1e6)
+        .cast("long").as("sq_norm_micro"))
 }

@@ -115,4 +115,36 @@ object Stats {
       .filter(value >= col("__lo") && value <= col("__hi"))
       .drop("__qk", "__lo", "__hi")
   }
+
+  /** Key-skew diagnostic report: the topN heaviest keys with their row
+    * counts and corpus share, each row annotated with the global totals
+    * (n_rows, n_keys) — the first thing to run before sizing a shuffle
+    * on a 100 TB join/agg key (a key with share ≳ 1/shufflePartitions is
+    * the one that needs salting or AQE skew splitting; the reference's
+    * hand-salting P5/A4 is exactly this diagnosis done blind).
+    *
+    * Share is `floor(cnt · 1e6 / total)` — an exact integer, so the row
+    * hash-matches any engine (no double division in the record).
+    *
+    * Scale shape: one map-side-combined count exchange at key grain,
+    * then a TakeOrdered for the topN (no global sort) and a broadcast of
+    * the two scalar totals — nothing corpus-sized moves twice.
+    * Tie-break: (cnt desc, key asc), deterministic.
+    */
+  def keySkewReport(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
+    require(topN >= 1, "need topN >= 1")
+    val counts = df.groupBy(key.cast("string").as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+    counts
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topN)
+      .crossJoin(broadcast(totals))
+      .select(
+        col("key"),
+        col("cnt"),
+        floor(col("cnt") * 1000000L / col("n_rows")).cast("long").as("share_ppm"),
+        col("n_rows"),
+        col("n_keys"))
+  }
 }

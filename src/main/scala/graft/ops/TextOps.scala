@@ -488,4 +488,85 @@ object TextOps {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array_distinct(array(concat_ws(" ", toks))))
   }
+
+  /** Per-document character-unigram Shannon entropy (nats, micro-unit
+    * scaled) — the compression-style quality signal: near-random bytes
+    * and single-char spam both sit far from prose's ~3 nats. Identity
+    * H = ln(n) − Σ c·ln(c)/n computed from INTEGER-floored micro-terms
+    * (the unigram-LM pattern: `ln` is libm-identical across engines,
+    * each term floors to an exact long before the order-independent sum,
+    * then one division + one subtraction in IEEE doubles).
+    *
+    * Shape: the native [[org.apache.spark.sql.graft.CharNgrams]] n=1
+    * explode (primitive-friendly, no per-char lambda), one
+    * map-side-combined count at (doc, char) grain, one per-doc
+    * aggregate — the same two-exchange cost model as [[vocabSignals]].
+    */
+  def charEntropySignals(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+        id.as("doc_id"),
+        explode(org.apache.spark.sql.graft.TextFunctions.charNgrams(text, 1)).as("c"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("n_char_types"),
+        sum(col("cnt") * floor(log(col("cnt").cast("double")) * 1e6).cast("long"))
+          .as("__s"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_char_types"),
+        (floor(log(col("n_chars").cast("double")) * 1e6).cast("long").cast("double") -
+          col("__s").cast("double") / col("n_chars")).as("ent_micro"))
+
+  /** Gopher-style rule-composite document filter (Rae et al. 2021, §A1.1):
+    * the standard pre-training hygiene pass, one boolean per rule plus the
+    * conjunction, so downstream can both filter (`keep`) and audit WHY a
+    * document died (per-rule columns feed the corpus datasheet).
+    *
+    * Rules (thresholds are Gopher's):
+    *   - 50 ≤ n_tokens ≤ 100 000
+    *   - 3 ≤ mean token length ≤ 10
+    *   - symbol-to-token ratio ('#' or '...') < 0.1
+    *   - > 80 % of tokens contain an alphabetic character
+    *   - ≥ 2 stopword hits (the "required words" rule)
+    *   - < 90 % of lines start with a bullet; < 30 % end with '...'
+    *
+    * Every signal is a per-row codegen'd expression (regexp counts, array
+    * filters, IEEE divisions of exact integers) — no shuffle, no UDF;
+    * scales linearly and pipelines into any downstream op. Reference
+    * analog: the predicate-filter family (SURVEY §2.2 P3) generalized to
+    * the multi-rule quality gate a 100 TB corpus actually needs.
+    */
+  def gopherSignals(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val alphaChars = length(regexp_replace(trim(text), "\\s+", ""))
+    val lines = split(text, "\n")
+    val nLines = greatest(lit(1), size(lines))
+    val out = df.select(
+      id.as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      (alphaChars.cast("double") / n).as("avg_token_len"),
+      ((regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")))
+        .cast("double") / n).as("symbol_ratio"),
+      (size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n)
+        .as("alpha_word_ratio"),
+      stopwordCount(text).cast("long").as("stop_hits"),
+      (size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines)
+        .as("bullet_line_frac"),
+      (size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") / nLines)
+        .as("ellipsis_line_frac"))
+    out.withColumn(
+      "keep",
+      col("n_tokens").between(50L, 100000L) &&
+        col("avg_token_len").between(3.0, 10.0) &&
+        col("symbol_ratio") < 0.1 &&
+        col("alpha_word_ratio") > 0.8 &&
+        col("stop_hits") >= 2L &&
+        col("bullet_line_frac") < 0.9 &&
+        col("ellipsis_line_frac") < 0.3)
+  }
 }
