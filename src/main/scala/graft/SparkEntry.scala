@@ -494,6 +494,26 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
     }),
+    "q_moving_avg" -> ((s, dir) => {
+      // trailing 7-row moving average + running total of daily revenue
+      // per event_type — the dashboard smoothing/cumulation pair. Daily
+      // pre-agg first (decimal: order-independent), so the window sort
+      // runs over |days|·|types| rows, never raw events; per-type
+      // partitions are days-sized, no skew at any corpus scale.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      val w7 = w.rowsBetween(-6, 0)
+      val cum = w.rowsBetween(Long.MinValue, 0)
+      Tables(s, dir).events
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).as("__rev"))
+        .select(
+          col("day"), col("event_type"),
+          col("__rev").cast("double").as("daily_rev"),
+          (sum(col("__rev")).over(w7).cast("double") /
+            count(lit(1)).over(w7)).as("ma7"),
+          sum(col("__rev")).over(cum).cast("double").as("cum_rev"))
+    }),
     "q_cube_events" -> ((s, dir) => {
       // full cube over (event_type, day): all four grouping sets in ONE
       // Expand + one agg exchange, same single-scan plan family as
@@ -706,6 +726,23 @@ object SparkEntry {
         .filter(col("pct_rank") >= 0.1 && col("pct_rank") <= 0.9)
         .select(col("doc_id"), col("source"), col("logprob_1e6"), col("n_tokens"))
     }),
+    "p_gopher_filter" -> ((s, dir) => {
+      // Gopher rule-composite hygiene pass (Rae et al. §A1.1 thresholds):
+      // per-rule audit columns + the keep conjunction, all codegen'd
+      // per-row expressions — the multi-rule generalization of the
+      // reference's P3 predicate filter
+      TextOps.gopherSignals(Tables(s, dir).documents, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("symbol_ratio"), col("alpha_word_ratio"), col("stop_hits"),
+          col("keep"))
+    }),
+    "p_skew_report" -> ((s, dir) => {
+      // shuffle-key skew diagnostic: top-10 heaviest user_ids with exact
+      // ppm share + global totals — run before sizing any 100 TB shuffle
+      Stats.keySkewReport(Tables(s, dir).events, col("user_id"), topN = 10)
+        .select(col("key").as("user_id"), col("cnt"), col("share_ppm"),
+          col("n_rows"), col("n_keys"))
+    }),
     "p_cap_per_key" -> ((s, dir) => {
       // source-balance capping: at most 20 docs per source, deterministic
       // (WindowGroupLimit-pruned rank — same plan family as T1)
@@ -877,6 +914,27 @@ object SparkEntry {
           col("avg_token_len"),
           col("stopword_ratio"),
           col("punct_ratio"))
+    }),
+    "t_entropy" -> ((s, dir) => {
+      // char-unigram Shannon entropy per doc (micro-nats): the
+      // compression-style quality signal, integer-floored ln terms so the
+      // record is engine-exact
+      TextOps.charEntropySignals(Tables(s, dir).documents, col("doc_id"), col("text"))
+    }),
+    "t_normalize" -> ((s, dir) => {
+      // NFC canonical composition via the native codegen'd expression —
+      // run BEFORE fingerprint/dedup so 'é' and 'e'+U+0301 collapse; the
+      // salt plants a combining sequence on every doc so the op does real
+      // work (corpus text is ASCII), md5 pins the normalized bytes
+      val salted = concat(
+        col("text"), lit(" caf"), lit("e\u0301"), lit(" No"),
+        pmod(col("doc_id"), lit(7)).cast("string"))
+      val norm = org.apache.spark.sql.graft.TextFunctions.nfcNormalize(salted)
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        md5(norm).as("norm_md5"),
+        length(salted).cast("long").as("n_raw"),
+        length(norm).cast("long").as("n_nfc"))
     }),
     "t_langid" -> ((s, dir) => {
       Tables(s, dir).documents
@@ -1055,6 +1113,14 @@ object SparkEntry {
       Embeddings.pcaProjectDigest(e, col("vec_id"), col("embedding"), b, whiten = true)
         .select(col("id").as("vec_id"), col("proj_md5"), col("k"), col("sq_norm_micro"))
     }),
+    "e_truncate" -> ((s, dir) => {
+      // matryoshka truncate-to-16 + L2 renorm: the MRL serving trick
+      // (k/dim ANN cost cut); digest pins every renormalized element
+      Embeddings.truncateRenormDigest(
+        Tables(s, dir).embeddings, col("vec_id"), col("embedding"), k = 16)
+        .select(col("id").as("vec_id"), col("proj_md5"), col("k"),
+          col("sq_norm_micro"))
+    }),
     "t_len_quantiles_approx" -> ((s, dir) => {
       // the declared 100 TB quantile path (percentile_approx sketch, no
       // per-key sort) on the correctness record: at gate scale every
@@ -1228,6 +1294,37 @@ object SparkEntry {
           quality = TextOps.tokenCount(col("text")),
           shingleLen = 3, threshold = 0.6, losslessPairs = true)
         .select(col("doc_id"))
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // the same enrichment as q_enrich but through the SALTED shuffle
+      // join — the 100 TB fallback when the dim outgrows broadcast and a
+      // hot user overflows its reducer; semantics identical to the plain
+      // join (same oracle as q_enrich), plan pinned shuffled+salted in
+      // PlanQualitySpec
+      val t = Tables(s, dir)
+      Joins.saltedJoin(
+          t.events, t.customer,
+          col("user_id"), col("c_custkey"), col("event_id"), buckets = 8)
+        .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("window.start").as("window_start"),
+          col("c_nationkey").cast("long").as("nation"),
+          col("cnt"))
+    }),
+    "q_transitions" -> ((s, dir) => {
+      // first-order Markov transition counts over each user's event
+      // sequence (total order (ts, event_id)) — the path-mining view of
+      // t_user_sequences; per-user window sort then one tiny agg at
+      // (from,to) grain
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
     }),
     "q_enrich" -> ((s, dir) => {
       // dimension enrichment: events x customer (broadcast dim), hourly
@@ -1727,6 +1824,16 @@ object SparkEntry {
     "q_channel_stats_stream" -> channelStatsSql,
     "q_enrich" -> enrichSql,
     "q_enrich_stream" -> enrichSql,
+    "q_salted_join" -> enrichSql, // salting must not change join semantics
+    "q_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS cnt
+        |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q_sessions" -> sessionsSql,
     "q_hot_items" -> slidingOracle(
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
@@ -1785,6 +1892,20 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey
         |                AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_moving_avg" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS rev
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT day, event_type, CAST(rev AS DOUBLE) AS daily_rev,
+        |  CAST(sum(rev) OVER w7 AS DOUBLE) / count(*) OVER w7 AS ma7,
+        |  CAST(sum(rev) OVER cum AS DOUBLE) AS cum_rev
+        |FROM d
+        |WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  cum AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_cube_events" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -2182,6 +2303,34 @@ object SparkEntry {
          |  CAST(length(regexp_replace(trim(text), '[A-Za-z0-9\\s]+', '', 'g')) AS DOUBLE)
          |    / length(regexp_replace(trim(text), '\\s+', '', 'g')) AS punct_ratio
          |FROM documents""".stripMargin,
+    "t_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2
+        |), d AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |    CAST(count(*) AS BIGINT) AS n_char_types,
+        |    CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000)
+        |      AS BIGINT)) AS BIGINT) AS s
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT doc_id, n_chars, n_char_types,
+        |  CAST(CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS DOUBLE) - CAST(s AS DOUBLE) / n_chars AS ent_micro
+        |FROM d""".stripMargin,
+    "t_normalize" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' caf' || 'e' || chr(769) || ' No'
+        |      || CAST(doc_id % 7 AS VARCHAR) AS salted
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(nfc_normalize(salted)) AS norm_md5,
+        |  CAST(length(salted) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(salted)) AS BIGINT) AS n_nfc
+        |FROM s""".stripMargin,
     "t_langid" ->
       s"""SELECT doc_id,
          |  CASE WHEN $stopCntExpr >= 2 THEN 'en' ELSE 'und' END AS lang_pred
@@ -2245,6 +2394,49 @@ object SparkEntry {
          |  top_lang, top_lang_n
          |FROM base JOIN dup USING (source) JOIN med USING (source)
          |JOIN lr USING (source)""".stripMargin,
+    "p_gopher_filter" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    CAST(len($tokensExpr) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |      / len($tokensExpr) AS avg_token_len,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |      / len($tokensExpr) AS symbol_ratio,
+         |    CAST(len(list_filter($tokensExpr,
+         |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+         |      / len($tokensExpr) AS alpha_word_ratio,
+         |    CAST($stopCntExpr AS BIGINT) AS stop_hits,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+         |      / greatest(1, len(string_split(text, chr(10)))) AS bullet_line_frac,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
+         |      / greatest(1, len(string_split(text, chr(10)))) AS ellipsis_line_frac
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, avg_token_len, symbol_ratio, alpha_word_ratio,
+         |  stop_hits,
+         |  (n_tokens BETWEEN 50 AND 100000
+         |   AND avg_token_len BETWEEN 3.0 AND 10.0
+         |   AND symbol_ratio < 0.1
+         |   AND alpha_word_ratio > 0.8
+         |   AND stop_hits >= 2
+         |   AND bullet_line_frac < 0.9
+         |   AND ellipsis_line_frac < 0.3) AS keep
+         |FROM sig""".stripMargin,
+    "p_skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys FROM c
+        |)
+        |SELECT user_id, cnt,
+        |  CAST(floor(cnt * 1000000 / n_rows) AS BIGINT) AS share_ppm,
+        |  n_rows, n_keys
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin,
     "p_lm_filter" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS w FROM documents),
          |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -2326,6 +2518,25 @@ object SparkEntry {
         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
         |  CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS q_nnz
         |FROM q""".stripMargin,
+    "e_truncate" ->
+      """WITH t AS (
+        |  SELECT vec_id, list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS t
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, t,
+        |    sqrt(list_sum(list_transform(t, x -> x * x))) AS nrm FROM t
+        |), r AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm > 0 THEN list_transform(t, x -> x / nrm) ELSE t END AS r
+        |  FROM n
+        |)
+        |SELECT vec_id,
+        |  md5(array_to_string(list_transform(r,
+        |    x -> CAST(floor(x * 1000000) AS BIGINT)), ',')) AS proj_md5,
+        |  CAST(len(r) AS BIGINT) AS k,
+        |  CAST(floor(list_sum(list_transform(r, x -> x * x)) * 1000000) AS BIGINT)
+        |    AS sq_norm_micro
+        |FROM r""".stripMargin,
     "t_len_quantiles" -> lenQuantilesSql,
     "t_len_quantiles_approx" -> lenQuantilesSql,
     "t_bm25" ->

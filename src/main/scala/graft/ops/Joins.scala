@@ -129,4 +129,42 @@ object Joins {
         when(leftTs.isNotNull && rightTs.isNotNull, matchedStatus)
           .when(leftTs.isNotNull, leftOnlyStatus)
           .otherwise(rightOnlyStatus))
+
+  /** Skew-immune shuffle equi-join: SALT the fact side, REPLICATE the
+    * dimension side — the classic fix when one fact key is hot enough to
+    * overflow its shuffle partition AND the dim side is too big to
+    * broadcast (when it isn't, broadcast and no salting is needed; when
+    * AQE's skew-join kicks in it does this adaptively — this operator is
+    * the deterministic, planner-independent form, the working version of
+    * the reference's hand-salting P5/A4 which salted an AGGREGATE where
+    * Spark's partial agg already makes it a no-op).
+    *
+    * Each fact row gets `__salt = pmod(xxhash64(rowDisc), buckets)` — a
+    * deterministic spread from any high-cardinality discriminator column
+    * (an event id, a row offset) — and the dim side is exploded
+    * `buckets`-ways, so the join key becomes (key, salt): the hot key's
+    * rows land on `buckets` different reducers instead of one. Inner-join
+    * semantics are EXACTLY the plain join's (each fact row meets its dim
+    * row in exactly one bucket); cost is a `buckets`× dim-side
+    * replication, the standard trade. Result column set = fact ⊎ dim
+    * (salt dropped).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: Column,
+      dimKey: Column,
+      rowDisc: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "need buckets >= 1")
+    val saltedFact = fact.withColumn("__salt", pmod(xxhash64(rowDisc), lit(buckets)))
+    val repDim = dim
+      .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
+      // shuffle_hash: pin the shuffled-join shape this operator exists
+      // for (broadcast would defeat the demonstration AND the salting)
+      .hint("shuffle_hash")
+    saltedFact
+      .join(repDim, factKey === dimKey && saltedFact("__salt") === repDim("__salt"))
+      .drop("__salt")
+  }
 }

@@ -130,6 +130,50 @@ object CharNgramCodes {
   }
 }
 
+/** Unicode NFC normalization — the canonical-composition pass every text
+  * pipeline needs before fingerprinting/dedup (the same logical document
+  * arrives as precomposed 'é' from one crawler and 'e'+U+0301 from
+  * another; without normalization exact dedup silently misses them).
+  * Spark has no built-in for this, so it's a native codegen'd expression
+  * (a Scala UDF would serialize UTF8String→String→UTF8String per row AND
+  * break whole-stage codegen). Delegates to `java.text.Normalizer` (ICU
+  * canonical composition, locale-independent, stable across JDKs by the
+  * Unicode stability policy). Fast path: `Normalizer.isNormalized` on the
+  * decoded string avoids the rebuild allocation for the (overwhelmingly
+  * common) already-NFC case. Null stays null.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.eval(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // MODULE$ call: same suppressed-static-forwarder trap as CharNgrams
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = org.apache.spark.sql.graft.NfcNormalize$$.MODULE$$.eval($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def eval(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
 object TextFunctions {
   /** Column API for [[CharNgrams]]. */
   def charNgrams(text: Column, n: Int): Column =
@@ -138,4 +182,8 @@ object TextFunctions {
   /** Column API for [[CharNgramCodes]]. */
   def charNgramCodes(text: Column, n: Int): Column =
     ExpressionUtils.column(CharNgramCodes(ExpressionUtils.expression(text), n))
+
+  /** Column API for [[NfcNormalize]]. */
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 }

@@ -31,6 +31,13 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .findFirstIn(p).isDefined, p)
   }
 
+  test("saltedJoin: shuffled hash join keyed on (key, salt), no broadcast") {
+    val p = plan("q_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"salted join must shuffle:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"broadcast defeats the salting:\n$p")
+    assert(p.contains("__salt"), s"join keys must include the salt column:\n$p")
+  }
+
   test("q5 keeps the fact table unshuffled: dims broadcast, one agg exchange") {
     val p = plan("q5_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 5, p)

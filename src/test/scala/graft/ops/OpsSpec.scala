@@ -483,6 +483,110 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 4L, 2L, 2.0 / 4.0, "x", 3.0 / 4.0)))
   }
 
+  test("gopherSignals: each rule fires on its designed violator, clean doc keeps") {
+    val clean = ("the quick brown fox jumps over a lazy dog on the mat and " +
+      "then runs back to the barn for more hay with its friends in tow ") * 3 // >50 toks, stopwords
+    val df = Seq(
+      (1L, clean),
+      (2L, "short text"), // n_tokens < 50
+      (3L, ("## # ## " * 30) + clean), // symbol_ratio >= 0.1
+      (4L, ("123 456 789 " * 30) + clean.split(" ").take(20).mkString(" ")), // alpha ratio low
+      (5L, (1 to 60).map(i => s"w$i").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherSignals(df, col("doc_id"), col("text"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "clean doc must keep")
+    assert(!got(2L) && !got(3L) && !got(4L) && !got(5L))
+    val sig = TextOps.gopherSignals(df, col("doc_id"), col("text"))
+      .filter(col("doc_id") === 3L)
+      .select("symbol_ratio").as[Double].head()
+    assert(sig >= 0.1, s"symbol rule must be the one firing on doc 3, got $sig")
+  }
+
+  test("gopherSignals: bullet and ellipsis line rules fire") {
+    val body = ("the and of to in is on for with as " * 6).trim // stopword-rich filler
+    val bullets = (1 to 19).map(i => s"- item $i $body").mkString("\n") + "\nplain"
+    val dots = (1 to 9).map(i => s"line $i $body...").mkString("\n") + "\nplain " + body
+    val df = Seq((1L, bullets), (2L, dots)).toDF("doc_id", "text")
+    val got = TextOps.gopherSignals(df, col("doc_id"), col("text"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!got(1L), "95% bullet lines must drop")
+    assert(!got(2L), "90% ellipsis-terminated lines must drop")
+  }
+
+  test("keySkewReport: exact counts, ppm share, global totals, tie-break") {
+    val rows = Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("a", "b", "c")
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = Stats.keySkewReport(df, col("k"), topN = 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == 3)
+    assert(got(0) == (("hot", 6L, 500000L, 12L, 5L)))
+    assert(got(1) == (("warm", 3L, 250000L, 12L, 5L)))
+    assert(got(2) == (("a", 1L, 83333L, 12L, 5L)), "count-1 tie must break key-asc")
+  }
+
+  test("truncateRenorm: unit norm for nonzero prefixes, zero prefix passes through") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 100f, -7f)),
+      (2L, Array(0.0f, 0.0f, 5f, 5f))
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.truncateRenorm(df, col("vec_id"), col("embedding"), k = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(0.6, 0.8))
+    assert(got(2L) == Seq(0.0, 0.0), "zero-norm prefix must not NaN")
+    val dig = Embeddings.truncateRenormDigest(df, col("vec_id"), col("embedding"), 2)
+      .select("k", "sq_norm_micro").as[(Long, Long)].collect()
+    assert(dig.forall(_._1 == 2L))
+    assert(dig.exists(_._2 == 1000000L) && dig.exists(_._2 == 0L))
+  }
+
+  test("saltedJoin equals the plain inner join, any bucket count") {
+    val fact = Seq((1L, "a", 10L), (2L, "a", 11L), (3L, "b", 12L), (4L, "c", 13L))
+      .toDF("id", "k", "v")
+    val dim = Seq(("a", "A"), ("b", "B"), ("d", "D")).toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    for (b <- Seq(1, 3, 8)) {
+      val salted = Joins
+        .saltedJoin(fact, dim, col("k"), col("dk"), col("id"), buckets = b)
+        .select("id", "name").as[(Long, String)].collect().toSet
+      assert(salted == plain, s"buckets=$b changed join semantics")
+    }
+  }
+
+  test("nfcNormalize: composes combining marks, idempotent, null-safe, codegen'd") {
+    val df = Seq(
+      (1L, "cafe\u0301"), // decomposed
+      (2L, "caf\u00e9"), // precomposed
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df
+      .select(col("id"), org.apache.spark.sql.graft.TextFunctions.nfcNormalize(col("t")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).get == "caf\u00e9", "NFC must compose e+U+0301")
+    assert(got(1L) == got(2L))
+    assert(got(3L).get == "plain ascii")
+    assert(got(4L).isEmpty, "null must stay null")
+    // compiled execution, not interpreted fallback
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = df.select(
+        org.apache.spark.sql.graft.TextFunctions.nfcNormalize(col("t")).as("n"))
+        .filter(col("n").isNotNull).count()
+      assert(n == 3)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("charEntropySignals: uniform string hits ln(k), single-char doc is ~0") {
+    val df = Seq((1L, "abcd"), (2L, "aaaa")).toDF("doc_id", "text")
+    val got = TextOps.charEntropySignals(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 4L && got(1L)._3 == 4L)
+    assert(math.abs(got(1L)._4 / 1e6 - math.log(4)) < 1e-4, "uniform: H = ln 4")
+    assert(got(2L)._3 == 1L && math.abs(got(2L)._4) < 1.0, "constant: H = 0")
+  }
+
   test("sampleWeighted keeps rows proportional to weight, capped at 1") {
     val df = (1L to 1000L).map(i => (i, if (i <= 500) 0.1 else 10.0)).toDF("id", "w")
     val kept = Sampling.sampleWeighted(df, col("id"), col("w"))
