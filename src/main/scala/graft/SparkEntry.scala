@@ -915,6 +915,41 @@ object SparkEntry {
           col("stopword_ratio"),
           col("punct_ratio"))
     }),
+    "t_nb_classify" -> ((s, dir) => {
+      // corpus-trained multinomial Naive Bayes (add-1), source as label —
+      // the model-based filter shape (fastText/DCLM); integer-floored log
+      // terms make scores exact longs on any engine
+      TextOps.naiveBayesClassify(
+        Tables(s, dir).documents, col("doc_id"), col("text"), col("source"))
+    }),
+    "d_winnow" -> ((s, dir) => {
+      // winnowing (MOSS) fingerprints: distinct per-window min k-gram
+      // hashes — guaranteed-coverage overlap detection; fingerprints
+      // equi-join downstream like shingle hashes
+      Dedup.winnowFingerprints(
+        Tables(s, dir).documents, col("doc_id"), col("text"), k = 4, w = 5)
+    }),
+    "q_zscore_outliers" -> ((s, dir) => {
+      // per-type z-score outliers: decimal moment sums (order-free,
+      // engine-exact) -> mean/std as deterministic double ops; the tiny
+      // per-type stats table broadcasts back, corpus never re-shuffles
+      val e = Tables(s, dir).events
+      val vdec = col("value").cast(DecimalType(18, 6))
+      val stats = e.groupBy(col("event_type").as("__et")).agg(
+        sum(vdec).as("__sv"), sum(vdec * vdec).as("__sv2"),
+        count(lit(1)).as("__n"))
+      e.join(broadcast(stats), col("event_type") === col("__et"))
+        .withColumn("__mean", col("__sv").cast("double") / col("__n"))
+        .withColumn(
+          "__var",
+          (col("__sv2").cast("double") -
+            col("__sv").cast("double") * col("__sv").cast("double") / col("__n")) /
+            col("__n"))
+        .withColumn("z", (col("value") - col("__mean")) / sqrt(col("__var")))
+        .filter(abs(col("z")) > lit(3.0))
+        .select(col("event_id"), col("event_type"), col("value"),
+          floor(col("z") * 1e6).cast("long").as("z_micro"))
+    }),
     "t_entropy" -> ((s, dir) => {
       // char-unigram Shannon entropy per doc (micro-nats): the
       // compression-style quality signal, integer-floored ln terms so the
@@ -2303,6 +2338,73 @@ object SparkEntry {
          |  CAST(length(regexp_replace(trim(text), '[A-Za-z0-9\\s]+', '', 'g')) AS DOUBLE)
          |    / length(regexp_replace(trim(text), '\\s+', '', 'g')) AS punct_ratio
          |FROM documents""".stripMargin,
+    "t_nb_classify" ->
+      s"""WITH base AS (SELECT doc_id, source AS lab, text FROM documents),
+         |tok AS (SELECT doc_id, lab, unnest($tokensExpr) AS t FROM base),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |ltc AS (SELECT lab, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         |nl AS (SELECT lab, CAST(sum(c) AS BIGINT) AS n_l FROM ltc GROUP BY 1),
+         |vocab AS (SELECT DISTINCT t FROM ltc),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |dl AS (SELECT lab, count(*) AS d_l FROM base GROUP BY 1),
+         |dt AS (SELECT count(*) AS d FROM base),
+         |terms AS (
+         |  SELECT nl.lab, vocab.t,
+         |    CAST(floor(ln(CAST(COALESCE(ltc.c, 0) + 1 AS DOUBLE)
+         |      / CAST(nl.n_l + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS term_micro
+         |  FROM vocab CROSS JOIN nl CROSS JOIN v
+         |  LEFT JOIN ltc ON ltc.lab = nl.lab AND ltc.t = vocab.t
+         |),
+         |priors AS (
+         |  SELECT lab, CAST(floor(ln(CAST(d_l AS DOUBLE) / CAST(d AS DOUBLE))
+         |    * 1000000) AS BIGINT) AS prior_micro
+         |  FROM dl CROSS JOIN dt
+         |),
+         |scores AS (
+         |  SELECT tf.doc_id, tr.lab,
+         |    CAST(sum(tf.tf * tr.term_micro) AS BIGINT) AS s
+         |  FROM tf JOIN terms tr ON tf.t = tr.t GROUP BY 1, 2
+         |),
+         |sc AS (
+         |  SELECT s.doc_id, s.lab, s.s + p.prior_micro AS score
+         |  FROM scores s JOIN priors p USING (lab)
+         |)
+         |SELECT doc_id, lab AS pred_label, score AS best_score_micro FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, lab ASC) AS rk FROM sc
+         |) WHERE rk = 1""".stripMargin,
+    "d_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $tokensExpr AS w FROM documents),
+         |g0 AS (SELECT doc_id,
+         |  CASE WHEN len(w) >= 4
+         |    THEN [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+         |          for i in range(1, len(w) - 2)]
+         |    ELSE [md5(array_to_string(w, ' '))] END AS hs
+         |  FROM t),
+         |g AS (SELECT doc_id, len(hs) AS n_grams, unnest(hs) AS h,
+         |  unnest(range(len(hs))) AS pos FROM g0),
+         |wm AS (SELECT doc_id, pos, n_grams,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+         |  FROM g)
+         |SELECT DISTINCT doc_id, fp FROM wm
+         |WHERE pos <= greatest(0, n_grams - 5)""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type AS et, sum(CAST(value AS DECIMAL(18,6))) AS sv,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sv2,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1
+        |), z AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    (e.value - CAST(sv AS DOUBLE) / n)
+        |      / sqrt((CAST(sv2 AS DOUBLE)
+        |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / n) AS zv
+        |  FROM events e JOIN st ON e.event_type = st.et
+        |)
+        |SELECT event_id, event_type, value,
+        |  CAST(floor(zv * 1000000) AS BIGINT) AS z_micro
+        |FROM z WHERE abs(zv) > 3.0""".stripMargin,
     "t_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c

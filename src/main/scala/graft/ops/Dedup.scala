@@ -677,4 +677,53 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): per
+    * document, the distinct set of per-window minimum k-gram hashes —
+    * the GUARANTEED-coverage local sampling that plain "keep hashes
+    * ≡ 0 mod p" selection lacks (every shared substring of ≥ w+k−1
+    * tokens is certain to contribute at least one common fingerprint, so
+    * matching on fingerprints can't miss long overlaps). The standard
+    * code/document-overlap detector; fingerprints equi-join downstream
+    * exactly like shingle hashes in [[sharedShingleStats]].
+    *
+    * Hash = md5 hex of the space-joined k-gram (engine-identical, so the
+    * lexicographic window-min — and hence the fingerprint SET — is
+    * oracle-exact; a 64-bit xxhash is the cheaper production swap).
+    * Documents shorter than k tokens contribute their whole text as one
+    * gram; fewer than w grams → one window over what exists.
+    *
+    * Shape: posexplode + lead window (one doc_id exchange, the
+    * [[graft.ops.TextOps.shingleHashRows]] cost model), then a second
+    * windowed min over gram positions REUSING the same partitioning —
+    * Catalyst inserts no extra exchange; the distinct adds the only
+    * other shuffle, at fingerprint grain.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 4,
+      w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"), posexplode(TextOps.tokens(text)).as(Seq("pos", "t")))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until k).map(i => lead(col("t"), i).over(byPos))
+    val grams = toks
+      .withColumn(
+        "h",
+        when(
+          (if (k == 1) lit(true) else leads.last.isNotNull) || col("pos") === 0,
+          md5(concat_ws(" ", (col("t") +: leads): _*))))
+      .filter(col("h").isNotNull)
+    val nGrams = count(lit(1)).over(Window.partitionBy("doc_id"))
+    val winMin = min(col("h")).over(byPos.rowsBetween(0, w - 1))
+    grams
+      .withColumn("n_grams", nGrams)
+      .withColumn("fp", winMin)
+      .filter(col("pos") <= greatest(lit(0), col("n_grams") - w))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
 }

@@ -489,6 +489,72 @@ object TextOps {
       .otherwise(array_distinct(array(concat_ws(" ", toks))))
   }
 
+  /** Corpus-trained multinomial Naive Bayes classifier — the
+    * model-based document scorer (the shape behind fastText-style
+    * quality/domain filters: DCLM, fineweb-edu): train per-label token
+    * stats with add-1 smoothing, score every document, predict the
+    * argmax label. Self-classification over a labeled corpus here;
+    * swap `labelled` for a curated seed set to build a quality filter.
+    *
+    * All-integer determinism (the [[charNgramLangId]] discipline):
+    * each log term floors to micro-nats BEFORE the per-doc sum —
+    * `term(l,t) = ⌊1e6·ln((c(l,t)+1)/(N_l+V))⌋`,
+    * `prior(l) = ⌊1e6·ln(d_l/D)⌋` — so scores are exact longs on any
+    * engine; argmax ties break label-asc.
+    *
+    * Scale shape: two token-grain aggregates (map-side-combined
+    * explodes), then the dense (label × vocab) term table — |L|·|V|
+    * rows — BROADCASTS into the per-(doc, token) score join: the corpus
+    * side never re-shuffles after its tf aggregate, and the final
+    * per-doc argmax rides the same doc_id partitioning. The term table
+    * grows with VOCABULARY, not corpus size; when it outgrows broadcast
+    * (|L|·|V| ≳ 10⁸) cap the vocabulary to the top-k DF terms or hash
+    * features into a fixed width ([[hashedBowVectors]]) — the standard
+    * fastText trick — and the shape is unchanged.
+    */
+  def naiveBayesClassify(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      label: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), label.as("__lab"), text.as("__txt"))
+    val tok = base.select(col("doc_id"), col("__lab"), explode(tokens(col("__txt"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val ltc = tok.groupBy(col("__lab"), col("t")).agg(count(lit(1)).as("c"))
+    val nl = ltc.groupBy(col("__lab")).agg(sum(col("c")).as("n_l"))
+    val vocab = ltc.select(col("t")).distinct()
+    val vCount = vocab.agg(count(lit(1)).as("v"))
+    val docsPerLabel = base.groupBy(col("__lab")).agg(count(lit(1)).as("d_l"))
+    val dTotal = base.agg(count(lit(1)).as("d"))
+    // dense (label, token) term table with add-1 smoothing for unseen pairs
+    val terms = vocab
+      .crossJoin(broadcast(nl.crossJoin(broadcast(vCount))))
+      .join(ltc, Seq("__lab", "t"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(
+        col("__lab"), col("t"),
+        floor(log((col("c") + 1).cast("double") / (col("n_l") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("term_micro"))
+    val priors = docsPerLabel
+      .crossJoin(broadcast(dTotal))
+      .select(
+        col("__lab"),
+        floor(log(col("d_l").cast("double") / col("d").cast("double")) * 1e6)
+          .cast("long").as("prior_micro"))
+    val scores = tf
+      .join(broadcast(terms), "t")
+      .groupBy(col("doc_id"), col("__lab"))
+      .agg(sum(col("tf") * col("term_micro")).as("__s"))
+      .join(broadcast(priors), "__lab")
+      .select(col("doc_id"), col("__lab"), (col("__s") + col("prior_micro")).as("score_micro"))
+    scores
+      .groupBy(col("doc_id"))
+      .agg(
+        min_by(col("__lab"), struct((-col("score_micro")).as("ns"), col("__lab").as("l")))
+          .as("pred_label"),
+        max(col("score_micro")).as("best_score_micro"))
+  }
+
   /** Per-document character-unigram Shannon entropy (nats, micro-unit
     * scaled) — the compression-style quality signal: near-random bytes
     * and single-char spam both sit far from prose's ~3 nats. Identity

@@ -587,6 +587,56 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._3 == 1L && math.abs(got(2L)._4) < 1.0, "constant: H = 0")
   }
 
+  test("naiveBayesClassify: separable labels recovered, deterministic output") {
+    val df = Seq(
+      (1L, "apple apple fruit sweet", "food"),
+      (2L, "apple fruit tasty sweet", "food"),
+      (3L, "bolt wrench steel tool", "hw"),
+      (4L, "wrench bolt hammer tool", "hw"),
+      (5L, "apple sweet fruit snack", "food"),
+      (6L, "steel hammer bolt nail", "hw")
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.naiveBayesClassify(df, col("doc_id"), col("text"), col("source"))
+      .select("doc_id", "pred_label").as[(Long, String)].collect().toMap
+    assert(Seq(1L, 2L, 5L).forall(got(_) == "food"))
+    assert(Seq(3L, 4L, 6L).forall(got(_) == "hw"))
+    val again = TextOps.naiveBayesClassify(df, col("doc_id"), col("text"), col("source"))
+      .select("doc_id", "pred_label").as[(Long, String)].collect().toMap
+    assert(got == again)
+  }
+
+  test("winnowFingerprints: shared >= w+k-1 token run guarantees a common fp") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 = w+k-1
+    val df = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"red green blue $shared yellow purple orange pink"),
+      (3L, "totally unrelated words nothing in common here at all today"),
+      (4L, "tiny doc") // < k tokens -> whole-text gram, one fp
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, col("doc_id"), col("text"), k = 4, w = 5)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "winnowing must not miss a w+k-1 overlap")
+    assert((fps(1L) & fps(3L)).isEmpty)
+    assert(fps(4L).size == 1, "short doc -> exactly one whole-text fingerprint")
+  }
+
+  test("q_zscore semantics: planted extreme value flagged, uniform bulk not") {
+    val vals = (1 to 200).map(i => (i.toLong, "a", 10.0 + (i % 5))) :+ (999L, "a", 5000.0)
+    val e = vals.toDF("event_id", "event_type", "value")
+    val vdec = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val stats = e.groupBy(col("event_type").as("__et")).agg(
+      sum(vdec).as("__sv"), sum(vdec * vdec).as("__sv2"), count(lit(1)).as("__n"))
+    val z = e.join(broadcast(stats), col("event_type") === col("__et"))
+      .withColumn("__mean", col("__sv").cast("double") / col("__n"))
+      .withColumn("__var",
+        (col("__sv2").cast("double") -
+          col("__sv").cast("double") * col("__sv").cast("double") / col("__n")) / col("__n"))
+      .withColumn("z", (col("value") - col("__mean")) / sqrt(col("__var")))
+      .filter(abs(col("z")) > 3.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(z == Set(999L), s"only the planted outlier should flag, got $z")
+  }
+
   test("sampleWeighted keeps rows proportional to weight, capped at 1") {
     val df = (1L to 1000L).map(i => (i, if (i <= 500) 0.1 else 10.0)).toDF("id", "w")
     val kept = Sampling.sampleWeighted(df, col("id"), col("w"))
