@@ -571,6 +571,24 @@ object TextOps {
   def charEntropySignals(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(
         id.as("doc_id"),
+        org.apache.spark.sql.graft.TextFunctions.charStats(text).as("__cs"))
+      // empty text: the explode form emits no row (and ln(0) is undefined)
+      .filter(col("__cs.n_chars") > 0)
+      .select(
+        col("doc_id"),
+        col("__cs.n_chars").as("n_chars"),
+        col("__cs.n_char_types").as("n_char_types"),
+        (floor(log(col("__cs.n_chars").cast("double")) * 1e6).cast("long").cast("double") -
+          col("__cs.ent_sum_micro").cast("double") / col("__cs.n_chars")).as("ent_micro"))
+
+  /** The explode + two-aggregate formulation of [[charEntropySignals]] —
+    * identical integer terms (equivalence pinned in OpsSpec), kept as the
+    * composition baseline: at 10× it shuffles every (doc, char) pair
+    * (measured 15.7 s vs scan-bound for the native [[CharStats]] pass).
+    */
+  def charEntropySignalsExploded(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+        id.as("doc_id"),
         explode(org.apache.spark.sql.graft.TextFunctions.charNgrams(text, 1)).as("c"))
       .groupBy(col("doc_id"), col("c"))
       .agg(count(lit(1)).as("cnt"))

@@ -587,6 +587,18 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._3 == 1L && math.abs(got(2L)._4) < 1.0, "constant: H = 0")
   }
 
+  test("charEntropySignals: native CharStats == explode formulation; empty drops") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .union(Seq((-1L, "", "en", "src0", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val native = TextOps.charEntropySignals(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val exploded = TextOps.charEntropySignalsExploded(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(native == exploded, "one-pass expression must match the explode form exactly")
+    assert(!native.exists(_._1 == -1L), "empty doc must emit no row in both forms")
+  }
+
   test("naiveBayesClassify: separable labels recovered, deterministic output") {
     val df = Seq(
       (1L, "apple apple fruit sweet", "food"),
