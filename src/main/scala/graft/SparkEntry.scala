@@ -1581,6 +1581,20 @@ object SparkEntry {
           col("n_events"),
           col("sequence"))
     }),
+    "q_transitions_stream" -> ((s, dir) => {
+      // streaming twin of q_transitions: the transitionPairs machine
+      // emits each user's consecutive (from,to) pairs once, final, after
+      // the 10-day idle horizon (the eventSequences discipline); the
+      // trailing (from,to) count is the mergeable aggregate an
+      // update-mode sink would maintain — same oracle as the batch twin.
+      // maxLen 5000 >> max events/user at gate scale: no truncation.
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          StateMachines.transitionPairs(stream, maxLen = 5000, idleSec = 10L * 86400).toDF()
+        }
+        .groupBy(col("from_kind").as("from_type"), col("to_kind").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
     "q_dedup_bounded_stream" -> ((s, dir) => {
       // the BOUNDED-state streaming dedup — the 100 TB posture
       // q_dedup_stream's scaladoc promises: dropDuplicatesWithinWatermark
@@ -1730,6 +1744,18 @@ object SparkEntry {
 
   // Shared between a batch query and its q_*_stream twin: the streaming
   // replay must hash-match the SAME oracle.
+  /** Shared by q_transitions and its streaming twin: both must hash-match
+    * the same first-order transition counts. */
+  private val transitionsSql =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events
+      |)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS cnt
+      |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   private val enrichSql =
     """SELECT date_trunc('hour', e.ts) AS window_start,
       |       CAST(c.c_nationkey AS BIGINT) AS nation, count(*) AS cnt
@@ -1860,15 +1886,8 @@ object SparkEntry {
     "q_enrich" -> enrichSql,
     "q_enrich_stream" -> enrichSql,
     "q_salted_join" -> enrichSql, // salting must not change join semantics
-    "q_transitions" ->
-      """WITH s AS (
-        |  SELECT user_id, event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS next_type
-        |  FROM events
-        |)
-        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS cnt
-        |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q_transitions" -> transitionsSql,
+    "q_transitions_stream" -> transitionsSql,
     "q_sessions" -> sessionsSql,
     "q_hot_items" -> slidingOracle(
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),

@@ -626,4 +626,32 @@ object StateMachines {
         }
       })
   }
+
+  case class TransitionRow(key: String, from_kind: String, to_kind: String)
+
+  /** Streaming Markov-transition extractor: per key, every consecutive
+    * (from, to) kind pair in (ts, id) order, emitted as FINAL append-mode
+    * rows once the key has been event-time idle for `idleSec` (the
+    * [[eventSequences]] horizon semantics — same buffer, same
+    * finalize-once discipline; jitter inside the watermark reorders
+    * nothing because the buffer re-sorts at close). The trailing
+    * (from, to) count is a mergeable aggregate any update-mode sink can
+    * maintain; the batch twin (q_transitions) does it at rest, and the
+    * replay gate hash-matches the pair counts against the same oracle.
+    */
+  def transitionPairs(
+      events: Dataset[KeyedEvent],
+      maxLen: Int,
+      idleSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TransitionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    eventSequences(events, maxLen, idleSec, watermarkDelay)
+      .flatMap { row =>
+        val kinds = row.sequence.split("\\|")
+        kinds.iterator.zip(kinds.iterator.drop(1)).map {
+          case (a, b) => TransitionRow(row.key, a, b)
+        }
+      }
+  }
 }

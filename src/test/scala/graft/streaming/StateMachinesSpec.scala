@@ -284,4 +284,29 @@ class StateMachinesSpec extends SparkSpec {
         ("u2", 1L, "view")))
     } finally q.stop()
   }
+
+  test("transitionPairs(stream): per-key consecutive pairs in (ts,id) order, final once") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.transitionPairs(input.toDS(), maxLen = 100, idleSec = 3600L)
+      .writeStream.format("memory").queryName("sm_trans").outputMode("append").start()
+    try {
+      // out of order within the batch: the buffer re-sorts at close
+      input.addData(Seq(
+        ev("u1", "2020-01-01 00:00:03", "cart", "e3"),
+        ev("u1", "2020-01-01 00:00:01", "view", "e1"),
+        ev("u1", "2020-01-01 00:00:02", "click", "e2"),
+        ev("u2", "2020-01-01 00:00:01", "view", "f1"))) // single event: no pair
+      q.processAllAvailable()
+      for (i <- 0 until 2) {
+        input.addData(Seq(KeyedEvent(
+          Replay.Sentinel, ts(s"2030-01-01 00:00:0$i"), Replay.Sentinel, s"s$i")))
+        q.processAllAvailable()
+      }
+      val got = spark.table("sm_trans")
+        .as[StateMachines.TransitionRow].collect()
+        .map(r => (r.key, r.from_kind, r.to_kind)).toList.sorted
+      assert(got == List(("u1", "click", "cart"), ("u1", "view", "click")))
+    } finally q.stop()
+  }
 }
