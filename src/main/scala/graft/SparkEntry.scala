@@ -932,21 +932,10 @@ object SparkEntry {
     "q_zscore_outliers" -> ((s, dir) => {
       // per-type z-score outliers: decimal moment sums (order-free,
       // engine-exact) -> mean/std as deterministic double ops; the tiny
-      // per-type stats table broadcasts back, corpus never re-shuffles
-      val e = Tables(s, dir).events
-      val vdec = col("value").cast(DecimalType(18, 6))
-      val stats = e.groupBy(col("event_type").as("__et")).agg(
-        sum(vdec).as("__sv"), sum(vdec * vdec).as("__sv2"),
-        count(lit(1)).as("__n"))
-      e.join(broadcast(stats), col("event_type") === col("__et"))
-        .withColumn("__mean", col("__sv").cast("double") / col("__n"))
-        .withColumn(
-          "__var",
-          (col("__sv2").cast("double") -
-            col("__sv").cast("double") * col("__sv").cast("double") / col("__n")) /
-            col("__n"))
-        .withColumn("z", (col("value") - col("__mean")) / sqrt(col("__var")))
-        .filter(abs(col("z")) > lit(3.0))
+      // per-type stats table broadcasts back, corpus never re-shuffles;
+      // zero-variance strata flag nothing (guarded in Stats.zscoreOutliers)
+      Stats.zscoreOutliers(
+          Tables(s, dir).events, col("event_type"), col("value"), threshold = 3.0)
         .select(col("event_id"), col("event_type"), col("value"),
           floor(col("z") * 1e6).cast("long").as("z_micro"))
     }),

@@ -116,6 +116,42 @@ object Stats {
       .drop("__qk", "__lo", "__hi")
   }
 
+  /** Per-key z-score outlier detection: rows whose `value` sits more than
+    * `threshold` standard deviations from its key's mean. Moments come
+    * from DECIMAL sums (order-independent exact integers at the cast
+    * scale), so mean/σ are the same doubles on any engine; the per-key
+    * stats table is |keys| rows and BROADCASTS back — two scans of the
+    * corpus, no corpus shuffle. A zero-variance stratum flags nothing
+    * (guarded: ANSI double division by zero would otherwise throw —
+    * and NaN/Inf z-scores are meaningless there anyway).
+    *
+    * Returns the input columns plus `z` (double). Callers floor to
+    * micro-units for an engine-exact record (the q_zscore_outliers
+    * pattern).
+    */
+  def zscoreOutliers(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      threshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vdec = value.cast(DecimalType(18, 6))
+    val stats = df.groupBy(key.as("__zk")).agg(
+      sum(vdec).as("__sv"), sum(vdec * vdec).as("__sv2"), count(lit(1)).as("__n"))
+    df.join(broadcast(stats), key === col("__zk"))
+      .withColumn("__mean", col("__sv").cast("double") / col("__n"))
+      .withColumn(
+        "__var",
+        (col("__sv2").cast("double") -
+          col("__sv").cast("double") * col("__sv").cast("double") / col("__n")) /
+          col("__n"))
+      .withColumn(
+        "z",
+        when(col("__var") > 0d, (value - col("__mean")) / sqrt(col("__var"))))
+      .filter(abs(col("z")) > threshold)
+      .drop("__zk", "__sv", "__sv2", "__n", "__mean", "__var")
+  }
+
   /** Key-skew diagnostic report: the topN heaviest keys with their row
     * counts and corpus share, each row annotated with the global totals
     * (n_rows, n_keys) — the first thing to run before sizing a shuffle

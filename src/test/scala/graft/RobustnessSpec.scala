@@ -159,4 +159,50 @@ class RobustnessSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(est("absent") == 0L)
   }
+
+  test("round-8 batch-2/3 ops on degenerate input: empties, single labels, zero variance") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val tiny = Seq((1L, "a"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
+
+    // gopher/entropy/winnow on empty + whitespace docs: no throw, sane rows
+    assert(TextOps.gopherSignals(empty, col("doc_id"), col("text")).count() == 0)
+    val gs = TextOps.gopherSignals(tiny, col("doc_id"), col("text"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(gs.values.forall(_ == false), "1-token and empty docs must all drop")
+    assert(TextOps.charEntropySignals(empty, col("doc_id"), col("text")).count() == 0)
+    val ent = TextOps.charEntropySignals(tiny, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ent == Set(1L, 3L), "empty text drops; whitespace-only still has chars")
+    assert(Dedup.winnowFingerprints(empty, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.winnowFingerprints(tiny, col("doc_id"), col("text"))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+      .values.forall(_ == 1L), "short docs -> exactly one whole-text fp each")
+
+    // NB: single-label corpus predicts that label for every doc
+    val oneLab = Seq((1L, "x y", "only"), (2L, "y z", "only")).toDF("doc_id", "text", "source")
+    val nb = TextOps.naiveBayesClassify(oneLab, col("doc_id"), col("text"), col("source"))
+      .select("pred_label").as[String].collect()
+    assert(nb.length == 2 && nb.forall(_ == "only"))
+
+    // skew report: topN beyond key count returns all keys; empty frame -> empty
+    assert(Stats.keySkewReport(empty, col("doc_id"), topN = 5).count() == 0)
+    assert(Stats.keySkewReport(tiny, col("doc_id"), topN = 99).count() == 3)
+
+    // truncateRenorm: k beyond dim keeps what exists (slice semantics)
+    val vecs = Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val tr = Embeddings.truncateRenorm(vecs, col("vec_id"), col("embedding"), k = 10)
+      .select("proj").as[Seq[Double]].head()
+    assert(tr == Seq(0.6, 0.8))
+
+    // salted join: empty dim -> empty result, no throw
+    val fact = Seq((1L, "a")).toDF("id", "k")
+    val noDim = Seq.empty[(String, String)].toDF("dk", "name")
+    assert(Joins.saltedJoin(fact, noDim, col("k"), col("dk"), col("id"), 4).count() == 0)
+
+    // zero-variance stratum: guarded null z, never a DIVIDE_BY_ZERO throw
+    // (ANSI double division by zero errors; the first draft of this op
+    // crashed exactly here) and never a flagged row
+    val const = Seq((1L, "a", 5.0), (2L, "a", 5.0)).toDF("event_id", "event_type", "value")
+    assert(Stats.zscoreOutliers(const, col("event_type"), col("value")).count() == 0)
+  }
 }

@@ -632,19 +632,10 @@ class OpsSpec extends SparkSpec {
     assert(fps(4L).size == 1, "short doc -> exactly one whole-text fingerprint")
   }
 
-  test("q_zscore semantics: planted extreme value flagged, uniform bulk not") {
+  test("zscoreOutliers: planted extreme value flagged, uniform bulk not") {
     val vals = (1 to 200).map(i => (i.toLong, "a", 10.0 + (i % 5))) :+ (999L, "a", 5000.0)
     val e = vals.toDF("event_id", "event_type", "value")
-    val vdec = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
-    val stats = e.groupBy(col("event_type").as("__et")).agg(
-      sum(vdec).as("__sv"), sum(vdec * vdec).as("__sv2"), count(lit(1)).as("__n"))
-    val z = e.join(broadcast(stats), col("event_type") === col("__et"))
-      .withColumn("__mean", col("__sv").cast("double") / col("__n"))
-      .withColumn("__var",
-        (col("__sv2").cast("double") -
-          col("__sv").cast("double") * col("__sv").cast("double") / col("__n")) / col("__n"))
-      .withColumn("z", (col("value") - col("__mean")) / sqrt(col("__var")))
-      .filter(abs(col("z")) > 3.0)
+    val z = Stats.zscoreOutliers(e, col("event_type"), col("value"))
       .select("event_id").as[Long].collect().toSet
     assert(z == Set(999L), s"only the planted outlier should flag, got $z")
   }
