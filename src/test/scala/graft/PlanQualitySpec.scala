@@ -31,6 +31,32 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .findFirstIn(p).isDefined, p)
   }
 
+  test("gopher filter reads only (doc_id, text); t_normalize and e_truncate shuffle nothing") {
+    val p = plan("p_gopher_filter")
+    assert(
+      "ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p).isDefined,
+      s"per-row filter must prune to the two needed columns:\n$p")
+    for (q <- Seq("t_normalize", "e_truncate", "t_entropy")) {
+      val pq = plan(q)
+      assert(!pq.contains("Exchange"),
+        s"$q is a pure projection — any exchange is a regression:\n$pq")
+    }
+  }
+
+  test("naive bayes: term/prior tables broadcast; corpus shuffles only at token grain") {
+    val p = plan("t_nb_classify")
+    assert(p.contains("BroadcastHashJoin"), s"term table must broadcast:\n$p")
+    // the corpus-side exchanges: tf agg, ltc agg (+ their reuse); the score
+    // join must NOT add a corpus-side exchange beyond the aggregates
+    assert(!p.contains("SortMergeJoin"), s"no corpus-vs-corpus sort-merge join:\n$p")
+  }
+
+  test("winnowing: gram window and min window share one doc_id exchange") {
+    val p = plan("d_winnow")
+    val n = "(?m)^\\s*\\+?-?\\s*Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly one doc_id exchange (windows must share it):\n$p")
+  }
+
   test("saltedJoin: shuffled hash join keyed on (key, salt), no broadcast") {
     val p = plan("q_salted_join")
     assert(p.contains("ShuffledHashJoin"), s"salted join must shuffle:\n$p")

@@ -47,6 +47,28 @@ class IoSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("ORC and JSON sources round-trip the documents table exactly") {
+    // the full batch source matrix: parquet (primary), csv (S1/P1), text,
+    // plus the two other built-in columnar/row formats — a reference user
+    // can land data in any of them and the engine reads it unchanged
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = docs.orderBy("doc_id").collect().toSeq
+    val tmpO = Files.createTempDirectory("graft-orc").toString
+    docs.write.mode("overwrite").orc(tmpO)
+    val orcBack = spark.read.orc(tmpO)
+    assert(orcBack.schema == docs.schema, "ORC must preserve the schema exactly")
+    assert(orcBack.orderBy("doc_id").collect().toSeq == want)
+    // ORC pushes predicates like parquet: the scan carries the filter
+    val p = orcBack.filter(col("doc_id") === 7L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(doc_id,7"), p)
+    val tmpJ = Files.createTempDirectory("graft-json").toString
+    docs.write.mode("overwrite").json(tmpJ)
+    // JSON is schemaless on disk: read back under the declared schema —
+    // the engine's contract is schema-on-read, same as the csv sources
+    val jsonBack = spark.read.schema(docs.schema).json(tmpJ)
+    assert(jsonBack.orderBy("doc_id").collect().toSeq == want)
+  }
+
   test("csvStream reads schema'd files as micro-batches") {
     val tmp = Files.createTempDirectory("graft-csvstream")
     Files.writeString(tmp.resolve("a.csv"), "1,pv\n2,buy\n")
