@@ -1027,6 +1027,14 @@ object SparkEntry {
         .transform(d => TextOps.unigramLogProb(d, col("doc_id"), col("text")))
         .select(col("doc_id"), col("logprob_1e6"), col("n_tokens"))
     }),
+    "t_bigram_lm" -> ((s, dir) => {
+      // corpus-trained add-1 BIGRAM LM score per doc — the conditional
+      // next step of t_unigram_lm's quality ladder, same integer-floored
+      // term discipline
+      Tables(s, dir).documents
+        .transform(d => TextOps.bigramLogProb(d, col("doc_id"), col("text")))
+        .select(col("doc_id"), col("logprob2_1e6"), col("n_bigrams"))
+    }),
     "t_pmi_bigrams" -> ((s, dir) => {
       // top-100 collocations by PMI (min pair count 5), ranked on the
       // 1e-4-floored score which stays OUT of the output (same one-ulp
@@ -2472,6 +2480,32 @@ object SparkEntry {
          |    / CAST(n + v AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS logprob_1e6,
          |  CAST(sum(tf) AS BIGINT) AS n_tokens
          |FROM tf JOIN c USING (w) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+    "t_bigram_lm" ->
+      s"""WITH prs AS (
+         |  SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+         |    for i in range(1, len(w))]) AS p
+         |  FROM (SELECT doc_id, $tokensExpr AS w FROM documents)
+         |), ptf AS (
+         |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+         |  FROM prs GROUP BY 1, 2, 3
+         |), c2 AS (
+         |  SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM ptf GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+         |), v AS (
+         |  SELECT count(*) AS v FROM (
+         |    SELECT DISTINCT unnest($tokensExpr) AS w FROM documents)
+         |), terms AS (
+         |  SELECT c2.w1, c2.w2,
+         |    CAST(floor(ln(CAST(c2 + 1 AS DOUBLE)
+         |      / CAST(c1 + v AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+         |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(tf * lp) AS BIGINT) AS logprob2_1e6,
+         |  CAST(sum(tf) AS BIGINT) AS n_bigrams
+         |FROM ptf JOIN terms USING (w1, w2)
          |GROUP BY doc_id""".stripMargin,
     "p_corpus_report" ->
       s"""WITH d AS (

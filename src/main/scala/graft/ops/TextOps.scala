@@ -402,6 +402,46 @@ object TextOps {
       .select(col("doc_id"), col("w").as("w1"), col("w2"))
   }
 
+  /** Corpus-trained BIGRAM language-model score per document — the
+    * next step up from [[unigramLogProb]] in the CCNet-style quality
+    * ladder: `Σ_pairs tf·⌊1e6·ln((c₂(w₁,w₂)+1)/(c₁(w₁)+V))⌋`, add-1
+    * smoothed conditional log-probs where `c₁(w₁) = Σ_w₂ c₂(w₁,·)` (the
+    * bigram-first marginal) and V the unigram vocabulary. Integer-floored
+    * terms → order-independent exact sums, engine-portable like every
+    * LM score in the repo. Docs under two tokens emit no row.
+    *
+    * Scale shape: the [[bigramRows]] lead-window explode (one doc_id
+    * exchange), a per-(doc,pair) tf aggregate, then pair- and
+    * first-word-grain corpus aggregates that map-side-combine; the score
+    * join shuffles at pair grain exactly like [[unigramLogProb]]'s
+    * word-grain join — no N², no corpus re-scan.
+    */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ptf = bigramRows(df, id, text)
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("tf"))
+    val c2 = ptf.groupBy("w1", "w2").agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vCount = df
+      .select(explode(tokens(text)).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val terms = c2
+      .join(c1, "w1")
+      .crossJoin(broadcast(vCount))
+      .withColumn(
+        "lp_1e6",
+        floor(
+          log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")) *
+            lit(1000000)).cast("long"))
+      .select(col("w1"), col("w2"), col("lp_1e6"))
+    ptf
+      .join(terms, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf") * col("lp_1e6")).as("logprob2_1e6"),
+        sum(col("tf")).as("n_bigrams"))
+  }
+
   /** Top-k collocations by pointwise mutual information —
     * `PMI(x,y) = ln(c_xy·N / (c_x·c_y))` over adjacent token pairs, with
     * a minimum pair count (PMI is noise below a handful of sightings).

@@ -640,6 +640,20 @@ class OpsSpec extends SparkSpec {
     assert(z == Set(999L), s"only the planted outlier should flag, got $z")
   }
 
+  test("bigramLogProb: hand-computed add-1 conditional terms, short docs emit no row") {
+    // corpus: "a b a b", "a b", "solo". pairs: (a,b)x3, (b,a)x1.
+    // c2(a,b)=3 c2(b,a)=1; marginals c1(a)=3 c1(b)=1; unigram vocab
+    // {a,b,solo} -> V=3
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def t(c2: Long, c1: Long) = math.floor(math.log((c2 + 1.0) / (c1 + 3.0)) * 1e6).toLong
+    // doc1: tf(a,b)=2, tf(b,a)=1; doc2: tf(a,b)=1
+    assert(got(1L) == ((2 * t(3, 3) + t(1, 1), 3L)))
+    assert(got(2L) == ((t(3, 3), 1L)))
+    assert(!got.contains(3L), "single-token doc has no bigrams")
+  }
+
   test("sampleWeighted keeps rows proportional to weight, capped at 1") {
     val df = (1L to 1000L).map(i => (i, if (i <= 500) 0.1 else 10.0)).toDF("id", "w")
     val kept = Sampling.sampleWeighted(df, col("id"), col("w"))
