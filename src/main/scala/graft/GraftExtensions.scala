@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{AdcScore, AudioMeta, CharNgrams, CosineSim, ImageMeta, VideoMeta, ZOrder2}
+import org.apache.spark.sql.graft.{AdcScore, AudioMeta, CharNgrams, CharStats, CosineSim, ImageMeta, NfcNormalize, VideoMeta, ZOrder2}
 
 /** SQL-surface registration for the engine's native expressions — the
   * `SparkSessionExtensions` injection point, so a `spark.sql` user (or a
@@ -57,5 +57,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("video_meta"),
       info("video_meta", "video_meta(binary) - ISO BMFF (MP4) header metadata struct"),
       (es: Seq[Expression]) => VideoMeta(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("char_stats"),
+      info("char_stats",
+        "char_stats(text) - struct(n_chars, n_char_types, ent_sum_micro) character-unigram stats"),
+      (es: Seq[Expression]) => CharStats(es.head)))
   }
 }

@@ -120,6 +120,13 @@ class RobustnessSpec extends SparkSpec {
     assert(meta.getString(0) == "png" && meta.getInt(1) == 64 && meta.getInt(2) == 32)
     assert(spark.sql("SELECT audio_meta(CAST('junk' AS BINARY))").head().isNullAt(0))
     assert(spark.sql("SELECT video_meta(CAST('junk' AS BINARY))").head().isNullAt(0))
+    // NFC composition by name: e + U+0301 -> precomposed, 4 codepoints
+    assert(spark.sql("SELECT length(nfc_normalize('caf' || 'e\u0301'))")
+      .head().getInt(0) == 4)
+    // char stats by name: 'aab' -> 3 chars, 2 types
+    val cs = spark.sql("SELECT char_stats('aab') AS s")
+      .select("s.n_chars", "s.n_char_types").head()
+    assert(cs.getLong(0) == 3L && cs.getLong(1) == 2L)
   }
 
   test("round-8 ops on degenerate input: empty corpus, short docs, guard rails") {
