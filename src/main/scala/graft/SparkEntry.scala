@@ -929,6 +929,19 @@ object SparkEntry {
       Dedup.winnowFingerprints(
         Tables(s, dir).documents, col("doc_id"), col("text"), k = 4, w = 5)
     }),
+    "q_histogram" -> ((s, dir) => {
+      // fixed-width value histogram per event type: the distribution view
+      // behind filter thresholds; one (key,bin)-grain exchange
+      Stats.histogram(Tables(s, dir).events, col("event_type"), col("value"), width = 50.0)
+        .select(col("key").as("event_type"), col("bin"), col("bin_lo"), col("cnt"))
+    }),
+    "q_pareto" -> ((s, dir) => {
+      // revenue concentration: per-user totals ranked desc with exact
+      // running share of the grand total (decimal prefix sums)
+      Stats.paretoShare(Tables(s, dir).events, col("user_id"), col("value"))
+        .select(col("key").cast("long").as("user_id"), col("rank"),
+          col("rev"), col("cum_share_micro"))
+    }),
     "q_zscore_outliers" -> ((s, dir) => {
       // per-type z-score outliers: decimal moment sums (order-free,
       // engine-exact) -> mean/std as deterministic double ops; the tiny
@@ -2405,6 +2418,24 @@ object SparkEntry {
          |  FROM g)
          |SELECT DISTINCT doc_id, fp FROM wm
          |WHERE pos <= greatest(0, n_grams - 5)""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |  CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_lo,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_pareto" ->
+      """WITH pk AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS rev
+        |  FROM events GROUP BY 1
+        |), t AS (SELECT sum(rev) AS tot FROM pk)
+        |SELECT user_id,
+        |  row_number() OVER w AS rank,
+        |  CAST(rev AS DOUBLE) AS rev,
+        |  CAST(floor(CAST(sum(rev) OVER (ORDER BY rev DESC, user_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(tot AS DOUBLE) * 1000000) AS BIGINT) AS cum_share_micro
+        |FROM pk CROSS JOIN t
+        |WINDOW w AS (ORDER BY rev DESC, user_id ASC)""".stripMargin,
     "q_zscore_outliers" ->
       """WITH st AS (
         |  SELECT event_type AS et, sum(CAST(value AS DECIMAL(18,6))) AS sv,

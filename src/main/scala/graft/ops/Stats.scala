@@ -152,6 +152,51 @@ object Stats {
       .drop("__zk", "__sv", "__sv2", "__n", "__mean", "__var")
   }
 
+  /** Fixed-width histogram per key: `(key, bin, bin_lo, cnt)` with
+    * `bin = ⌊value / width⌋` — the distribution view behind filter
+    * thresholds and range-partition planning. One map-side-combined
+    * exchange at (key, bin) grain; bin arithmetic is one double division
+    * + floor, engine-exact.
+    */
+  def histogram(df: DataFrame, key: Column, value: Column, width: Double): DataFrame = {
+    require(width > 0, "need width > 0")
+    df.select(key.as("key"), floor(value / width).cast("long").as("bin"))
+      .groupBy(col("key"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_lo", col("bin") * width)
+  }
+
+  /** Pareto concentration: per-key totals ranked descending with the
+    * RUNNING share of the grand total — "which fraction of keys carries
+    * 80 % of the value" (revenue concentration, token-budget planning).
+    * The running sum stays DECIMAL (exact at any prefix) and the grand
+    * total broadcasts, so `cum_share_micro = ⌊1e6·cum/total⌋` is
+    * engine-exact; ranking ties break key-asc.
+    *
+    * Scale: one aggregated exchange at key grain, then ONE global sort
+    * over |keys| rows (keys, not raw rows — fine up to hundreds of
+    * millions of keys; range-partitioned sort beyond).
+    */
+  def paretoShare(df: DataFrame, key: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perKey = df
+      .groupBy(key.as("key"))
+      .agg(sum(value.cast(DecimalType(18, 6))).as("__rev"))
+    val total = perKey.agg(sum(col("__rev")).as("__tot"))
+    val w = Window.orderBy(col("__rev").desc, col("key").asc)
+    perKey
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum",
+        sum(col("__rev")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("key"),
+        col("rank"),
+        col("__rev").cast("double").as("rev"),
+        floor(col("__cum").cast("double") / col("__tot").cast("double") * 1e6)
+          .cast("long").as("cum_share_micro"))
+  }
+
   /** Key-skew diagnostic report: the topN heaviest keys with their row
     * counts and corpus share, each row annotated with the global totals
     * (n_rows, n_keys) — the first thing to run before sizing a shuffle

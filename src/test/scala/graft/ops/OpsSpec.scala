@@ -654,6 +654,22 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(3L), "single-token doc has no bigrams")
   }
 
+  test("histogram and paretoShare: exact bins, exact running shares, tie-break") {
+    val e = Seq(
+      (1L, "a", 10.0), (2L, "a", 60.0), (3L, "a", 60.0), (4L, "b", 120.0)
+    ).toDF("id", "et", "v")
+    val h = Stats.histogram(e, col("et"), col("v"), width = 50.0)
+      .select("key", "bin", "cnt").as[(String, Long, Long)].collect().toSet
+    assert(h == Set(("a", 0L, 1L), ("a", 1L, 2L), ("b", 2L, 1L)))
+
+    // pareto over keys k1=60, k2=30, k3=10 (total 100)
+    val p = Seq(("k1", 60.0), ("k2", 30.0), ("k3", 10.0)).toDF("k", "v")
+    val got = Stats.paretoShare(p, col("k"), col("v"))
+      .select("key", "rank", "cum_share_micro").as[(String, Int, Long)].collect().toList
+      .sortBy(_._2)
+    assert(got == List(("k1", 1, 600000L), ("k2", 2, 900000L), ("k3", 3, 1000000L)))
+  }
+
   test("sampleWeighted keeps rows proportional to weight, capped at 1") {
     val df = (1L to 1000L).map(i => (i, if (i <= 500) 0.1 else 10.0)).toDF("id", "w")
     val kept = Sampling.sampleWeighted(df, col("id"), col("w"))
