@@ -186,4 +186,34 @@ class ReplaySoakSpec extends SparkSpec {
     assert(streamed.toSet == batch)
     assert(batch.nonEmpty)
   }
+
+  test("transitionPairs under 2s order jitter: exact pair counts vs the batch twin") {
+    // the pair extractor inherits eventSequences' buffered close, so
+    // jitter inside the watermark margin re-sorts before any pair is cut
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val input = events.select(
+      col("user_id").cast("string").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"))
+    val streamed = Replay
+      .keyedEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines
+          .transitionPairs(stream, maxLen = 5000, idleSec = 10L * 86400,
+            watermarkDelay = "5 seconds")
+          .toDF()
+      }
+      .groupBy(col("from_kind"), col("to_kind")).agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type")).agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
