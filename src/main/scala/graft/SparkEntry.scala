@@ -952,6 +952,51 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           floor(col("z") * 1e6).cast("long").as("z_micro"))
     }),
+    "q_range_join" -> ((s, dir) => {
+      // banded (non-equi) join against a tiny tier dimension: each event
+      // lands in the [lo, hi) band containing its value, then per-tier
+      // count + decimal revenue. The dim is a 3-row broadcast, so the
+      // physical plan is BroadcastNestedLoopJoin — the RIGHT plan for a
+      // range predicate against a constant-sized build side: the corpus
+      // streams once, never shuffles for the join, and the band predicate
+      // evaluates inside whole-stage codegen. (A sort-merge "interval
+      // tree" would only pay off with a LARGE band table; tiers/SLAs/
+      // price-bands are constant-sized in practice.)
+      val s2 = s
+      import s2.implicits._
+      val tiers = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e12))
+        .toDF("tier", "lo", "hi")
+      Tables(s, dir).events
+        .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("rev"))
+    }),
+    "q_gap_fill" -> ((s, dir) => {
+      // densified hourly revenue per event_type with zero-fill + LOCF —
+      // the batch construction of what a streaming window emits
+      // continuously; grid built from a broadcast global [min,max] span,
+      // windows run at grid grain (see Stats.gapFillHourly scaladoc)
+      Stats.gapFillHourly(
+          Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
+        .select(col("key").as("event_type"), col("hr"), col("rev"), col("rev_locf"))
+    }),
+    "s_boolean_search" -> ((s, dir) => {
+      // conjunctive boolean retrieval: docs containing ALL of
+      // {dup, spark, window} with summed tf — the postings-intersection
+      // plan (token stream pruned to query terms before any exchange)
+      TextOps.conjunctiveSearch(
+        Tables(s, dir).documents, col("doc_id"), col("text"),
+        Seq("dup", "spark", "window"))
+    }),
+    "p_dsir" -> ((s, dir) => {
+      // DSIR importance weights: log-likelihood ratio of an en-target
+      // unigram LM vs the raw-corpus LM, integer-floored per-word terms
+      // (one corpus scan; both models from the same tf aggregate)
+      TextOps.dsirWeights(
+        Tables(s, dir).documents, col("doc_id"), col("text"), col("lang") === "en")
+    }),
     "t_entropy" -> ((s, dir) => {
       // char-unigram Shannon entropy per doc (micro-nats): the
       // compression-style quality signal, integer-floored ln terms so the
@@ -1441,6 +1486,35 @@ object SparkEntry {
           col("__p").getItem(0).as("event_type"),
           when(col("__p").getItem(1) === "n", lit(null))
             .otherwise(col("__p").getItem(1)).cast("long").as("k_bucket"),
+          col("cnt"))
+    }),
+    "q_histogram_stream" -> ((s, dir) => {
+      // q_histogram's streaming twin at daily grain: per-(type, bin)
+      // counts from watermark-finalized tumbling day windows. The bin is
+      // a per-row projection, so it is computed replay-side and packed
+      // into the key (q_channel_stats_stream pattern); sentinel rows flow
+      // through the conditional count and drop as zero groups.
+      val input = Tables(s, dir).events
+        .select(
+          concat_ws("|", col("event_type"),
+            floor(col("value") / 50.0).cast("long").cast("string")).as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      Replay
+        .keyedEvents(input) { stream =>
+          stream.toDF()
+            .withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 day"), col("key"))
+            .agg(count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"))
+            .select(col("window.start").as("window_start"), col("key"), col("cnt"))
+        }
+        .filter(col("cnt") > 0)
+        .withColumn("__p", split(col("key"), "\\|"))
+        .select(
+          col("window_start"),
+          col("__p").getItem(0).as("event_type"),
+          col("__p").getItem(1).cast("long").as("bin"),
           col("cnt"))
     }),
     "q_hot_items_stream" -> ((s, dir) => {
@@ -2423,6 +2497,72 @@ object SparkEntry {
         |  CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_lo,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_histogram_stream" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |  CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_range_join" ->
+      """SELECT tier, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |FROM events
+        |JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+        |             ('high', 150.0, 1e12)) t(tier, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY 1""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
+        |         sum(CAST(value AS DECIMAL(18,6))) AS rev
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(date_trunc('hour', ts)) AS h0,
+        |         max(date_trunc('hour', ts)) AS h1
+        |  FROM events
+        |), grid AS (
+        |  SELECT key, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM (SELECT DISTINCT event_type AS key FROM events) CROSS JOIN b
+        |)
+        |SELECT grid.key AS event_type, grid.hr,
+        |  CAST(coalesce(rev, 0) AS DOUBLE) AS rev,
+        |  CAST(last_value(rev IGNORE NULLS) OVER (
+        |      PARTITION BY grid.key ORDER BY grid.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rev_locf
+        |FROM grid LEFT JOIN hourly
+        |  ON grid.key = hourly.key AND grid.hr = hourly.hr""".stripMargin,
+    "s_boolean_search" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($tokensExpr) AS w FROM documents)
+         |  WHERE w IN ('dup', 'spark', 'window') GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total
+         |FROM tf GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+    "p_dsir" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t, w, count(*) AS tf FROM (
+         |    SELECT doc_id, (lang = 'en') AS t,
+         |      unnest($tokensExpr) AS w FROM documents)
+         |  GROUP BY 1, 2, 3
+         |), vocab AS (
+         |  SELECT w, CAST(sum(tf) AS BIGINT) AS c_r,
+         |    CAST(sum(CASE WHEN t THEN tf ELSE 0 END) AS BIGINT) AS c_t
+         |  FROM tf GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+         |    CAST(sum(c_t) AS BIGINT) AS n_t, count(*) AS v
+         |  FROM vocab
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(tf * (
+         |    CAST(floor(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+        |       * 1000000) AS BIGINT)
+         |    - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE) / CAST(n_r + v AS DOUBLE))
+        |       * 1000000) AS BIGINT)
+         |  )) AS BIGINT) AS llr_1e6,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens
+         |FROM tf JOIN vocab USING (w) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
     "q_pareto" ->
       """WITH pk AS (
         |  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS rev

@@ -228,4 +228,51 @@ object Stats {
         col("n_rows"),
         col("n_keys"))
   }
+
+  /** Time-series densification + gap fill: the hourly per-key series with
+    * every hour of the observed global span present — missing (key, hour)
+    * cells emitted with `rev = 0` and `rev_locf` carried forward from the
+    * last observed hour (null until a key's first observation). The
+    * dashboard/feature-engineering primitive Flink jobs get "for free"
+    * from continuously firing windows and a batch engine must construct.
+    *
+    * Returns (key, hr, rev, rev_locf); `rev` aggregates in DECIMAL
+    * (order-free) before the double cast, so the record is engine-exact.
+    *
+    * Plan shape: the raw stream aggregates ONCE at (key, hour) grain
+    * (map-side combined); the dense grid is |keys| × |hours| built from a
+    * broadcast 1-row global [min,max] bound `sequence()`-exploded per key
+    * — never a raw-event crossjoin. The left join back to actuals and the
+    * LOCF window both run at grid grain, partitioned by key and ordered
+    * by hour: partitions are |hours|-sized (≈ 9k rows per key-year), so
+    * the window never sees corpus-scale data regardless of input size.
+    */
+  def gapFillHourly(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // bounds and the key list both derive from `hourly`, not the raw
+    // input, and `hourly` is persisted: column pruning would otherwise
+    // specialize each of the three uses into its own corpus scan (Catalyst
+    // can't exchange-reuse subtrees it has pruned differently). The
+    // persisted frame is |keys|·|hours| rows — tiny at ANY corpus scale
+    // (it is the fully aggregated series), so the cache is O(output),
+    // never O(input), and the corpus is scanned exactly once.
+    val hourly = df
+      .groupBy(key.as("key"), date_trunc("hour", ts).as("hr"))
+      .agg(sum(value.cast(DecimalType(18, 6))).as("__rev"))
+      .persist()
+    val bounds = hourly.agg(min(col("hr")).as("__h0"), max(col("hr")).as("__h1"))
+    val grid = hourly
+      .select(col("key")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("key"),
+        explode(sequence(col("__h0"), col("__h1"), expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy("key").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(hourly, Seq("key", "hr"), "left")
+      .select(
+        col("key"), col("hr"),
+        coalesce(col("__rev"), lit(0)).cast("double").as("rev"),
+        last(col("__rev"), ignoreNulls = true).over(w).cast("double").as("rev_locf"))
+  }
 }

@@ -698,4 +698,94 @@ object TextOps {
         col("bullet_line_frac") < 0.9 &&
         col("ellipsis_line_frac") < 0.3)
   }
+
+  /** Conjunctive (boolean-AND) term search over the corpus: documents
+    * containing EVERY query term, with the summed term frequency as a
+    * relevance tie-breaker. Returns (doc_id, tf_total).
+    *
+    * This is the intersect-the-postings-lists plan expressed
+    * declaratively: the token stream is filtered to the |Q| query terms
+    * BEFORE any exchange (the `isin` predicate sits under the explode's
+    * project, so only matching tokens survive the scan stage), then one
+    * (doc, term) aggregate and one doc-grain aggregate with a
+    * `HAVING count = |Q|` intersection. At 100 TB the shuffled stream is
+    * the matching postings only — proportional to Σ df(term), never the
+    * corpus — which is exactly what a term-partitioned inverted index
+    * would move. Complements [[TextOps.bm25Scores]] (ranked disjunctive
+    * retrieval) with the exact boolean-retrieval primitive.
+    */
+  def conjunctiveSearch(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    df.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_total"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("tf_total"))
+  }
+
+  /** DSIR-style importance weight per document (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * reduced to its word-unigram core): the log-likelihood ratio between
+    * a TARGET language model (trained on the subset of the corpus
+    * matching `targetPred` — e.g. the high-quality or in-domain slice)
+    * and the RAW model (trained on the whole corpus),
+    *
+    *   llr(d) = Σ_w tf_d(w) · ( ln p_t(w) − ln p_r(w) )
+    *
+    * with add-1 smoothing over the SHARED raw vocabulary V (so every
+    * raw-corpus word has non-zero probability under both models:
+    * p_m(w) = (c_m(w)+1)/(N_m+V)). Sampling ∝ exp(llr) concentrates the
+    * corpus on target-like documents; here we emit the deterministic
+    * weights (doc_id, llr_1e6, n_tokens) and leave the draw to
+    * [[graft.ops.Sampling]]'s weighted sampler.
+    *
+    * Integer discipline: each distinct word's Δlog-prob is floored to a
+    * 1e-6 integer BEFORE the tf-weighted sum — order-independent exact
+    * arithmetic, engine-portable like [[unigramLogProb]].
+    *
+    * Plan shape: ONE corpus scan. The (doc, word) tf aggregate carries a
+    * per-doc `is_target` flag, so both models' counts come from the same
+    * word-grain aggregate (`sum(tf)` vs `sum(tf) WHERE target`); (N_r,
+    * N_t, V) is a broadcast single row, and the scoring join is tf ⋈
+    * vocab at word grain — vocabulary-sized, AQE-broadcast at any
+    * realistic scale. No second corpus pass for the target model.
+    */
+  def dsirWeights(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      targetPred: Column): DataFrame = {
+    val tf = df
+      .select(id.as("doc_id"), targetPred.as("__t"), explode(tokens(text)).as("w"))
+      .groupBy("doc_id", "__t", "w")
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf
+      .groupBy("w")
+      .agg(
+        sum(col("tf")).as("c_r"),
+        sum(when(col("__t"), col("tf")).otherwise(0L)).as("c_t"))
+    val tot = vocab.agg(
+      sum(col("c_r")).as("n_r"),
+      sum(col("c_t")).as("n_t"),
+      count(lit(1)).as("v"))
+    tf.join(vocab, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "dlp_1e6",
+        floor(log((col("c_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double"))
+          * lit(1000000)).cast("long") -
+          floor(log((col("c_r") + 1).cast("double") / (col("n_r") + col("v")).cast("double"))
+            * lit(1000000)).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf") * col("dlp_1e6")).as("llr_1e6"),
+        sum(col("tf")).as("n_tokens"))
+  }
 }

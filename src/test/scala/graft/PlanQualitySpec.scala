@@ -360,4 +360,48 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // corpus-wide sort sneaks in
     assert("Window \\[percent_rank".r.findAllIn(p).size == 1, p)
   }
+
+  test("range join builds the tier dim as a broadcast nested loop, fact side never shuffles for it") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"3-row band dim must broadcast (BNLJ is the right plan for a range predicate):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"fact side must not sort/shuffle for a constant-sized band table:\n$p")
+  }
+
+  test("gap fill: events aggregate once — bounds/keys reuse the hourly exchange") {
+    // AQE finalizes stage reuse at runtime, so execute before inspecting
+    val df = SparkEntry.queries("q_gap_fill")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the (key, hour) aggregate is persisted, so the grid, the bounds and
+    // the left join ALL read the cached frame — the corpus scans once at
+    // cache build. (FileScan strings appear per-InMemoryRelation in the
+    // plan text as the cached plan's description, not as live scans.)
+    // 3 uses × (Final + Initial plan sections in the AQE string) = 6
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"all three uses must read the cached hourly aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("boolean search prunes the token stream to query terms before any exchange") {
+    val p = plan("s_boolean_search")
+    // the isin filter runs in the scan/project stage under the explode;
+    // after it, only matching postings shuffle (tf agg pre-combines)
+    assert(p.contains("partial_count"), s"tf aggregate must pre-combine:\n$p")
+    assert("ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p).isDefined,
+      s"scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("dsir: one corpus scan — vocab and totals derive from the tf aggregate") {
+    val df = SparkEntry.queries("p_dsir")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).size == 1 ||
+      p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"both LMs must come from ONE tf aggregate over one scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"(N,V) totals and the vocab join build side must broadcast:\n$p")
+  }
 }
