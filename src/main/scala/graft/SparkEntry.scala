@@ -514,6 +514,25 @@ object SparkEntry {
             count(lit(1)).over(w7)).as("ma7"),
           sum(col("__rev")).over(cum).cast("double").as("cum_rev"))
     }),
+    "q_ewma_daily" -> ((s, dir) => {
+      // α=1/2 EWMA control chart over the daily revenue series —
+      // integer-floored halving recursion ((v+s)>>1) so the inherently
+      // order-dependent smoother is engine-exact; fold runs per key over
+      // the |days| array, corpus aggregates once (Stats.ewmaDaily)
+      Stats.ewmaDaily(Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
+        .select(col("key").as("event_type"), col("day"),
+          col("rev_micro"), col("ewma_micro"))
+    }),
+    "p_incremental_ingest" -> ((s, dir) => {
+      // ingest-batch dedup: odd-id docs are the incoming snapshot, even-id
+      // the existing corpus; admit = not-seen (fp anti-join against the
+      // 16-byte fingerprint set) + min-id within the batch
+      val t = Tables(s, dir)
+      Dedup.incrementalIngest(
+        t.documents.filter(col("doc_id") % 2 === 0),
+        t.documents.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"))
+    }),
     "q_cube_events" -> ((s, dir) => {
       // full cube over (event_type, day): all four grouping sets in ONE
       // Expand + one agg exchange, same single-scan plan family as
@@ -981,6 +1000,73 @@ object SparkEntry {
       Stats.gapFillHourly(
           Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
         .select(col("key").as("event_type"), col("hr"), col("rev"), col("rev_locf"))
+    }),
+    "q_latest_snapshot" -> ((s, dir) => {
+      // CDC / changelog compaction: each user's LATEST event materializes
+      // the upsert snapshot. WindowGroupLimit keeps per-map-task top-1
+      // rows before the exchange, so the shuffle carries ≤ one row per
+      // (key, partition) — see Dedup.keepLatest
+      Dedup
+        .keepLatest(Tables(s, dir).events,
+          key = Seq(col("user_id")), version = Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    }),
+    "q_mad_outliers" -> ((s, dir) => {
+      // robust per-type outliers: median/MAD (50% breakdown) instead of
+      // mean/σ — type-1 medians are actual data values, so med/mad land
+      // on the record exactly; zero-MAD strata flag nothing
+      Stats.madOutliers(
+          Tables(s, dir).events, col("event_type"), col("value"), threshold = 3.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("med"), col("mad"))
+    }),
+    "t_winsorize" -> ((s, dir) => {
+      // per-language winsorization: clamp n_chars into the [p05, p95]
+      // type-1 band — every row survives with a tamed value; value_w is
+      // a pure selection (no arithmetic), engine-exact
+      Stats.winsorizeByKey(
+          Tables(s, dir).documents, col("lang"), col("n_chars"), 0.05, 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("value_w"))
+    }),
+    "q_event_gaps" -> ((s, dir) => {
+      // per-user inter-arrival gap stats in exact µs integers — dwell/
+      // burstiness analytics and session-timeout calibration; one key
+      // exchange + per-key sort, then a map-side-combined agg
+      Stats.interArrivalGaps(
+          Tables(s, dir).events, col("user_id"), col("ts"), col("event_id"))
+        .select(col("key").cast("long").as("user_id"), col("n_events"),
+          col("n_gaps"), col("min_gap_us"), col("max_gap_us"), col("sum_gap_us"))
+    }),
+    "q_bloom_join" -> ((s, dir) => {
+      // bloom-pruned semi-join: lineitems of high-value orders. The
+      // dim-key bloom (exact-count sized, 1% fpp) filters the fact scan
+      // BEFORE the semi-join exchange; false positives die in the exact
+      // semi-join, so the oracle is the plain IN-subquery
+      val t = Tables(s, dir)
+      val hi = t.orders.filter(col("o_totalprice") > 300000.0)
+      Joins
+        .bloomPrunedSemiJoin(
+          t.lineitem, hi, col("l_orderkey"), col("o_orderkey"),
+          expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
+    "d_cluster_sizes" -> ((s, dir) => {
+      // dedup QA: component-size distribution of the near-dup graph —
+      // catches a threshold too loose (giant component) or too tight
+      // (all size-2) at a glance; aggregates the CC label table only
+      Dedup.clusterSizeDistribution(
+        Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6))
+    }),
+    "q_uv_sketch" -> ((s, dir) => {
+      // mergeable HLL sketch store: daily per-type sketches unioned to a
+      // per-type total estimate — the write-once/re-merge-forever rollup
+      // approx_count_distinct can't express. Estimate ⇒ rows-only record;
+      // ApproxGatesSpec bounds the error vs exact count_distinct (<5%)
+      Sketches.hllRollup(
+        Tables(s, dir).events,
+        col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
     "s_boolean_search" -> ((s, dir) => {
       // conjunctive boolean retrieval: docs containing ALL of
@@ -1517,6 +1603,63 @@ object SparkEntry {
           col("__p").getItem(1).cast("long").as("bin"),
           col("cnt"))
     }),
+    "q_moving_avg_stream" -> ((s, dir) => {
+      // q_moving_avg's streaming twin: the dailyMovingStats machine folds
+      // exact micro sums per (type, day), finalizes each day in order
+      // when the watermark passes its end, and carries the trailing
+      // 7-day window + running total in O(window) state. The replay
+      // input pre-converts value through the SAME decimal(18,6) cast as
+      // the batch aggregate, so streamed long sums equal the batch
+      // decimal sums bit-for-bit; the final double divisions mirror the
+      // batch cast/divide operand-for-operand.
+      val input = Tables(s, dir).events
+        .select(
+          col("event_type").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"),
+          (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("value"))
+      Replay
+        .keyedValueEvents(input) { stream =>
+          StateMachines.dailyMovingStats(stream, window = 7).toDF()
+        }
+        .select(
+          col("day"),
+          col("key").as("event_type"),
+          (col("rev_micro").cast("double") / 1e6).as("daily_rev"),
+          ((col("ma_num_micro").cast("double") / 1e6) / col("ma_cnt")).as("ma7"),
+          (col("cum_micro").cast("double") / 1e6).as("cum_rev"))
+    }),
+    "q_latest_snapshot_stream" -> ((s, dir) => {
+      // q_latest_snapshot's streaming form at daily grain: the CLOSING
+      // per-user snapshot pointer of each day, finalized when the
+      // watermark passes the day — max(struct(ts, zero-padded id)) is
+      // the argmax under (ts, event_id) ordering, so the winner matches
+      // the batch keep-latest tie-break exactly. Sentinels flow through
+      // the watermark, die in the conditional max (null ignored), and
+      // their all-null groups drop on the filter.
+      val input = Tables(s, dir).events
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          lpad(col("event_id").cast("string"), 12, "0").as("id"))
+      Replay
+        .keyedEvents(input) { stream =>
+          stream.toDF()
+            .withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 day"), col("key"))
+            .agg(max(when(col("kind") =!= Replay.Sentinel,
+              struct(col("ts"), col("id")))).as("__latest"))
+            .select(col("window.start").as("window_start"), col("key"), col("__latest"))
+        }
+        .filter(col("__latest").isNotNull)
+        .select(
+          col("window_start"),
+          col("key").cast("long").as("user_id"),
+          col("__latest.ts").as("ts"),
+          col("__latest.id").cast("long").as("event_id"))
+    }),
     "q_hot_items_stream" -> ((s, dir) => {
       // T1 streaming: the reference's per-window top-N collector state
       // machine (count buffer + windowEnd+1ms event-time timer,
@@ -1845,6 +1988,21 @@ object SparkEntry {
       |       CAST(c.c_nationkey AS BIGINT) AS nation, count(*) AS cnt
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2""".stripMargin
+  private val movingAvgSql =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS rev
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT day, event_type, CAST(rev AS DOUBLE) AS daily_rev,
+      |  CAST(sum(rev) OVER w7 AS DOUBLE) / count(*) OVER w7 AS ma7,
+      |  CAST(sum(rev) OVER cum AS DOUBLE) AS cum_rev
+      |FROM d
+      |WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |  cum AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   private val lenQuantilesSql =
     s"""WITH d AS (
        |  SELECT CASE WHEN $stopCntExpr >= 2 THEN 'en' ELSE 'und' END AS lang_pred,
@@ -2030,20 +2188,33 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey
         |                AND o_orderpriority = '1-URGENT')""".stripMargin,
-    "q_moving_avg" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS day, event_type,
-        |    sum(CAST(value AS DECIMAL(18,6))) AS rev
+    "q_moving_avg" -> movingAvgSql,
+    "q_moving_avg_stream" -> movingAvgSql,
+    "q_ewma_daily" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
         |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, day, rev_micro,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM d
+        |), e AS (
+        |  SELECT event_type, day, rev_micro, rev_micro AS ewma_micro, rn
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.day, r.rev_micro,
+        |    (r.rev_micro + e.ewma_micro) // 2, r.rn
+        |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
         |)
-        |SELECT day, event_type, CAST(rev AS DOUBLE) AS daily_rev,
-        |  CAST(sum(rev) OVER w7 AS DOUBLE) / count(*) OVER w7 AS ma7,
-        |  CAST(sum(rev) OVER cum AS DOUBLE) AS cum_rev
-        |FROM d
-        |WINDOW w7 AS (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-        |  cum AS (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+        |SELECT event_type, day, rev_micro, ewma_micro FROM e""".stripMargin,
+    "p_incremental_ingest" ->
+      s"""WITH f AS (SELECT doc_id, $fpExpr AS fp FROM documents),
+         |seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+         |inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1)
+         |SELECT fp, min(doc_id) AS doc_id FROM inc
+         |WHERE fp NOT IN (SELECT fp FROM seen)
+         |GROUP BY fp""".stripMargin,
     "q_cube_events" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -2501,6 +2672,102 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_latest_snapshot" ->
+      """SELECT user_id, ts, event_type, value FROM (
+        |  SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_latest_snapshot_stream" ->
+      """SELECT window_start, user_id, ts, event_id FROM (
+        |  SELECT date_trunc('day', ts) AS window_start, user_id, ts, event_id,
+        |    row_number() OVER (PARTITION BY date_trunc('day', ts), user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * cnt) AS BIGINT))
+        |        THEN value END) AS med
+        |  FROM r GROUP BY event_type
+        |), dv AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS d,
+        |    row_number() OVER (PARTITION BY e.event_type
+        |      ORDER BY abs(e.value - m.med)) AS rn,
+        |    count(*) OVER (PARTITION BY e.event_type) AS cnt
+        |  FROM events e JOIN m ON e.event_type = m.event_type
+        |), a AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * cnt) AS BIGINT))
+        |        THEN d END) AS mad
+        |  FROM dv GROUP BY event_type
+        |)
+        |SELECT dv.event_id, dv.event_type, dv.value, dv.med, a.mad
+        |FROM dv JOIN a ON dv.event_type = a.event_type
+        |WHERE a.mad > 0 AND dv.d > 3.5 * a.mad""".stripMargin,
+    "t_winsorize" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents
+        |), b AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * cnt) AS BIGINT))
+        |        THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * cnt) AS BIGINT))
+        |        THEN n_chars END) AS hi
+        |  FROM r GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  least(greatest(d.n_chars, b.lo), b.hi) AS value_w
+        |FROM documents d JOIN b ON d.lang = b.lang""".stripMargin,
+    "q_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+        |  min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+        |  sum(gap) AS sum_gap_us
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+        |GROUP BY 1""".stripMargin,
+    "d_cluster_sizes" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, $shinglesExpr AS sh FROM d
+         |), p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.6
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+         |), lab(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
+         |), cl AS (
+         |  SELECT id, min(l) AS cluster_id FROM lab GROUP BY id
+         |), sz AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin,
     "q_range_join" ->
       """SELECT tier, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev

@@ -19,6 +19,70 @@ object Dedup {
     df.groupBy(TextOps.fingerprint(text).as("fp"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** CDC / changelog compaction: keep each key's LATEST version — the
+    * upsert-materialization dedup (snapshot of a mutable table from its
+    * append-only change stream; also the "newest crawl wins" dedup for
+    * re-crawled URLs). `version` columns are compared in order, highest
+    * wins; include a unique tie-breaker (an event/LSN id) so the winner
+    * is deterministic.
+    *
+    * Plan: `row_number` over (key / version desc) — Spark plans a
+    * WindowGroupLimit, so each map task keeps only its own top-1 rows
+    * per key BEFORE the exchange: the shuffle carries ≤ one row per
+    * (key, input-partition), not the full history. One exchange, no
+    * second scan; the streaming counterpart at day grain is
+    * q_latest_snapshot_stream's watermark-final max(struct) machine.
+    */
+  def keepLatest(df: DataFrame, key: Seq[Column], version: Seq[Column]): DataFrame =
+    TopN
+      .perPartition(df, key, version.map(_.desc), 1)
+      .drop("rank")
+
+  /** Incremental-ingest exact dedup: which `incoming` docs to ADMIT
+    * against an existing `corpus` — not already present (by content
+    * fingerprint) AND the min-id representative among incoming copies of
+    * the same content. The every-snapshot ingest shape: the corpus side
+    * collapses to a DISTINCT fingerprint set (16 bytes/doc — text never
+    * crosses the wire), the batch dedups internally in the same pass.
+    * Returns (fp, doc_id).
+    *
+    * Scale: one fingerprint-grain anti-join + one fingerprint-grain agg;
+    * at 100 TB the corpus fingerprint set is a materialized table
+    * maintained across ingests (append admitted fps each round), so each
+    * increment costs O(batch) — the corpus is never rescanned.
+    */
+  def incrementalIngest(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      id: Column,
+      text: Column): DataFrame = {
+    val seen = corpus.select(TextOps.fingerprint(text).as("fp")).distinct()
+    incoming
+      .select(TextOps.fingerprint(text).as("fp"), id.as("doc_id"))
+      .join(seen, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+  }
+
+  /** Cluster-size distribution of the near-dup graph: for each component
+    * size ≥ 2, how many clusters have that size — the dedup QA view that
+    * catches both failure modes at a glance (a giant component ⇒ the
+    * similarity threshold is too loose / a boilerplate shingle is
+    * bridging everything; all-pairs-size-2 ⇒ too tight to matter).
+    * Returns (cluster_size, n_clusters), exact integers.
+    *
+    * Scale: reuses [[connectedComponents]]'s label table (|member| rows,
+    * already corpus-dwarfing-ly small) and aggregates it twice — first
+    * to cluster grain, then to size grain; both exchanges carry
+    * aggregated rows only.
+    */
+  def clusterSizeDistribution(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** All pairs (a < b) with word-`n`-gram Jaccard ≥ `threshold`.
     *
     * Candidate generation: explode distinct shingles, self-equi-join on the

@@ -130,6 +130,46 @@ object Joins {
           .when(leftTs.isNotNull, leftOnlyStatus)
           .otherwise(rightOnlyStatus))
 
+  /** Bloom-pruned semi-join: filter the FACT side through a Bloom filter
+    * of the dimension's keys BEFORE the exact `left_semi` shuffle — the
+    * standard 100 TB pattern when the dim's row set is too big to
+    * broadcast as a hash table but its KEY SET fits a few megabytes of
+    * bloom bits (Spark's own InjectRuntimeFilter plays this trick for
+    * selective joins; this operator is the explicit, plannable form with
+    * a guaranteed prune regardless of the optimizer's selectivity
+    * estimate). Semantics are EXACTLY the plain semi-join's: the bloom
+    * admits false positives only, and the exact semi-join behind it
+    * removes them — so the query shares a plain `IN`-subquery oracle.
+    *
+    * Mechanics: one aggregation job builds the dim-key bloom
+    * (`BloomFilterAggregate` over xxhash64 of the key — mergeable
+    * per-partition sketches, O(numBits) memory), the finished bits land
+    * in the plan as a LITERAL (required by `BloomFilterMightContain`'s
+    * type check, and what Spark's runtime filter does with its subquery
+    * result too), and the fact scan filters through codegen'd
+    * `might_contain` before any exchange. Driver holds one bloom of
+    * `expectedItems` keys at `fpp` — e.g. 10⁸ keys @ 1 % ≈ 120 MB bits
+    * is the practical ceiling; beyond that fall back to the plain
+    * shuffle semi-join.
+    */
+  def bloomPrunedSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: Column,
+      dimKey: Column,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.BloomJoinExpressions
+    import org.apache.spark.util.sketch.BloomFilter
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val bits = dim
+      .agg(BloomJoinExpressions.bloomAgg(dimKey, expectedItems, numBits).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+    fact
+      .filter(BloomJoinExpressions.mightContain(bits, factKey))
+      .join(dim.select(dimKey.as("__dk")).distinct(), factKey === col("__dk"), "left_semi")
+  }
+
   /** Skew-immune shuffle equi-join: SALT the fact side, REPLICATE the
     * dimension side — the classic fix when one fact key is hot enough to
     * overflow its shuffle partition AND the dim side is too big to

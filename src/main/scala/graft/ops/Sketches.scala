@@ -47,6 +47,40 @@ object Sketches {
       .toDF("w", "est")
   }
 
+  /** HLL sketch ROLLUP: pre-aggregate distinct-counting state at fine
+    * (key, bucket) grain as mergeable DataSketches HLL sketches, then
+    * answer the coarser per-key rollup by UNIONING sketches — the
+    * sketch-store pattern that makes "distinct users per day / week /
+    * month / all-time" one cheap merge each instead of one corpus rescan
+    * each. This is what `approx_count_distinct` alone cannot do: its HLL
+    * state dies inside the aggregate, while `hll_sketch_agg`'s binary
+    * sketch column is a FIRST-CLASS table you write once at ingest and
+    * re-merge forever.
+    *
+    * Returns (key, n_buckets, uv_est): bucket count and the estimated
+    * distinct over the union of the key's bucket sketches. Estimates are
+    * DETERMINISTIC (insertion- and merge-order independent) but
+    * approximate → rows-only record; the ApproxGatesSpec gate bounds the
+    * relative error vs exact `count_distinct` (HLL++ at lgK=12 ⇒ ~1.6 %
+    * RSE; the gate allows 5 %).
+    *
+    * Scale: one map-side-combined exchange to (key, bucket) grain, one
+    * |keys|-grain merge of O(2^lgK)-byte states — the corpus is read
+    * once, every future rollup reads only the sketch table.
+    */
+  def hllRollup(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      distinctCol: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(key.as("key"), bucket.as("__b"))
+      .agg(hll_sketch_agg(distinctCol, lit(lgK)).as("__sk"))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false))).as("uv_est"))
+
   /** Deterministic bounded probe set for the declared query: the distinct
     * tokens of the `nDocs` lowest-id documents (sorted). Bounded by those
     * docs' vocabulary — never corpus-sized.

@@ -152,6 +152,106 @@ object Stats {
       .drop("__zk", "__sv", "__sv2", "__n", "__mean", "__var")
   }
 
+  /** Per-key MAD (median-absolute-deviation) outliers: rows whose value
+    * deviates from its key's type-1 median by more than `threshold` ×
+    * MAD, where MAD is the type-1 median of the absolute deviations —
+    * the ROBUST counterpart of [[zscoreOutliers]] (a z-score's mean/σ
+    * are themselves dragged by the outliers they are meant to flag; the
+    * median/MAD pair has a 50 % breakdown point, so a corpus where 10 %
+    * of rows are concatenation monsters still gets sane thresholds).
+    *
+    * Engine-exact record: both medians are type-1 (actual data values /
+    * single IEEE subtractions), the filter compares one subtraction
+    * against one multiplication — no accumulated float error anywhere.
+    * Zero-MAD strata (≥ 50 % of the key at one value) flag nothing, same
+    * guard as zscore's zero-variance rule.
+    *
+    * Scale: two [[quantilesByKey]] passes (each one exchange + per-key
+    * sort over (key, value) pairs — the deviation pass re-derives from a
+    * broadcast |keys|-row median table, so the corpus shuffles at most
+    * twice and never at raw-text width). At 100 TB swap both passes for
+    * `approx_percentile` exactly as in [[filterByKeyQuantiles]].
+    */
+  def madOutliers(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      threshold: Double = 3.5): DataFrame = {
+    val med = quantilesByKey(df, key, value, Seq(0.5))
+      .select(col("key").as("__mk"), col("value").as("med"))
+    val withMed = df.join(broadcast(med), key === col("__mk"))
+    val mad = quantilesByKey(withMed, key, abs(value - col("med")), Seq(0.5))
+      .select(col("key").as("__dk"), col("value").as("mad"))
+    withMed
+      .join(broadcast(mad), key === col("__dk"))
+      .filter(col("mad") > 0d && abs(value - col("med")) > lit(threshold) * col("mad"))
+      .drop("__mk", "__dk")
+  }
+
+  /** Per-key winsorization: CLAMP values to the key's type-1
+    * [`loP`, `hiP`] quantile band instead of dropping the tails — the
+    * variance-taming transform for features/weights where every row must
+    * survive (loss weighting, sampling temperatures) but extreme values
+    * would dominate. The complement of [[filterByKeyQuantiles]] (which
+    * drops); output = input columns + `value_w`.
+    *
+    * `value_w` is a pure SELECTION (least/greatest of actual data
+    * values), so the record is engine-exact with no arithmetic at all.
+    * Same plan shape as [[filterByKeyQuantiles]]: bounds at |keys| grain
+    * broadcast back, corpus transformed in place, `approx = true` for
+    * the sketch-bounds path at 100 TB.
+    */
+  def winsorizeByKey(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      loP: Double = 0.05,
+      hiP: Double = 0.95,
+      approx: Boolean = false): DataFrame = {
+    require(loP < hiP, "need loP < hiP")
+    val qs = (if (approx) approxQuantilesByKey(df, key, value, Seq(loP, hiP))
+              else quantilesByKey(df, key, value, Seq(loP, hiP)))
+      .groupBy(col("key").as("__qk"))
+      .agg(
+        max(when(col("p") === loP, col("value"))).as("__lo"),
+        max(when(col("p") === hiP, col("value"))).as("__hi"))
+    df.join(broadcast(qs), key === col("__qk"))
+      .withColumn("value_w", least(greatest(value, col("__lo")), col("__hi")))
+      .drop("__qk", "__lo", "__hi")
+  }
+
+  /** Per-key inter-arrival gaps: for each key ordered by (ts, tieBreak),
+    * the per-key count and the min/max/sum of consecutive event-time
+    * gaps in MICROSECONDS — dwell-time / burstiness analytics (bot
+    * detection: near-zero min gaps; churn signals: huge max gaps) and
+    * the input to session-timeout calibration. Keys with a single event
+    * carry n_gaps = 0 and null gap stats.
+    *
+    * All outputs are exact integers (µs differences of µs longs), so the
+    * record hash-matches any engine; mean gap = sum/n is left to the
+    * reader to avoid a float column.
+    *
+    * Scale: ONE exchange on the key + per-key sort (lag window), then a
+    * map-side-combinable agg at key grain — the same posture as
+    * [[percentRankByKey]]; nothing corpus-wide sorts.
+    */
+  def interArrivalGaps(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("__us"), col("__tb"))
+    df.select(key.as("key"), unix_micros(ts).as("__us"), tieBreak.as("__tb"))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("__gap")).as("n_gaps"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"),
+        sum(col("__gap")).as("sum_gap_us"))
+  }
+
   /** Fixed-width histogram per key: `(key, bin, bin_lo, cnt)` with
     * `bin = ⌊value / width⌋` — the distribution view behind filter
     * thresholds and range-partition planning. One map-side-combined
@@ -164,6 +264,50 @@ object Stats {
       .groupBy(col("key"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("bin_lo", col("bin") * width)
+  }
+
+  /** Per-key daily EWMA control chart with α = 1/2: the drift/anomaly
+    * baseline over the daily value series (ingest-volume monitoring,
+    * revenue trend smoothing). Emits (key, day, rev_micro, ewma_micro)
+    * where `rev_micro` is the EXACT decimal day sum in micro-units and
+    * `ewma_micro` the integer recursion
+    * `s₁ = v₁; sₜ = (vₜ + sₜ₋₁) >> 1` — integer-floored halving-weight
+    * EWMA, so the record is engine-exact (a float EWMA accumulates
+    * rounding that diverges across engines; the floor loses < 1 µ-unit
+    * per step).
+    *
+    * Scale: the corpus aggregates ONCE at (key, day) grain (map-side
+    * combined); the fold then runs per key over the |days| array inside
+    * one more aggregated-grain exchange — a year is 365 elements, so the
+    * sequential recursion (inherently order-dependent) costs O(|days|)
+    * per key with no corpus-sized sort anywhere.
+    */
+  def ewmaDaily(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = df
+      .groupBy(key.as("key"), to_date(ts).as("day"))
+      .agg((sum(value.cast(DecimalType(18, 6))) * lit(1000000)).cast("long").as("rev_micro"))
+    daily
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("day"), col("rev_micro")))).as("__s"))
+      .withColumn(
+        "__e",
+        aggregate(
+          col("__s"),
+          array().cast("array<bigint>"),
+          (acc, x) =>
+            concat(
+              acc,
+              array(
+                when(size(acc) === 0, x.getField("rev_micro"))
+                  .otherwise(
+                    shiftright(x.getField("rev_micro") + element_at(acc, -1), 1))))))
+      .select(col("key"), explode(arrays_zip(col("__s"), col("__e"))).as("__z"))
+      .select(
+        col("key"),
+        col("__z.__s.day").as("day"),
+        col("__z.__s.rev_micro").as("rev_micro"),
+        col("__z.__e").as("ewma_micro"))
   }
 
   /** Pareto concentration: per-key totals ranked descending with the

@@ -68,6 +68,48 @@ object Replay {
       col("ts"),
       col("kind").cast("string").as("kind"),
       col("id").cast("string").as("id"))
+    replayCore(src, nChunks, orderJitterSec,
+      (sTs, j) => Seq(KeyedEvent(Sentinel, sTs, Sentinel, s"s$j")).toDF())(
+      df => pipeline(df.as[KeyedEvent]))
+  }
+
+  /** [[keyedEvents]] for operators that fold a NUMERIC payload (daily
+    * revenue machines): same contract plus a `value` column carried as an
+    * exact long (convert upstream at fixed micro-scale so streamed sums
+    * replay the batch decimal sums bit-for-bit). Sentinels carry value 0
+    * and the sentinel kind, so value-folding machines skip them like any
+    * other.
+    */
+  def keyedValueEvents(
+      events: DataFrame,
+      nChunks: Int = 10,
+      orderJitterSec: Long = 0L)(
+      pipeline: Dataset[KeyedValueEvent] => DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(
+      col("key").cast("string").as("key"),
+      col("ts"),
+      col("kind").cast("string").as("kind"),
+      col("id").cast("string").as("id"),
+      col("value").cast("long").as("value"))
+    replayCore(src, nChunks, orderJitterSec,
+      (sTs, j) => Seq(KeyedValueEvent(Sentinel, sTs, Sentinel, s"s$j", 0L)).toDF())(
+      df => pipeline(df.as[KeyedValueEvent]))
+  }
+
+  /** Shared replay machinery: chunked chronological write-out, two
+    * sentinel batches, memory-sink collection. `src` must already carry
+    * (ts, id) columns; `sentinel(ts, j)` builds the j-th sentinel frame
+    * in `src`'s schema.
+    */
+  private def replayCore(
+      src: DataFrame,
+      nChunks: Int,
+      orderJitterSec: Long,
+      sentinel: (Timestamp, Int) => DataFrame)(
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    val spark = src.sparkSession
     val tmp = Files.createTempDirectory("graft-replay")
 
     def writeOne(df: DataFrame, i: Int): Unit = {
@@ -94,14 +136,13 @@ object Replay {
       // 30 days past max event time: beyond any window/timer deadline the
       // declared queries use (<= 24 h)
       val sTs = new Timestamp(maxTs.getTime + 30L * 86400 * 1000 + j * 1000)
-      writeOne(Seq(KeyedEvent(Sentinel, sTs, Sentinel, s"s$j")).toDF(), nChunks + 1 + j)
+      writeOne(sentinel(sTs, j).select(src.columns.map(col): _*), nChunks + 1 + j)
     }
 
     val stream = spark.readStream
       .schema(src.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$tmp/in_*.parquet")
-      .as[KeyedEvent]
     val name = s"graft_replay_${counter.incrementAndGet()}"
     val q = pipeline(stream).writeStream
       .format("memory")

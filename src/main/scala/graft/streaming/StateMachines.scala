@@ -13,6 +13,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class KeyedEvent(key: String, ts: Timestamp, kind: String, id: String)
 
+/** [[KeyedEvent]] plus an exact integer payload (fixed micro-scale) for
+  * machines that fold numeric values — long sums replay the batch
+  * decimal sums bit-for-bit, where a double payload would drift with
+  * fold order.
+  */
+case class KeyedValueEvent(key: String, ts: Timestamp, kind: String, id: String, value: Long)
+
 /** Tagged-union output row — the Spark encoding of Flink side outputs
   * (reference S6, `ctx.output(OutputTag, ...)`): one stream, a `tag`
   * column, split by `filter` at the sink (see [[SideOutputs]]).
@@ -623,6 +630,87 @@ object StateMachines {
           state.update(SeqState(n, buf, lastUs))
           state.setTimeoutTimestamp((lastUs + idleUs) / 1000L + 1)
           Iterator.empty
+        }
+      })
+  }
+
+  // ---- per-key daily moving-window stats (streaming twin of
+  //      q_moving_avg's trailing moving-average analytics) ----
+
+  case class DailyMovingState(
+      open: List[(Long, Long)],   // (epoch day, exact micro sum) still inside the watermark
+      lastWin: List[Long],        // newest-first finalized day sums, capped at `window`
+      cum: Long)                  // running total of finalized day sums
+
+  case class DailyStatRow(
+      key: String,
+      day: java.time.LocalDate,
+      rev_micro: Long,
+      ma_num_micro: Long,
+      ma_cnt: Long,
+      cum_micro: Long)
+
+  /** Streaming trailing-moving-average machine: per key, fold events into
+    * per-day exact micro sums; when the watermark passes a day's end the
+    * day FINALIZES in chronological order, emitting one append-mode row
+    * with the day sum, the numerator/count of the trailing `window`-day
+    * moving average (over PRESENT days, matching the batch ROWS BETWEEN
+    * frame), and the running cumulative sum. Integer micro arithmetic
+    * throughout — the emitted row is engine-exact; the caller divides to
+    * doubles at the edge (one correctly-rounded division each, identical
+    * to the batch oracle's decimal→double casts).
+    *
+    * State posture: O(open days + window) per key — open days are bounded
+    * by watermark delay / day length (≈ 1-2), the window is a constant;
+    * state persists for the key's lifetime (cum/window history feed every
+    * future day) — at 100 TB that is |keys| × O(window) longs in the
+    * state store, the same footprint as any running-total dashboard.
+    */
+  def dailyMovingStats(
+      events: Dataset[KeyedValueEvent],
+      window: Int,
+      watermarkDelay: String = "0 seconds"): Dataset[DailyStatRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DailyMovingState, DailyStatRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        val st0 = state.getOption.getOrElse(DailyMovingState(Nil, Nil, 0L))
+        var open = st0.open
+        var sawReal = st0.lastWin.nonEmpty || st0.open.nonEmpty || st0.cum != 0L
+        for (e <- it; if e.kind != Replay.Sentinel) {
+          sawReal = true
+          val d = Math.floorDiv(usOf(e.ts), DayUs)
+          open = open.find(_._1 == d) match {
+            case Some((_, s)) => (d, s + e.value) :: open.filterNot(_._1 == d)
+            case None         => (d, e.value) :: open
+          }
+        }
+        if (!sawReal) {
+          state.remove() // sentinel-only group
+          Iterator.empty
+        } else {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, still) = open.partition { case (d, _) => (d + 1) * DayUs <= wmUs }
+          var lastWin = st0.lastWin
+          var cum = st0.cum
+          val out = ready.sortBy(_._1).map { case (d, s) =>
+            cum += s
+            lastWin = (s :: lastWin).take(window)
+            DailyStatRow(
+              key, java.time.LocalDate.ofEpochDay(d),
+              s, lastWin.sum, lastWin.size.toLong, cum)
+          }
+          state.update(DailyMovingState(still, lastWin, cum))
+          if (still.nonEmpty) {
+            // fire when the earliest open day's end passes the watermark
+            // (+1 ms: timers fire strictly after)
+            state.setTimeoutTimestamp((still.map(_._1).min + 1) * DayUs / 1000L + 1)
+          }
+          out.iterator
         }
       })
   }

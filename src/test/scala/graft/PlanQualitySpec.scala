@@ -291,6 +291,18 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"WindowGroupLimit pruning missing:\n$p")
   }
 
+  test("bloom join: fact side filters through codegen'd might_contain before any join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"),
+      s"bloom prune missing from the fact scan:\n$p")
+  }
+
+  test("latest snapshot: WindowGroupLimit prunes per-key history before the exchange") {
+    val p = plan("q_latest_snapshot")
+    assert(p.contains("WindowGroupLimit"),
+      s"keep-latest must plan a group-limit, not a full per-key sort:\n$p")
+  }
+
   test("pii audit is a pure projection: no exchange, no UDF") {
     val p = plan("t_pii")
     assert(!p.contains("Exchange"), p)

@@ -117,6 +117,26 @@ class ApproxGatesSpec extends SparkSpec {
       .select(col("window_start"), col("uv_bloom")))
   }
 
+  test("q_uv_sketch: per-type sketch-union estimate within 5% of exact distinct") {
+    // SparkEntry params: key=event_type, bucket=day, lgK=12 (~1.6% RSE).
+    // The gate is the ROLLUP property: daily sketches unioned per type
+    // must estimate the type's true all-days distinct, not a sum of
+    // daily distincts (re-appearing users must not double-count).
+    val exact = t.events
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("uv"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val est = Sketches
+      .hllRollup(t.events, col("event_type"), date_trunc("day", col("ts")), col("user_id"))
+      .select(col("key"), col("uv_est").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(est.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val rel = math.abs(est(k) - e) / e
+      assert(rel <= 0.05, s"uv sketch error $rel > 5% on $k (est ${est(k)}, exact $e)")
+    }
+  }
+
   test("t_cms_counts: every estimate within the Cormode-Muthukrishnan bound, never under") {
     // SparkEntry params: probes = distinct tokens of the 10 lowest-id
     // docs, eps=0.001, confidence=0.99. One-sided error: est >= exact

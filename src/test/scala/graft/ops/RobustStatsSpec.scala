@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics specs for the robust-stats / CDC / bloom-join operators:
+  * MAD outliers, winsorization, inter-arrival gaps, keep-latest
+  * compaction, bloom-pruned semi-join, cluster-size distribution, and
+  * the HLL sketch rollup. Oracle equality on the real tables is the
+  * driver gate's job; these pin edge semantics on crafted rows.
+  */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("madOutliers flags only beyond threshold*MAD and guards zero-MAD strata") {
+    // key a: values 1..9 plus a 100 outlier -> med=5 (type-1 over 10: ceil(5)=5th of sorted)
+    // key b: constant -> MAD 0 -> nothing flagged even with one deviant? b is all-same
+    val df = (Seq.tabulate(9)(i => ("a", (i + 1).toDouble)) :+ ("a", 100.0))
+      .++(Seq.fill(5)(("b", 7.0)))
+      .toDF("k", "v")
+    val got = Stats.madOutliers(df, col("k"), col("v"), threshold = 3.5)
+      .select(col("k"), col("v")).as[(String, Double)].collect().toSet
+    // a: sorted 1..9,100; med = 5th = 5; devs sorted 0,1,1,2,2,3,3,4,4,95
+    //    -> mad = 5th = 2; cut = 7 -> only 100 flagged (dev 95)
+    assert(got == Set(("a", 100.0)))
+  }
+
+  test("madOutliers zero-MAD stratum flags nothing even with a wild value") {
+    // >=50% of rows identical -> MAD = 0 -> guarded (no division, no flags)
+    val df = (Seq.fill(6)(("c", 1.0)) :+ ("c", 1e9)).toDF("k", "v")
+    assert(Stats.madOutliers(df, col("k"), col("v")).count() == 0)
+  }
+
+  test("winsorizeByKey clamps into the type-1 [p05,p95] band, keeps every row") {
+    val df = Seq.tabulate(100)(i => ("a", (i + 1).toLong)).toDF("k", "v")
+    val got = Stats.winsorizeByKey(df, col("k"), col("v"), 0.05, 0.95)
+      .select(col("v"), col("value_w")).as[(Long, Long)].collect().toMap
+    assert(got.size == 100) // every row survives
+    // type-1 bounds over 1..100: lo = ceil(0.05*100)=5th = 5, hi = 95th = 95
+    assert(got(1L) == 5L && got(4L) == 5L && got(5L) == 5L)
+    assert(got(50L) == 50L)
+    assert(got(95L) == 95L && got(96L) == 95L && got(100L) == 95L)
+  }
+
+  test("interArrivalGaps: gaps in exact µs, single-event keys carry null stats") {
+    val df = Seq(
+      ("a", "2020-01-01 00:00:00.000001", 1L),
+      ("a", "2020-01-01 00:00:00.000004", 2L),
+      ("a", "2020-01-01 00:00:01.000004", 3L),
+      ("b", "2020-01-01 00:00:00", 4L))
+      .toDF("k", "t", "id").withColumn("t", col("t").cast("timestamp"))
+    val got = Stats.interArrivalGaps(df, col("k"), col("t"), col("id"))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3L, 2L, Some(3L), Some(1000000L), Some(1000003L))))
+    assert(got("b") == (("b", 1L, 0L, None, None, None)))
+  }
+
+  test("keepLatest: highest (version, tie-break) wins per key") {
+    val df = Seq(
+      (1L, 10L, 100L, "old"), (1L, 20L, 101L, "new"),
+      (2L, 30L, 200L, "a"), (2L, 30L, 201L, "b")) // same ts -> id 201 wins
+      .toDF("k", "ver", "id", "payload")
+    val got = Dedup
+      .keepLatest(df, Seq(col("k")), Seq(col("ver"), col("id")))
+      .select(col("k"), col("payload")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "new", 2L -> "b"))
+  }
+
+  test("bloomPrunedSemiJoin ≡ plain left_semi join (false positives die in the refine)") {
+    val fact = Seq.tabulate(500)(i => (i.toLong % 50, i.toLong)).toDF("fk", "row_id")
+    val dim = Seq.tabulate(10)(i => (i * 5).toLong).toDF("dk") // keys 0,5,..,45
+    val got = Joins
+      .bloomPrunedSemiJoin(fact, dim, col("fk"), col("dk"), expectedItems = 100L)
+      .select(col("row_id")).as[Long].collect().toSet
+    val want = fact
+      .join(dim, col("fk") === col("dk"), "left_semi")
+      .select(col("row_id")).as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("clusterSizeDistribution counts components by size") {
+    // components: {1,2,3} (chain), {4,5} -> sizes 3 and 2, one each
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = Dedup.clusterSizeDistribution(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L))
+  }
+
+  test("ewmaDaily: integer halving recursion, gaps carry the previous smoothed value") {
+    val df = Seq(
+      ("a", "2020-01-01 05:00:00", 4.0), ("a", "2020-01-01 06:00:00", 4.0), // day1: 8
+      ("a", "2020-01-02 05:00:00", 2.0),                                    // day2: 2
+      ("a", "2020-01-04 05:00:00", 11.0))                                   // day4 (day3 absent): 11
+      .toDF("k", "t", "v").withColumn("t", col("t").cast("timestamp"))
+    val got = Stats.ewmaDaily(df, col("k"), col("t"), col("v"))
+      .select(col("day").cast("string"), col("rev_micro"), col("ewma_micro"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // s1 = 8M; s2 = (2M+8M)>>1 = 5M; day3 missing (present-days series);
+    // s4 = (11M+5M)>>1 = 8M
+    assert(got == Seq(
+      ("2020-01-01", 8000000L, 8000000L),
+      ("2020-01-02", 2000000L, 5000000L),
+      ("2020-01-04", 11000000L, 8000000L)))
+  }
+
+  test("incrementalIngest admits only unseen content, min-id within the batch") {
+    val corpus = Seq((0L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "aaa"),  // already in corpus -> rejected
+      (3L, "ccc"), (5L, "ccc"), // new, duplicated in batch -> admit 3 only
+      (7L, "ddd")) // new unique -> admit
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .incrementalIngest(corpus, incoming, col("doc_id"), col("text"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == Set(3L, 7L))
+  }
+
+  test("hllRollup: deterministic and exact-grade on small cardinalities") {
+    // 3 buckets x overlapping user sets; at tiny cardinality the HLL
+    // sparse mode is exact, so the union estimate equals true distinct
+    val df = Seq.tabulate(300)(i => ("t", i % 3, (i % 60).toLong))
+      .toDF("k", "b", "u")
+    val got = Sketches.hllRollup(df, col("k"), col("b"), col("u"))
+      .select(col("n_buckets"), col("uv_est").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 60L)))
+    // determinism: a second run returns the identical estimate
+    val again = Sketches.hllRollup(df, col("k"), col("b"), col("u"))
+      .select(col("uv_est").cast("long")).as[Long].head()
+    assert(again == 60L)
+  }
+}

@@ -155,6 +155,42 @@ class ReplaySoakSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("dailyMovingStats under 2s order jitter: exact day sums, windows, and cum totals") {
+    // a day finalizes only when wm passes its END + delay headroom; with
+    // delay 5s > 2×jitter every event lands before its day closes, so
+    // the emitted (day, sum, ma-window, cum) rows equal the batch window
+    // functions exactly — including integer micro sums
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val input = events.select(
+      col("event_type").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"),
+      (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("value"))
+    val streamed = Replay
+      .keyedValueEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines.dailyMovingStats(stream, window = 7, watermarkDelay = "5 seconds").toDF()
+      }
+      .select(col("key"), col("day").cast("string"),
+        col("rev_micro"), col("ma_num_micro"), col("ma_cnt"), col("cum_micro"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val batch = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(18,6)") * 1000000).cast("long")).as("rev"))
+      .select(
+        col("event_type"), col("day").cast("string"),
+        col("rev"),
+        sum(col("rev")).over(w.rowsBetween(-6, 0)).as("num"),
+        count(lit(1)).over(w.rowsBetween(-6, 0)).as("cnt"),
+        sum(col("rev")).over(w.rowsBetween(Long.MinValue, 0)).as("cum"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("eventSequences under 2s order jitter: exact capped sequences, one close per key") {
     // the maxLen-smallest buffer is union-associative (the cap of a union
     // equals the cap of capped parts ∪ new rows), so late arrivals inside
