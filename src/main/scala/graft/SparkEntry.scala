@@ -1068,6 +1068,15 @@ object SparkEntry {
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
+    "s_rrf_fusion" -> ((s, dir) => {
+      // hybrid-retrieval merge: reciprocal-rank fusion of two term
+      // rankings — rank-only combination (no score calibration), exact
+      // integer 1e6/(60+rank) contributions, top-20
+      val d = Tables(s, dir).documents
+      TextOps.rrfFuse(Seq(
+        TextOps.termTfRanking(d, col("doc_id"), col("text"), "spark"),
+        TextOps.termTfRanking(d, col("doc_id"), col("text"), "window")))
+    }),
     "s_boolean_search" -> ((s, dir) => {
       // conjunctive boolean retrieval: docs containing ALL of
       // {dup, spark, window} with summed tf — the postings-intersection
@@ -1630,6 +1639,26 @@ object SparkEntry {
           ((col("ma_num_micro").cast("double") / 1e6) / col("ma_cnt")).as("ma7"),
           (col("cum_micro").cast("double") / 1e6).as("cum_rev"))
     }),
+    "q_ewma_stream" -> ((s, dir) => {
+      // q_ewma_daily's streaming twin: the SAME dailyMovingStats machine
+      // carries the integer halving recursion across finalized days —
+      // order-dependent state a windowed agg cannot express, exact under
+      // jitter because days finalize strictly chronologically
+      val input = Tables(s, dir).events
+        .select(
+          col("event_type").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"),
+          (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("value"))
+      Replay
+        .keyedValueEvents(input) { stream =>
+          StateMachines.dailyMovingStats(stream, window = 7).toDF()
+        }
+        .select(
+          col("key").as("event_type"), col("day"),
+          col("rev_micro"), col("ewma_micro"))
+    }),
     "q_latest_snapshot_stream" -> ((s, dir) => {
       // q_latest_snapshot's streaming form at daily grain: the CLOSING
       // per-user snapshot pointer of each day, finalized when the
@@ -1988,6 +2017,25 @@ object SparkEntry {
       |       CAST(c.c_nationkey AS BIGINT) AS nation, count(*) AS cnt
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2""".stripMargin
+  private val ewmaDailySql =
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT event_type, day, rev_micro,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d
+      |), e AS (
+      |  SELECT event_type, day, rev_micro, rev_micro AS ewma_micro, rn
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.day, r.rev_micro,
+      |    (r.rev_micro + e.ewma_micro) // 2, r.rn
+      |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
+      |)
+      |SELECT event_type, day, rev_micro, ewma_micro FROM e""".stripMargin
+
   private val movingAvgSql =
     """WITH d AS (
       |  SELECT CAST(ts AS DATE) AS day, event_type,
@@ -2190,24 +2238,8 @@ object SparkEntry {
         |                AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q_moving_avg" -> movingAvgSql,
     "q_moving_avg_stream" -> movingAvgSql,
-    "q_ewma_daily" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
-        |  FROM events GROUP BY 1, 2
-        |), r AS (
-        |  SELECT event_type, day, rev_micro,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
-        |  FROM d
-        |), e AS (
-        |  SELECT event_type, day, rev_micro, rev_micro AS ewma_micro, rn
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.event_type, r.day, r.rev_micro,
-        |    (r.rev_micro + e.ewma_micro) // 2, r.rn
-        |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
-        |)
-        |SELECT event_type, day, rev_micro, ewma_micro FROM e""".stripMargin,
+    "q_ewma_stream" -> ewmaDailySql,
+    "q_ewma_daily" -> ewmaDailySql,
     "p_incremental_ingest" ->
       s"""WITH f AS (SELECT doc_id, $fpExpr AS fp FROM documents),
          |seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
@@ -2745,6 +2777,21 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "s_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS w FROM documents),
+         |a AS (SELECT doc_id, count(*) AS tf FROM toks WHERE w = 'spark' GROUP BY 1),
+         |ar AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY tf DESC, doc_id) AS r FROM a),
+         |b AS (SELECT doc_id, count(*) AS tf FROM toks WHERE w = 'window' GROUP BY 1),
+         |br AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY tf DESC, doc_id) AS r FROM b),
+         |f AS (SELECT coalesce(ar.doc_id, br.doc_id) AS doc_id,
+         |  coalesce(1000000 // (60 + ar.r), 0)
+         |    + coalesce(1000000 // (60 + br.r), 0) AS rrf_micro
+         |  FROM ar FULL OUTER JOIN br ON ar.doc_id = br.doc_id)
+         |SELECT doc_id, rrf_micro,
+         |  row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
     "d_cluster_sizes" ->
       s"""WITH RECURSIVE d AS (
          |  SELECT doc_id, $tokensExpr AS w FROM documents

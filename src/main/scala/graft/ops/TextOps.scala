@@ -730,6 +730,52 @@ object TextOps {
       .select(col("doc_id"), col("tf_total"))
   }
 
+  /** Per-term tf ranking: docs containing `term` ranked by (tf desc,
+    * doc_id asc) — one pruned-token-stream aggregate; the minimal
+    * ranked-retrieval input for [[rrfFuse]] (any ranking with
+    * (doc_id, rank) plugs in: BM25, embedding-cosine top-k, ...).
+    */
+  def termTfRanking(df: DataFrame, id: Column, text: Column, term: String): DataFrame =
+    df.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .filter(col("w") === term)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn(
+        "rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank"))
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine any number of
+    * rankings into one by summing 1/(k+rank) per doc — the standard
+    * hybrid-retrieval merge (lexical BM25 + dense ANN) because it needs
+    * NO score calibration across heterogeneous rankings, only ranks.
+    * Contributions are exact integers `1000000 div (k + rank)` (floored
+    * micro-units — integer division, engine-portable with no float
+    * anywhere); docs absent from a ranking contribute 0. Returns the
+    * topN (doc_id, rrf_micro, rank).
+    *
+    * Scale: each ranking is |hits| rows (already top-k-ish); the fuse is
+    * one union + one doc-grain agg + a TakeOrdered(topN) — nothing
+    * corpus-sized, no global sort.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topN: Int = 20): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && topN >= 1, "need rankings, k >= 1, topN >= 1")
+    val contrib = rankings
+      .map(_.select(col("doc_id"), expr(s"1000000L div (${k}L + rank)").as("__c")))
+      .reduce(_ unionByName _)
+    val fused = contrib
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(topN)
+    // rank the (tiny) topN result — single-partition window over topN rows
+    fused.withColumn(
+      "rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)))
+  }
+
   /** DSIR-style importance weight per document (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * reduced to its word-unigram core): the log-likelihood ratio between

@@ -640,7 +640,8 @@ object StateMachines {
   case class DailyMovingState(
       open: List[(Long, Long)],   // (epoch day, exact micro sum) still inside the watermark
       lastWin: List[Long],        // newest-first finalized day sums, capped at `window`
-      cum: Long)                  // running total of finalized day sums
+      cum: Long,                  // running total of finalized day sums
+      ewma: Option[Long])         // integer α=1/2 EWMA over finalized days
 
   case class DailyStatRow(
       key: String,
@@ -648,7 +649,8 @@ object StateMachines {
       rev_micro: Long,
       ma_num_micro: Long,
       ma_cnt: Long,
-      cum_micro: Long)
+      cum_micro: Long,
+      ewma_micro: Long)
 
   /** Streaming trailing-moving-average machine: per key, fold events into
     * per-day exact micro sums; when the watermark passes a day's end the
@@ -678,7 +680,7 @@ object StateMachines {
       .flatMapGroupsWithState[DailyMovingState, DailyStatRow](
         OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
-        val st0 = state.getOption.getOrElse(DailyMovingState(Nil, Nil, 0L))
+        val st0 = state.getOption.getOrElse(DailyMovingState(Nil, Nil, 0L, None))
         var open = st0.open
         var sawReal = st0.lastWin.nonEmpty || st0.open.nonEmpty || st0.cum != 0L
         for (e <- it; if e.kind != Replay.Sentinel) {
@@ -697,14 +699,18 @@ object StateMachines {
           val (ready, still) = open.partition { case (d, _) => (d + 1) * DayUs <= wmUs }
           var lastWin = st0.lastWin
           var cum = st0.cum
+          var ewma = st0.ewma
           val out = ready.sortBy(_._1).map { case (d, s) =>
             cum += s
             lastWin = (s :: lastWin).take(window)
+            // α=1/2 integer EWMA over PRESENT days: s₁=v₁, sₜ=(vₜ+sₜ₋₁)>>1
+            // — the same recursion as the batch Stats.ewmaDaily fold
+            ewma = Some(ewma.fold(s)(prev => (s + prev) >> 1))
             DailyStatRow(
               key, java.time.LocalDate.ofEpochDay(d),
-              s, lastWin.sum, lastWin.size.toLong, cum)
+              s, lastWin.sum, lastWin.size.toLong, cum, ewma.get)
           }
-          state.update(DailyMovingState(still, lastWin, cum))
+          state.update(DailyMovingState(still, lastWin, cum, ewma))
           if (still.nonEmpty) {
             // fire when the earliest open day's end passes the watermark
             // (+1 ms: timers fire strictly after)

@@ -118,6 +118,19 @@ class RobustStatsSpec extends SparkSpec {
     assert(got == Set(3L, 7L))
   }
 
+  test("rrfFuse: integer contributions, absent ranking contributes 0, deterministic ties") {
+    val ra = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
+    val rb = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
+    val got = TextOps.rrfFuse(Seq(ra, rb), k = 60, topN = 10)
+      .select(col("doc_id"), col("rrf_micro"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val c1 = 1000000L / 61 // 16393
+    val c2 = 1000000L / 62 // 16129
+    // doc 20: rank2 in a + rank1 in b = c2 + c1 (top); docs 10/30 tie on
+    // c1/c2 respectively -> 10 (c1) beats 30 (c2)
+    assert(got == Seq((20L, c1 + c2, 1L), (10L, c1, 2L), (30L, c2, 3L)))
+  }
+
   test("hllRollup: deterministic and exact-grade on small cardinalities") {
     // 3 buckets x overlapping user sets; at tiny cardinality the HLL
     // sparse mode is exact, so the union estimate equals true distinct
