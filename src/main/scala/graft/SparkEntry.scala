@@ -1068,6 +1068,21 @@ object SparkEntry {
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
+    "q_psi" -> ((s, dir) => {
+      // PSI drift monitor: per-type value-distribution shift between
+      // even and odd epoch days (the A/B slice pair), add-1 smoothed,
+      // ln terms floored to micro-units — psi_micro > 250000 = the
+      // classic "investigate" threshold, here engine-exact
+      Stats.psiByKey(
+        Tables(s, dir).events, col("event_type"), col("value"),
+        expr("(unix_micros(ts) div 86400000000) % 2 = 0"), width = 50.0)
+    }),
+    "p_negatives" -> ((s, dir) => {
+      // contrastive negative sampling: 3 deterministic hash-ring
+      // negatives per doc, guaranteed != anchor; md5 ring so the draw
+      // replays on any engine
+      Sampling.negativeSamples(Tables(s, dir).documents, col("doc_id"), k = 3)
+    }),
     "s_rrf_fusion" -> ((s, dir) => {
       // hybrid-retrieval merge: reciprocal-rank fusion of two term
       // rankings — rank-only combination (no score calibration), exact
@@ -1638,6 +1653,37 @@ object SparkEntry {
           (col("rev_micro").cast("double") / 1e6).as("daily_rev"),
           ((col("ma_num_micro").cast("double") / 1e6) / col("ma_cnt")).as("ma7"),
           (col("cum_micro").cast("double") / 1e6).as("cum_rev"))
+    }),
+    "q_uv_sketch_stream" -> ((s, dir) => {
+      // q_uv_sketch's streaming form: daily per-type HLL sketches built
+      // BY THE STREAM (watermark-finalized day windows), then merged to
+      // per-type totals post-replay — the ingest half of the sketch
+      // store running as a streaming job, the rollup half as the cheap
+      // batch merge it exists to enable. Deterministic (insertion- and
+      // merge-order independent), so the gate asserts EXACT equality
+      // with the batch q_uv_sketch estimates (rows-only on the driver
+      // record: estimates have no SQL oracle).
+      val input = Tables(s, dir).events
+        .select(
+          col("event_type").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("user_id").cast("string").as("id"))
+      Replay
+        .keyedEvents(input) { stream =>
+          stream.toDF()
+            .withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 day"), col("key"))
+            .agg(hll_sketch_agg(
+              when(col("kind") =!= Replay.Sentinel, col("id").cast("long")),
+              lit(12)).as("sk"))
+            .select(col("key"), col("sk"))
+        }
+        .filter(col("key") =!= Replay.Sentinel)
+        .groupBy(col("key"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("uv_est"))
     }),
     "q_ewma_stream" -> ((s, dir) => {
       // q_ewma_daily's streaming twin: the SAME dailyMovingStats machine
@@ -2777,6 +2823,40 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_psi" ->
+      """WITH c AS (
+        |  SELECT event_type AS key, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |    sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+        |        THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+        |        THEN 0 ELSE 1 END) AS cb
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT key, sum(ca) AS na, sum(cb) AS nb, count(*) AS n_bins
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT c.key, t.n_bins,
+        |  sum(CAST(floor(
+        |    (CAST(ca + 1 AS DOUBLE) / (na + n_bins)
+        |      - CAST(cb + 1 AS DOUBLE) / (nb + n_bins))
+        |    * ln((CAST(ca + 1 AS DOUBLE) / (na + n_bins))
+        |        / (CAST(cb + 1 AS DOUBLE) / (nb + n_bins))) * 1e6)
+        |    AS BIGINT)) AS psi_micro
+        |FROM c JOIN t ON c.key = t.key GROUP BY 1, 2""".stripMargin,
+    "p_negatives" ->
+      """WITH r AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
+        |  FROM documents
+        |), t AS (SELECT count(*) AS n FROM documents),
+        |p AS (
+        |  SELECT doc_id, r, n, j,
+        |    (r + 1 + (CAST(concat('0x', substring(md5(
+        |        concat(CAST(doc_id AS VARCHAR), '_', CAST(j AS VARCHAR))), 1, 12))
+        |      AS BIGINT) % (n - 1))) % n AS nr
+        |  FROM r, t, (SELECT unnest([1, 2, 3]) AS j)
+        |)
+        |SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, r2.doc_id AS neg_id
+        |FROM p JOIN r r2 ON p.nr = r2.r""".stripMargin,
     "s_rrf_fusion" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS w FROM documents),
          |a AS (SELECT doc_id, count(*) AS tf FROM toks WHERE w = 'spark' GROUP BY 1),

@@ -154,6 +154,42 @@ object Sampling {
       .drop("__k", "__id", "__h", "__tok", "__cum")
   }
 
+  /** Deterministic negative sampling for contrastive training: `k`
+    * pseudo-random OTHER rows per anchor, from the md5 hash ring — the
+    * (anchor, negative) pair generator behind contrastive embedding /
+    * reranker training. Each anchor's j-th negative is the row at rank
+    * `(r + 1 + (h(id,j) mod (N−1))) mod N` — the +1/mod(N−1) offset
+    * guarantees negative ≠ anchor, md5 makes the draw reproducible and
+    * engine-portable. Returns (doc_id, j, neg_id).
+    *
+    * Scale: ranks come from ONE global row_number over the id column —
+    * a |corpus|-row range-partitioned sort paid once (reuse a persisted
+    * rank table across epochs/variants at 100 TB; with dense ids skip it
+    * entirely); the probe is then a rank-grain equi-join, and uniformity
+    * of the hash ring needs no global shuffle of the data itself.
+    */
+  def negativeSamples(df: DataFrame, id: Column, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(id)
+    val ranked = df
+      .select(id.as("doc_id"))
+      .withColumn("__r", row_number().over(w).cast("long") - 1)
+    val tot = ranked.agg(count(lit(1)).as("__n"))
+    ranked
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("__r"), col("__n"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__h",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("_"), col("j"))), 1, 12),
+          16, 10).cast("long"))
+      .withColumn("__nr",
+        pmod(col("__r") + 1 + pmod(col("__h"), col("__n") - 1), col("__n")))
+      .join(
+        ranked.select(col("__r").as("__nr"), col("doc_id").as("neg_id")),
+        Seq("__nr"))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"))
+  }
+
   /** Deterministic split label over cumulative weight buckets, e.g.
     * `split(df, $"doc_id", Seq("train" -> 0.9, "eval" -> 0.1))`.
     */

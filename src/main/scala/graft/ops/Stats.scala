@@ -252,6 +252,52 @@ object Stats {
         sum(col("__gap")).as("sum_gap_us"))
   }
 
+  /** Population-stability-index drift report: per key, PSI between the
+    * value distributions of slice A (`inA` true) and slice B over
+    * fixed-width bins — THE standard "did the feature/score distribution
+    * move" monitor (rule of thumb: < 0.1 stable, > 0.25 drifted; here in
+    * exact micro-units, psi_micro > 250000 ⇒ drifted). Add-1 smoothing
+    * over the key's observed bin set keeps every term finite (the LM
+    * discipline), and each bin's `(pA−pB)·ln(pA/pB)` term floors to
+    * micro-units BEFORE the sum — the engine-exact record pattern of
+    * t_unigram_lm/t_entropy. Returns (key, n_bins, psi_micro).
+    *
+    * Scale: one map-side-combined exchange at (key, bin) grain with BOTH
+    * slice counts in one pass (conditional sums — the corpus is scanned
+    * once, not once per slice); per-key totals broadcast back onto the
+    * |keys|·|bins| frame. Nothing corpus-sized moves twice.
+    */
+  def psiByKey(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      inA: Column,
+      width: Double): DataFrame = {
+    require(width > 0, "need width > 0")
+    val counts = df
+      .select(key.as("key"), floor(value / width).cast("long").as("bin"), inA.as("__a"))
+      .groupBy(col("key"), col("bin"))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+    val totals = counts
+      .groupBy(col("key").as("__tk"))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+        count(lit(1)).as("n_bins"))
+    counts
+      .join(broadcast(totals), col("key") === col("__tk"))
+      .withColumn("__pa",
+        (col("__ca") + 1).cast("double") / (col("__na") + col("n_bins")).cast("double"))
+      .withColumn("__pb",
+        (col("__cb") + 1).cast("double") / (col("__nb") + col("n_bins")).cast("double"))
+      .withColumn("__t",
+        floor((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb")) * 1e6)
+          .cast("long"))
+      .groupBy(col("key"), col("n_bins"))
+      .agg(sum(col("__t")).as("psi_micro"))
+      .select(col("key"), col("n_bins"), col("psi_micro"))
+  }
+
   /** Fixed-width histogram per key: `(key, bin, bin_lo, cnt)` with
     * `bin = ⌊value / width⌋` — the distribution view behind filter
     * thresholds and range-partition planning. One map-side-combined

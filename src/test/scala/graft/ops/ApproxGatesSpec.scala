@@ -137,6 +137,20 @@ class ApproxGatesSpec extends SparkSpec {
     }
   }
 
+  test("q_uv_sketch_stream == q_uv_sketch exactly (sketches are order-independent)") {
+    // same inserted values (long user ids), same lgK, same day buckets ⇒
+    // the streamed daily sketches union to bit-identical estimates; any
+    // divergence means the stream dropped/duplicated rows or bucketed a
+    // day differently
+    def rows(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+      .select(col("key"), col("n_buckets"), col("uv_est").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = rows("q_uv_sketch")
+    val streamed = rows("q_uv_sketch_stream")
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("t_cms_counts: every estimate within the Cormode-Muthukrishnan bound, never under") {
     // SparkEntry params: probes = distinct tokens of the 10 lowest-id
     // docs, eps=0.001, confidence=0.99. One-sided error: est >= exact

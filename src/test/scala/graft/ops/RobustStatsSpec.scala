@@ -118,6 +118,34 @@ class RobustStatsSpec extends SparkSpec {
     assert(got == Set(3L, 7L))
   }
 
+  test("psiByKey: identical slices score ~0, a shifted slice scores high") {
+    // slice A values in [0,100), slice B identical -> every bin balanced
+    // -> each term is (p-p)*ln(1)=0 exactly
+    val same = Seq.tabulate(200)(i => ("k", (i % 100).toDouble, i < 100))
+      .toDF("k", "v", "a")
+    val psi0 = Stats.psiByKey(same, col("k"), col("v"), col("a"), width = 10.0)
+      .select(col("psi_micro")).as[Long].head()
+    assert(psi0 == 0L)
+    // B shifted by +500: disjoint bins -> large positive PSI
+    val shifted = (Seq.tabulate(100)(i => ("k", (i % 100).toDouble, true)) ++
+      Seq.tabulate(100)(i => ("k", 500.0 + (i % 100), false))).toDF("k", "v", "a")
+    val psi1 = Stats.psiByKey(shifted, col("k"), col("v"), col("a"), width = 10.0)
+      .select(col("psi_micro")).as[Long].head()
+    assert(psi1 > 250000L, s"disjoint distributions must exceed the drift bar, got $psi1")
+  }
+
+  test("negativeSamples: k negatives per anchor, never the anchor itself, deterministic") {
+    val df = Seq.tabulate(20)(i => Tuple1(i.toLong)).toDF("doc_id")
+    val got = Sampling.negativeSamples(df, col("doc_id"), k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.length == 60)
+    assert(got.forall { case (a, _, n) => a != n })
+    assert(got.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(1L, 2L, 3L)))
+    val again = Sampling.negativeSamples(df, col("doc_id"), k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.toSet == again.toSet)
+  }
+
   test("rrfFuse: integer contributions, absent ranking contributes 0, deterministic ties") {
     val ra = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
     val rb = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
