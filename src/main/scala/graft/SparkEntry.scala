@@ -1059,6 +1059,21 @@ object SparkEntry {
       Dedup.clusterSizeDistribution(
         Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6))
     }),
+    "d_cluster_sizes_composed" -> ((s, dir) => {
+      // THE scale path for d_cluster_sizes: collapse byte-identical
+      // copies to representatives first, pair + CC on reps only, expand
+      // component sizes by n_copies — 61 s → 7 s on the adversarial
+      // duplication-heavy 10× corpus (docs/SCALE.md); equivalent to the
+      // raw graph whenever exact copies tokenize identically
+      val t = Tables(s, dir)
+      val groups = Dedup.exact(t.documents, col("doc_id"), col("text"))
+      val reps = Dedup.exactRepresentatives(t.documents, col("doc_id"), col("text"))
+      Dedup.clusterSizeDistributionFromClusters(
+        groups,
+        Dedup.connectedComponents(
+          Dedup.nearDupPairs(reps, col("doc_id"), col("text"),
+            shingleLen = 3, threshold = 0.6, losslessPairs = true)))
+    }),
     "q_uv_sketch" -> ((s, dir) => {
       // mergeable HLL sketch store: daily per-type sketches unioned to a
       // per-type total estimate — the write-once/re-merge-forever rollup
@@ -2024,6 +2039,33 @@ object SparkEntry {
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))"
 
+  /** Shared component-size-distribution oracle for d_cluster_sizes and
+    * its composed (representative-collapsed) scale twin — both must
+    * reproduce the raw near-dup graph's sizes. */
+  private lazy val clusterSizesSql =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, $tokensExpr AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM d
+       |), p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(a.sh || b.sh)) >= 0.6
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+       |), lab(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
+       |), cl AS (
+       |  SELECT id, min(l) AS cluster_id FROM lab GROUP BY id
+       |), sz AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1
+       |)
+       |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin
+
   /** Shared greedy min-chain CTEs for q_funnel and its streaming twin
     * (both must hash-match the same chain; only the outer join frame
     * differs — batch keeps chainless users, the stream emits s1 only). */
@@ -2872,29 +2914,8 @@ object SparkEntry {
          |SELECT doc_id, rrf_micro,
          |  row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
          |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
-    "d_cluster_sizes" ->
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id, $tokensExpr AS w FROM documents
-         |), g AS (
-         |  SELECT doc_id, $shinglesExpr AS sh FROM d
-         |), p AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
-         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / len(list_distinct(a.sh || b.sh)) >= 0.6
-         |), edges AS (
-         |  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
-         |), lab(id, l) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
-         |), cl AS (
-         |  SELECT id, min(l) AS cluster_id FROM lab GROUP BY id
-         |), sz AS (
-         |  SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1
-         |)
-         |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin,
+    "d_cluster_sizes_composed" -> clusterSizesSql,
+    "d_cluster_sizes" -> clusterSizesSql,
     "q_range_join" ->
       """SELECT tier, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev

@@ -83,6 +83,37 @@ object Dedup {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** [[clusterSizeDistribution]] over the COMPOSED dedup family — the
+    * duplication-heavy-corpus scale path (measured 61 s → ~7 s at the
+    * adversarial 10×, docs/SCALE.md): exact copies collapse to
+    * representatives FIRST ([[exact]]'s (keep_id, n_copies) groups), the
+    * pair stage and one shared CC run on reps only, and each component's
+    * member count is Σ n_copies of its reps (byte-identical copies share
+    * their rep's whole neighborhood, so the expansion reproduces the
+    * full-graph components; the fingerprint's case/whitespace
+    * normalization can in principle group copies whose RAW token sets
+    * differ — fingerprint on raw text if that distinction matters).
+    * A rep with no near-dup pair
+    * but n_copies ≥ 2 is its own clique-component; true singletons drop,
+    * matching the pairs-graph semantics.
+    *
+    * `groups` = [[exact]]'s output; `clusters` = [[connectedComponents]]
+    * over rep pairs (share it with the other `FromClusters` consumers).
+    */
+  def clusterSizeDistributionFromClusters(
+      groups: DataFrame,
+      clusters: DataFrame): DataFrame =
+    groups
+      .join(clusters, groups("keep_id") === clusters("id"), "left")
+      .select(
+        coalesce(col("cluster_id"), col("keep_id")).as("cluster_id"),
+        col("n_copies"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("n_copies")).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** All pairs (a < b) with word-`n`-gram Jaccard ≥ `threshold`.
     *
     * Candidate generation: explode distinct shingles, self-equi-join on the

@@ -118,6 +118,30 @@ class RobustStatsSpec extends SparkSpec {
     assert(got == Set(3L, 7L))
   }
 
+  test("clusterSizeDistributionFromClusters == raw-graph sizes on a dup-heavy corpus") {
+    // docs: "x" ×3 (exact clique of 3), "a b c"/"a b d" near-dups with
+    // "a b c" duplicated ×2, "z" singleton -> raw-graph components:
+    // {x,x,x} size 3, {abc,abc,abd} size 3, z excluded
+    val docs = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "a b c"), (5L, "a b c"), (6L, "a b d"),
+      (7L, "z"))
+      .toDF("doc_id", "text")
+    val raw = Dedup.clusterSizeDistribution(
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 1, 0.5))
+      .as[(Long, Long)].collect().toMap
+    val groups = Dedup.exact(docs, col("doc_id"), col("text"))
+    val reps = Dedup.exactRepresentatives(docs, col("doc_id"), col("text"))
+    val composed = Dedup.clusterSizeDistributionFromClusters(
+      groups,
+      Dedup.connectedComponents(
+        Dedup.nearDupPairs(reps, col("doc_id"), col("text"),
+          shingleLen = 1, threshold = 0.5, losslessPairs = true)))
+      .as[(Long, Long)].collect().toMap
+    assert(raw == Map(3L -> 2L))
+    assert(composed == raw)
+  }
+
   test("psiByKey: identical slices score ~0, a shifted slice scores high") {
     // slice A values in [0,100), slice B identical -> every bin balanced
     // -> each term is (p-p)*ln(1)=0 exactly
