@@ -1083,6 +1083,23 @@ object SparkEntry {
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
+    "q_trend_slope" -> ((s, dir) => {
+      // per-type least-squares trend of daily revenue — the record
+      // carries the EXACT rational slope_num/slope_den (integer division
+      // semantics differ across engines for negatives, so no quotient)
+      Stats.trendSlopeByKey(
+        Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
+    }),
+    "p_mixture_alloc" -> ((s, dir) => {
+      // corpus-mixing plan: 30/40/20/10% of a 20k-token budget across
+      // four named sources, capped at availability, exact integer keep
+      // fractions for the downstream Bernoulli sampler
+      Sampling.mixtureAllocation(
+        Tables(s, dir).documents, col("source"), col("n_chars"),
+        targetsMicro = Seq(
+          "src0" -> 300000L, "src1" -> 400000L, "src2" -> 200000L, "src3" -> 100000L),
+        budget = 20000L)
+    }),
     "q_psi" -> ((s, dir) => {
       // PSI drift monitor: per-type value-distribution shift between
       // even and odd epoch days (the A/B slice pair), add-1 smoothed,
@@ -2865,6 +2882,43 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_trend_slope" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT event_type, datediff('day', DATE '1970-01-01', day) AS x, y
+        |  FROM d
+        |), m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT event_type AS key, n_days,
+        |  CASE WHEN n_days >= 2
+        |    THEN CAST(n_days * sxy - sx * sy AS DECIMAL(38,0)) END AS slope_num,
+        |  CASE WHEN n_days >= 2
+        |    THEN CAST(n_days * sxx - sx * sx AS DECIMAL(38,0)) END AS slope_den
+        |FROM m""".stripMargin,
+    "p_mixture_alloc" ->
+      """WITH avail AS (
+        |  SELECT source AS key, sum(n_chars) AS avail_tokens
+        |  FROM documents GROUP BY 1
+        |), t(tk, w) AS (VALUES ('src0', 300000), ('src1', 400000),
+        |                       ('src2', 200000), ('src3', 100000)),
+        |p AS (
+        |  SELECT key, avail_tokens,
+        |    CAST(coalesce(w, 0) AS BIGINT) * 20000 // 1000000 AS target_tokens
+        |  FROM avail LEFT JOIN t ON key = tk
+        |)
+        |SELECT key, avail_tokens, target_tokens,
+        |  least(target_tokens, avail_tokens) AS alloc_tokens,
+        |  CAST(least(target_tokens, avail_tokens) AS BIGINT) * 1000000
+        |    // avail_tokens AS keep_frac_micro
+        |FROM p""".stripMargin,
     "q_psi" ->
       """WITH c AS (
         |  SELECT event_type AS key, CAST(floor(value / 50.0) AS BIGINT) AS bin,

@@ -154,6 +154,47 @@ object Sampling {
       .drop("__k", "__id", "__h", "__tok", "__cum")
   }
 
+  /** Mixture-allocation plan: given per-source available token counts, a
+    * token `budget`, and target mixture weights in exact micro-units,
+    * the per-source sampling plan — target tokens, what is actually
+    * attainable (capped at availability), and the Bernoulli keep
+    * fraction to feed [[sample]]/[[capTokensPerKey]]. The corpus-mixing
+    * planner (e.g. "30 % web, 40 % code, 30 % books of a 1 T-token
+    * budget") as one engine query; all integer division, engine-exact.
+    *
+    * Returns (key, avail_tokens, target_tokens, alloc_tokens,
+    * keep_frac_micro); sources absent from `targetsMicro` get target 0,
+    * targets without corpus rows are absent (they have no avail row —
+    * surface them by full-outer-joining the plan with the target list if
+    * needed).
+    *
+    * Scale: one map-side-combined aggregate to |sources| rows, then a
+    * broadcast join against the constant target list — nothing else
+    * moves.
+    */
+  def mixtureAllocation(
+      df: DataFrame,
+      key: Column,
+      tokenCount: Column,
+      targetsMicro: Seq[(String, Long)],
+      budget: Long): DataFrame = {
+    require(budget > 0 && targetsMicro.nonEmpty, "need budget > 0 and targets")
+    require(targetsMicro.map(_._2).sum <= 1000000L, "target weights exceed 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsMicro.toDF("__tk", "__wMicro")
+    df.groupBy(key.cast("string").as("key"))
+      .agg(sum(tokenCount.cast("long")).as("avail_tokens"))
+      .join(broadcast(targets), col("key") === col("__tk"), "left")
+      .withColumn("target_tokens",
+        expr(s"coalesce(__wMicro, 0L) * ${budget}L div 1000000L"))
+      .withColumn("alloc_tokens", least(col("target_tokens"), col("avail_tokens")))
+      .withColumn("keep_frac_micro",
+        expr("alloc_tokens * 1000000L div avail_tokens"))
+      .select(col("key"), col("avail_tokens"), col("target_tokens"),
+        col("alloc_tokens"), col("keep_frac_micro"))
+  }
+
   /** Deterministic negative sampling for contrastive training: `k`
     * pseudo-random OTHER rows per anchor, from the md5 hash ring — the
     * (anchor, negative) pair generator behind contrastive embedding /

@@ -252,6 +252,51 @@ object Stats {
         sum(col("__gap")).as("sum_gap_us"))
   }
 
+  /** Per-key linear trend of the daily value series: the least-squares
+    * slope over (epoch-day x, exact micro day-sum y), emitted as the
+    * EXACT RATIONAL `slope_num / slope_den` in DECIMAL(38,0)
+    * (num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² > 0 for ≥ 2 days) — "is
+    * this source/feature growing and how fast" with no float anywhere
+    * (integer division semantics differ across engines for negative
+    * slopes — truncate vs floor — so the record carries the rational,
+    * not a quotient; readers divide at display time). Single-day keys
+    * emit null num/den (slope undefined).
+    *
+    * Scale: corpus aggregates once at (key, day) grain, then one
+    * |keys|-grain moment aggregate — DECIMAL(38,0) sums are exact far
+    * beyond any real span (y ≤ 1e15 µ, x ≤ 1e5 days ⇒ Σxy ≤ 1e25 ≪
+    * 1e38) and order-free, so the record is engine-exact.
+    */
+  def trendSlopeByKey(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val daily = df
+      .groupBy(key.as("key"), to_date(ts).as("__day"))
+      .agg((sum(value.cast(DecimalType(18, 6))) * lit(1000000)).cast("long").as("__y"))
+      .withColumn("__x", datediff(col("__day"), lit("1970-01-01")).cast("long"))
+    daily
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__x").cast(d38)).as("__sx"),
+        sum(col("__y").cast(d38)).as("__sy"),
+        // cast operands BEFORE the product: long·long would overflow at
+        // int64 first; (10,0)·(27,0) → precision 38, exact
+        sum((col("__x").cast(DecimalType(10, 0)) * col("__y").cast(DecimalType(27, 0)))
+          .cast(d38)).as("__sxy"),
+        sum((col("__x").cast(DecimalType(10, 0)) * col("__x").cast(DecimalType(10, 0)))
+          .cast(d38)).as("__sxx"))
+      .select(
+        col("key"),
+        col("n_days"),
+        when(col("n_days") >= 2,
+          (col("n_days").cast(d38) * col("__sxy") - col("__sx") * col("__sy")).cast(d38))
+          .as("slope_num"),
+        when(col("n_days") >= 2,
+          (col("n_days").cast(d38) * col("__sxx") - col("__sx") * col("__sx")).cast(d38))
+          .as("slope_den"))
+  }
+
   /** Population-stability-index drift report: per key, PSI between the
     * value distributions of slice A (`inA` true) and slice B over
     * fixed-width bins — THE standard "did the feature/score distribution

@@ -170,6 +170,38 @@ class RobustStatsSpec extends SparkSpec {
     assert(got.toSet == again.toSet)
   }
 
+  test("trendSlopeByKey: exact rational slope; single-day keys undefined") {
+    // key a: days 0,1,2 with micro sums 1M,3M,5M -> slope exactly 2M/day:
+    // num = n*sxy - sx*sy = 3*(0+3M+10M) - 3*9M = 12M; den = 3*5 - 9 = 6
+    val df = Seq(
+      ("a", "1970-01-01 01:00:00", 1.0), ("a", "1970-01-02 01:00:00", 3.0),
+      ("a", "1970-01-03 01:00:00", 5.0),
+      ("b", "1970-01-05 01:00:00", 9.0))
+      .toDF("k", "t", "v").withColumn("t", col("t").cast("timestamp"))
+    val got = Stats.trendSlopeByKey(df, col("k"), col("t"), col("v"))
+      .select(col("key"), col("n_days"),
+        col("slope_num").cast("string"), col("slope_den").cast("string"))
+      .as[(String, Long, Option[String], Option[String])].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, Some("12000000"), Some("6"))))
+    assert(got("b") == ((1L, None, None)))
+  }
+
+  test("mixtureAllocation caps at availability; untargeted sources get 0") {
+    val df = Seq(("web", 100L), ("web", 50L), ("code", 10L), ("misc", 30L))
+      .toDF("src", "tok")
+    val got = Sampling.mixtureAllocation(df, col("src"), col("tok"),
+        targetsMicro = Seq("web" -> 500000L, "code" -> 500000L), budget = 200L)
+      .select(col("key"), col("avail_tokens"), col("target_tokens"),
+        col("alloc_tokens"), col("keep_frac_micro"))
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // web: avail 150, target 100 -> alloc 100, keep 100*1e6/150 = 666666
+    assert(got("web") == (("web", 150L, 100L, 100L, 666666L)))
+    // code: avail 10, target 100 -> capped at 10, keep 1.0
+    assert(got("code") == (("code", 10L, 100L, 10L, 1000000L)))
+    // misc: no target -> 0
+    assert(got("misc") == (("misc", 30L, 0L, 0L, 0L)))
+  }
+
   test("rrfFuse: integer contributions, absent ranking contributes 0, deterministic ties") {
     val ra = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
     val rb = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
