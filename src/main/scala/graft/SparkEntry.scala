@@ -1686,6 +1686,49 @@ object SparkEntry {
           ((col("ma_num_micro").cast("double") / 1e6) / col("ma_cnt")).as("ma7"),
           (col("cum_micro").cast("double") / 1e6).as("cum_rev"))
     }),
+    "q_range_join_stream" -> ((s, dir) => {
+      // q_range_join's streaming form at daily grain: STREAM-STATIC
+      // non-equi join — the replayed event stream joins the broadcast
+      // tier dimension on the band predicate (BroadcastNestedLoopJoin
+      // inside a streaming micro-batch), then a watermark-finalized
+      // daily (tier) aggregation. Band bounds compare in exact micro
+      // units (values are 2-dp, so the decimal(18,6)→micro conversion is
+      // lossless and band membership matches the batch double compare).
+      val s2 = s
+      import s2.implicits._
+      val tiers = Seq(
+        ("low", 0L, 50000000L), ("mid", 50000000L, 150000000L),
+        ("high", 150000000L, 1000000000000000000L))
+        .toDF("tier", "lo_micro", "hi_micro")
+      val input = Tables(s, dir).events
+        .select(
+          col("event_type").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"),
+          (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("value"))
+      Replay
+        .keyedValueEvents(input) { stream =>
+          // the sentinel must FLOW THROUGH the watermark node and the
+          // join into the aggregate (a pre-agg filter gets pushed below
+          // EventTimeWatermark and the last day never finalizes): its
+          // value-0 row lands in 'low' for its far-future day, dies in
+          // the conditional agg, and the cnt=0 group drops post-replay
+          stream.toDF()
+            .withWatermark("ts", "0 seconds")
+            .join(broadcast(tiers),
+              col("value") >= col("lo_micro") && col("value") < col("hi_micro"))
+            .groupBy(window(col("ts"), "1 day"), col("tier"))
+            .agg(
+              count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"),
+              sum(when(col("kind") =!= Replay.Sentinel, col("value"))).as("__rev"))
+            .select(col("window.start").as("window_start"), col("tier"),
+              col("cnt"), col("__rev"))
+        }
+        .filter(col("cnt") > 0)
+        .select(col("window_start"), col("tier"), col("cnt"),
+          (col("__rev").cast("double") / 1e6).as("rev"))
+    }),
     "q_uv_sketch_stream" -> ((s, dir) => {
       // q_uv_sketch's streaming form: daily per-type HLL sketches built
       // BY THE STREAM (watermark-finalized day windows), then merged to
@@ -2882,6 +2925,14 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_range_join_stream" ->
+      """SELECT date_trunc('day', ts) AS window_start, tier, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |FROM events
+        |JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+        |             ('high', 150.0, 1e12)) t(tier, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY 1, 2""".stripMargin,
     "q_trend_slope" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

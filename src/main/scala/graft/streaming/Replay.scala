@@ -30,10 +30,14 @@ import org.apache.spark.sql.functions._
   *     watermark updates take effect one batch late, so the first
   *     sentinel advances the watermark past all real event time and the
   *     second's batch fires every event-time timer and finalizes every
-  *     window. Aggregation pipelines must filter `kind =!= Sentinel`
-  *     AFTER `withWatermark` (the sentinel must flow through the
-  *     watermark node, not into the aggregate); the keyed state machines
-  *     ignore the sentinel kind by construction.
+  *     window. Aggregation pipelines must let the sentinel flow ALL THE
+  *     WAY INTO the aggregate and exclude it there (conditional
+  *     `count(when(kind =!= Sentinel, ...))` + a cnt>0 post-filter): a
+  *     plain filter placed after `withWatermark` gets PUSHED BELOW the
+  *     EventTimeWatermark node by the optimizer, the sentinel never
+  *     reaches the watermark operator, and the final window never
+  *     finalizes. The keyed state machines ignore the sentinel kind by
+  *     construction.
   *
   * The one driver-side action is a scalar max(ts) (to place the
   * sentinels) — everything else is distributed.
