@@ -1083,6 +1083,24 @@ object SparkEntry {
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
+    "d_containment" -> ((s, dir) => {
+      // asymmetric containment pairs: short-doc-inside-long-doc overlap
+      // Jaccard can't see; lossless shingle equi-join, integer record
+      Dedup.containmentPairs(
+        Tables(s, dir).documents, col("doc_id"), col("text"), n = 3, threshold = 0.8)
+    }),
+    "q_movers" -> ((s, dir) => {
+      // top-10 day-over-day movers per (type, day) in exact micros —
+      // the anomaly shortlist; lag per key, TakeOrdered final
+      Stats.topMovers(
+        Tables(s, dir).events, col("event_type"), col("ts"), col("value"), topN = 10)
+    }),
+    "p_range_bounds" -> ((s, dir) => {
+      // range-partition boundary plan: 8-way split points for n_chars
+      // from the deterministic md5 half-sample
+      Stats.rangeBounds(
+        Tables(s, dir).documents, col("doc_id"), col("n_chars"), k = 8, sampleFrac = 0.5)
+    }),
     "q_trend_slope" -> ((s, dir) => {
       // per-type least-squares trend of daily revenue — the record
       // carries the EXACT rational slope_num/slope_den (integer division
@@ -2925,6 +2943,46 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "d_containment" ->
+      s"""WITH d AS (SELECT doc_id, $tokensExpr AS w FROM documents),
+         |g AS (SELECT doc_id, $shinglesExpr AS sh FROM d),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS c,
+         |    least(len(a.sh), len(b.sh)) AS m
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |)
+         |SELECT a, b, c * 1000000 // m AS c_micro
+         |FROM p WHERE c * 1000000 // m >= 800000""".stripMargin,
+    "q_movers" ->
+      """WITH d AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT key, day, rev_micro,
+        |    rev_micro - lag(rev_micro) OVER (PARTITION BY key ORDER BY day)
+        |      AS delta_micro
+        |  FROM d
+        |)
+        |SELECT key, day, rev_micro, delta_micro FROM l
+        |WHERE delta_micro IS NOT NULL
+        |ORDER BY abs(delta_micro) DESC, key, day LIMIT 10""".stripMargin,
+    "p_range_bounds" ->
+      """WITH s AS (
+        |  SELECT n_chars AS v FROM documents
+        |  WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) / 281474976710656.0 < 0.5
+        |), r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS cnt
+        |  FROM s
+        |), p AS (
+        |  SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS p
+        |)
+        |SELECT p, v AS value
+        |FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * cnt) AS BIGINT))""".stripMargin,
     "q_range_join_stream" ->
       """SELECT date_trunc('day', ts) AS window_start, tier, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev

@@ -160,6 +160,44 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: (a < b) where the smaller shingle
+    * set's containment `|A∩B| / min(|A|,|B|)` ≥ `threshold` — catches a
+    * short document quoted/embedded inside a long one, which Jaccard
+    * structurally cannot (a 50-shingle doc fully inside a 5000-shingle
+    * doc has J ≈ 0.01 but containment 1.0). Same lossless shingle-hash
+    * equi-join plan as [[ngramJaccardPairs]] (any pair with containment
+    * > 0 shares a shingle; intersection size falls out of the join
+    * row count), so the oracle replays it exactly.
+    *
+    * Emits (a, b, c_micro) with containment floored to 1e-6 ints (one
+    * integer division — the record carries no doubles).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val exploded = TextOps
+      .shingleHashRows(df, id, text, n)
+      .distinct()
+      .withColumn(
+        "n_sh",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    exploded
+      .as("l")
+      .join(exploded.as("r"), col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(
+        col("l.doc_id").as("a"),
+        col("r.doc_id").as("b"),
+        col("l.n_sh").as("na"),
+        col("r.n_sh").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("c_micro", expr("c * 1000000L div least(na, nb)"))
+      .filter(col("c_micro") >= (threshold * 1e6).toLong)
+      .select(col("a"), col("b"), col("c_micro"))
+  }
+
   // ---- MinHash + LSH ----
 
   /** Prime modulus > 2^32 for the universal-hash family. */

@@ -252,6 +252,61 @@ object Stats {
         sum(col("__gap")).as("sum_gap_us"))
   }
 
+  /** Top day-over-day movers: the `topN` (key, day) cells with the
+    * largest absolute change vs the key's PREVIOUS PRESENT day — the
+    * "what jumped yesterday" anomaly shortlist, in exact micro integers.
+    * Tie-break (|Δ| desc, key, day) is total, so the shortlist is
+    * deterministic; a key's first day has no Δ and never ranks.
+    *
+    * Scale: corpus → (key, day) aggregate (map-side combined), lag
+    * window per key over |days| rows, then TakeOrdered(topN) — no
+    * global sort.
+    */
+  def topMovers(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(topN >= 1, "need topN >= 1")
+    val w = Window.partitionBy("key").orderBy("day")
+    df.groupBy(key.as("key"), to_date(ts).as("day"))
+      .agg((sum(value.cast(DecimalType(18, 6))) * lit(1000000)).cast("long").as("rev_micro"))
+      .withColumn("delta_micro", col("rev_micro") - lag(col("rev_micro"), 1).over(w))
+      .filter(col("delta_micro").isNotNull)
+      .orderBy(abs(col("delta_micro")).desc, col("key").asc, col("day").asc)
+      .limit(topN)
+  }
+
+  /** Range-partition boundary planner: `k`-way split points for `value`
+    * from a deterministic md5 sample — what a range-partitioned write
+    * (global sort, z-order sweep) needs BEFORE it runs, computed the way
+    * Spark's RangePartitioner does (sample → sort sample → pick
+    * boundaries) but reproducibly (hash sample, not random) and as a
+    * first-class query. Returns k−1 rows (p, value): the type-1 i/k
+    * quantiles of the sample.
+    *
+    * Scale: the sample is `sampleFrac` of the corpus (scan + filter, no
+    * shuffle), the boundary sort runs on the sample only — the classic
+    * trade: boundaries are within sampling error of the true quantiles,
+    * which range partitioning tolerates by design (it balances, it does
+    * not promise exact splits).
+    */
+  def rangeBounds(
+      df: DataFrame,
+      id: Column,
+      value: Column,
+      k: Int,
+      sampleFrac: Double = 0.5): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val sample = df
+      .filter(Sampling.hashUnit(id) < sampleFrac)
+      .select(lit(0).as("__k"), value.as("__v"))
+    quantilesByKey(sample, col("__k"), col("__v"), (1 until k).map(_.toDouble / k))
+      .select(col("p"), col("value"))
+  }
+
   /** Per-key linear trend of the daily value series: the least-squares
     * slope over (epoch-day x, exact micro day-sum y), emitted as the
     * EXACT RATIONAL `slope_num / slope_den` in DECIMAL(38,0)

@@ -142,6 +142,41 @@ class RobustStatsSpec extends SparkSpec {
     assert(composed == raw)
   }
 
+  test("containmentPairs catches a short doc inside a long one that Jaccard misses") {
+    val short = "q w e r t" // 3 shingles, all inside long
+    val long = (Seq("q w e r t") ++ (1 to 50).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "x y z")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select(col("a"), col("b"), col("c_micro")).as[(Long, Long, Long)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1000000L))) // full containment
+    val jac = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+    assert(jac.count() == 0) // Jaccard at the same bar sees nothing
+  }
+
+  test("topMovers: largest |day-over-day| deltas, first day never ranks") {
+    val df = Seq(
+      ("a", "2020-01-01", 1.0), ("a", "2020-01-02", 10.0), // Δ +9M
+      ("a", "2020-01-03", 8.0),                            // Δ -2M
+      ("b", "2020-01-01", 100.0))                          // single day: no Δ
+      .toDF("k", "t", "v").withColumn("t", col("t").cast("timestamp"))
+    val got = Stats.topMovers(df, col("k"), col("t"), col("v"), topN = 5)
+      .select(col("key"), col("day").cast("string"), col("delta_micro"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "2020-01-02", 9000000L), ("a", "2020-01-03", -2000000L)))
+  }
+
+  test("rangeBounds: sample quantile boundaries are ordered and within range") {
+    val df = Seq.tabulate(1000)(i => (i.toLong, (i % 500).toLong)).toDF("id", "v")
+    val bounds = Stats.rangeBounds(df, col("id"), col("v"), k = 4, sampleFrac = 0.5)
+      .orderBy("p").select(col("value")).as[Long].collect().toSeq
+    assert(bounds.length == 3)
+    assert(bounds == bounds.sorted)
+    assert(bounds.forall(b => b >= 0 && b < 500))
+    // a ~50% hash sample of a uniform 0..499 column puts the quartile
+    // boundaries near 125/250/375 — sampling error well under a bucket
+    assert(math.abs(bounds(1) - 250) < 50)
+  }
+
   test("psiByKey: identical slices score ~0, a shifted slice scores high") {
     // slice A values in [0,100), slice B identical -> every bin balanced
     // -> each term is (p-p)*ln(1)=0 exactly
