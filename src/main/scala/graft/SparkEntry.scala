@@ -1083,6 +1083,14 @@ object SparkEntry {
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD Type-2 history: per-user validity intervals from the change
+      // log — valid_to = next change, null on the current version
+      Sequences.scdHistory(
+          Tables(s, dir).events, col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"))
+    }),
     "d_containment" -> ((s, dir) => {
       // asymmetric containment pairs: short-doc-inside-long-doc overlap
       // Jaccard can't see; lossless shingle equi-join, integer record
@@ -1746,6 +1754,29 @@ object SparkEntry {
         .filter(col("cnt") > 0)
         .select(col("window_start"), col("tier"), col("cnt"),
           (col("__rev").cast("double") / 1e6).as("rev"))
+    }),
+    "q_movers_stream" -> ((s, dir) => {
+      // q_movers' streaming form: the SAME dailyMovingStats machine
+      // carries the previous present-day sum, so each finalized day
+      // emits its exact delta; the top-10 shortlist is a TakeOrdered
+      // over the machine's (already daily-grain) output — shares the
+      // batch oracle
+      val input = Tables(s, dir).events
+        .select(
+          col("event_type").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"),
+          (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("value"))
+      Replay
+        .keyedValueEvents(input) { stream =>
+          StateMachines.dailyMovingStats(stream, window = 7).toDF()
+        }
+        .filter(col("prev_micro").isNotNull)
+        .select(col("key"), col("day"), col("rev_micro"),
+          (col("rev_micro") - col("prev_micro")).as("delta_micro"))
+        .orderBy(abs(col("delta_micro")).desc, col("key").asc, col("day").asc)
+        .limit(10)
     }),
     "q_uv_sketch_stream" -> ((s, dir) => {
       // q_uv_sketch's streaming form: daily per-type HLL sketches built
@@ -2943,6 +2974,25 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to
+        |FROM events""".stripMargin,
+    "q_movers_stream" ->
+      """WITH d AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT key, day, rev_micro,
+        |    rev_micro - lag(rev_micro) OVER (PARTITION BY key ORDER BY day)
+        |      AS delta_micro
+        |  FROM d
+        |)
+        |SELECT key, day, rev_micro, delta_micro FROM l
+        |WHERE delta_micro IS NOT NULL
+        |ORDER BY abs(delta_micro) DESC, key, day LIMIT 10""".stripMargin,
     "d_containment" ->
       s"""WITH d AS (SELECT doc_id, $tokensExpr AS w FROM documents),
          |g AS (SELECT doc_id, $shinglesExpr AS sh FROM d),

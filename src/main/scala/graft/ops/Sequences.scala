@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object Sequences {
 
+  /** SCD Type-2 history build: turn an append-only per-key change log
+    * into warehouse-style VALIDITY INTERVALS — each event's row carries
+    * `valid_from` = its own timestamp and `valid_to` = the key's next
+    * change (null on the current version), so "state of the key at time
+    * T" becomes a range predicate instead of an as-of scan. The
+    * batch-materialization counterpart of [[graft.ops.Dedup.keepLatest]]
+    * (which keeps only the final version) and of the as-of join (which
+    * probes the same history point-wise).
+    *
+    * `tieBreak` must totally order same-timestamp changes (an event/LSN
+    * id). One exchange on the key + per-key sort, output = input rows +
+    * two columns; nothing corpus-sized moves twice.
+    */
+  def scdHistory(df: DataFrame, key: Column, ts: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieBreak)
+    df.withColumn("valid_from", ts)
+      .withColumn("valid_to", lead(ts, 1).over(w))
+  }
+
   /** N consecutive matching events per key, all within `maxGapSec` of the
     * first, with no non-matching event in between (a non-match resets the
     * run). Reference C3/C4/C5: consecutive login failures within a bound —

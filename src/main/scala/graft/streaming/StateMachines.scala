@@ -650,7 +650,8 @@ object StateMachines {
       ma_num_micro: Long,
       ma_cnt: Long,
       cum_micro: Long,
-      ewma_micro: Long)
+      ewma_micro: Long,
+      prev_micro: Option[Long])
 
   /** Streaming trailing-moving-average machine: per key, fold events into
     * per-day exact micro sums; when the watermark passes a day's end the
@@ -701,14 +702,15 @@ object StateMachines {
           var cum = st0.cum
           var ewma = st0.ewma
           val out = ready.sortBy(_._1).map { case (d, s) =>
+            val prev = lastWin.headOption // previous PRESENT day's sum
             cum += s
             lastWin = (s :: lastWin).take(window)
             // α=1/2 integer EWMA over PRESENT days: s₁=v₁, sₜ=(vₜ+sₜ₋₁)>>1
             // — the same recursion as the batch Stats.ewmaDaily fold
-            ewma = Some(ewma.fold(s)(prev => (s + prev) >> 1))
+            ewma = Some(ewma.fold(s)(p => (s + p) >> 1))
             DailyStatRow(
               key, java.time.LocalDate.ofEpochDay(d),
-              s, lastWin.sum, lastWin.size.toLong, cum, ewma.get)
+              s, lastWin.sum, lastWin.size.toLong, cum, ewma.get, prev)
           }
           state.update(DailyMovingState(still, lastWin, cum, ewma))
           if (still.nonEmpty) {
