@@ -1055,7 +1055,10 @@ object SparkEntry {
     "d_cluster_sizes" -> ((s, dir) => {
       // dedup QA: component-size distribution of the near-dup graph —
       // catches a threshold too loose (giant component) or too tight
-      // (all size-2) at a glance; aggregates the CC label table only
+      // (all size-2) at a glance; aggregates the CC label table only.
+      // ORACLE-ANCHOR form (raw pair graph): on duplication-heavy corpora
+      // the declared scale plan is d_cluster_sizes_composed below
+      // (61.5 s -> 3.7 s at the adversarial 10x, docs/SCALE.md)
       Dedup.clusterSizeDistribution(
         Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6))
     }),
