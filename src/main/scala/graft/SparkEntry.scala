@@ -1758,6 +1758,23 @@ object SparkEntry {
         .select(col("window_start"), col("tier"), col("cnt"),
           (col("__rev").cast("double") / 1e6).as("rev"))
     }),
+    "q_scd2_stream" -> ((s, dir) => {
+      // q_scd2's streaming form: each change closes the previous version
+      // as soon as the watermark proves order; the open version emits
+      // with null valid_to after the idle horizon (10 d > the corpus's
+      // ~4 d max per-key gap, < the sentinel's 30 d advance — the
+      // eventSequences horizon discipline). Same oracle as batch.
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          StateMachines.scdHistory(stream, idleSec = 10L * 86400).toDF()
+        }
+        .select(
+          col("key").cast("long").as("user_id"),
+          col("id").cast("long").as("event_id"),
+          col("kind").as("event_type"),
+          col("valid_from"),
+          col("valid_to"))
+    }),
     "q_movers_stream" -> ((s, dir) => {
       // q_movers' streaming form: the SAME dailyMovingStats machine
       // carries the previous present-day sum, so each finalized day
@@ -2235,6 +2252,12 @@ object SparkEntry {
       |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
       |)
       |SELECT event_type, day, rev_micro, ewma_micro FROM e""".stripMargin
+
+  private val scd2Sql =
+    """SELECT user_id, event_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to
+      |FROM events""".stripMargin
 
   private val movingAvgSql =
     """WITH d AS (
@@ -2977,11 +3000,8 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
-    "q_scd2" ->
-      """SELECT user_id, event_id, event_type, ts AS valid_from,
-        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS valid_to
-        |FROM events""".stripMargin,
+    "q_scd2_stream" -> scd2Sql,
+    "q_scd2" -> scd2Sql,
     "q_movers_stream" ->
       """WITH d AS (
         |  SELECT event_type AS key, CAST(ts AS DATE) AS day,

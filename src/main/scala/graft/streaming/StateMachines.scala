@@ -723,6 +723,78 @@ object StateMachines {
       })
   }
 
+  // ---- SCD Type-2 interval emission (streaming twin of
+  //      graft.ops.Sequences.scdHistory) ----
+
+  case class ScdState(
+      pending: List[(Long, String, String)], // (us, id, kind) not yet watermark-proved
+      last: Option[(Long, String, String)],  // current open version
+      lastUs: Long)
+
+  case class ScdRow(
+      key: String,
+      id: String,
+      kind: String,
+      valid_from: Timestamp,
+      valid_to: Option[Timestamp])
+
+  /** Streaming SCD Type-2 builder: per key, each change CLOSES the
+    * previous version (one append-mode interval row with `valid_to` =
+    * the new change's time) the moment the watermark PROVES no earlier
+    * change can still arrive; the final open version emits with null
+    * `valid_to` after `idleSec` of event-time inactivity (the
+    * [[eventSequences]] horizon discipline). Events buffer until the
+    * watermark passes them, so jitter inside the watermark delay
+    * reorders nothing — state is O(pending-within-delay + 1) per key.
+    */
+  def scdHistory(
+      events: Dataset[KeyedEvent],
+      idleSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ScdRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idleUs = idleSec * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ScdState, ScdRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        val st0 = state.getOption.getOrElse(ScdState(Nil, None, Long.MinValue))
+        val fresh = sorted(it).filter(_.kind != Replay.Sentinel)
+          .map(e => (usOf(e.ts), e.id, e.kind))
+        var lastUs = st0.lastUs
+        fresh.foreach(e => lastUs = math.max(lastUs, e._1))
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (ready, still) = (st0.pending ++ fresh)
+          .sortBy(e => (e._1, e._2))
+          .partition(_._1 <= wmUs)
+        var last = st0.last
+        val rows = scala.collection.mutable.ListBuffer[ScdRow]()
+        for (e <- ready) {
+          last.foreach(p =>
+            rows += ScdRow(key, p._2, p._3, tsOf(p._1), Some(tsOf(e._1))))
+          last = Some(e)
+        }
+        if (lastUs == Long.MinValue) {
+          state.remove() // sentinel-only group
+          Iterator.empty
+        } else if (still.isEmpty && last.isDefined && lastUs + idleUs <= wmUs) {
+          // horizon closed: the open version is final
+          val p = last.get
+          rows += ScdRow(key, p._2, p._3, tsOf(p._1), None)
+          state.remove()
+          rows.iterator
+        } else {
+          state.update(ScdState(still, last, lastUs))
+          val deadline =
+            if (still.nonEmpty) still.map(_._1).min else lastUs + idleUs
+          state.setTimeoutTimestamp(deadline / 1000L + 1)
+          rows.iterator
+        }
+      })
+  }
+
   case class TransitionRow(key: String, from_kind: String, to_kind: String)
 
   /** Streaming Markov-transition extractor: per key, every consecutive

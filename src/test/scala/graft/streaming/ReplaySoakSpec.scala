@@ -155,6 +155,39 @@ class ReplaySoakSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("scdHistory under 2s order jitter: exact validity intervals, one null-to per key") {
+    // pending events buffer until the watermark proves no earlier change
+    // can arrive, so jitter inside the 5s delay reorders nothing; the
+    // emitted intervals equal the batch lead() construction exactly
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val input = events.select(
+      col("user_id").cast("string").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"))
+    val streamed = Replay
+      .keyedEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines
+          .scdHistory(stream, idleSec = 10L * 86400, watermarkDelay = "5 seconds")
+          .toDF()
+      }
+      .select(col("key").cast("long"), col("id").cast("long"),
+        col("valid_from"), col("valid_to"))
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    val batch = graft.ops.Sequences
+      .scdHistory(events, col("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_id"), col("valid_from"), col("valid_to"))
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // exactly one open (null valid_to) version per key
+    val opens = streamed.toSeq.filter(_._4.isEmpty).groupBy(_._1).map(_._2.size)
+    assert(opens.forall(_ == 1))
+  }
+
   test("dailyMovingStats under 2s order jitter: exact day sums, windows, and cum totals") {
     // a day finalizes only when wm passes its END + delay headroom; with
     // delay 5s > 2×jitter every event lands before its day closes, so
