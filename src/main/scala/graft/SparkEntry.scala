@@ -1086,6 +1086,16 @@ object SparkEntry {
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
+    "q_wau" -> ((s, dir) => {
+      // rolling weekly actives per day (the DAU/WAU engagement family):
+      // exact distinct users per 7d/1d sliding window — 7× expansion
+      // before the distinct, the documented knee where the HLL pane
+      // merge takes over (WindowAggs.slidingCountDistinct scaladoc)
+      WindowAggs
+        .slidingCountDistinct(
+          Tables(s, dir).events, col("ts"), "7 days", "1 day", col("user_id"))
+        .select(col("window_start"), col("uv"))
+    }),
     "q_scd2" -> ((s, dir) => {
       // SCD Type-2 history: per-user validity intervals from the change
       // log — valid_to = next change, null on the current version
@@ -3000,6 +3010,15 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_wau" ->
+      """WITH w AS (
+        |  SELECT DISTINCT
+        |    make_timestamp((epoch_us(ts) // 86400000000 - i) * 86400000000)
+        |      AS window_start,
+        |    user_id
+        |  FROM events, (SELECT unnest(range(0, 7)) AS i) s
+        |)
+        |SELECT window_start, count(*) AS uv FROM w GROUP BY 1""".stripMargin,
     "q_scd2_stream" -> scd2Sql,
     "q_scd2" -> scd2Sql,
     "q_movers_stream" ->

@@ -218,6 +218,9 @@ object Sampling {
     val tot = ranked.agg(count(lit(1)).as("__n"))
     ranked
       .crossJoin(broadcast(tot))
+      // a 0/1-row corpus has no possible negative (and n-1 would be a
+      // zero modulus under ANSI): emit nothing rather than erroring
+      .filter(col("__n") > 1)
       .select(col("doc_id"), col("__r"), col("__n"),
         explode(sequence(lit(1), lit(k))).as("j"))
       .withColumn("__h",

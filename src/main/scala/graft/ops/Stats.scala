@@ -374,12 +374,17 @@ object Stats {
       inA: Column,
       width: Double): DataFrame = {
     require(width > 0, "need width > 0")
+    // persisted: the bin-count frame feeds both the totals and the term
+    // join — unpersisted, Catalyst would specialize each use into its own
+    // corpus scan (the gapFillHourly lesson). |keys|·|bins| rows: the
+    // cache is O(output), never O(corpus).
     val counts = df
       .select(key.as("key"), floor(value / width).cast("long").as("bin"), inA.as("__a"))
       .groupBy(col("key"), col("bin"))
       .agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+      .persist()
     val totals = counts
       .groupBy(col("key").as("__tk"))
       .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),

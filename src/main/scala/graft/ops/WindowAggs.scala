@@ -127,6 +127,27 @@ object WindowAggs {
       df.groupBy(window(ts, size) +: keys: _*)
         .agg(count_distinct(distinctCol).as(countName)))
 
+  /** Exact distinct count per SLIDING window — the DAU/WAU/MAU
+    * engagement family (size "7 days" / slide "1 day" = rolling weekly
+    * actives per day). Each event expands into size/slide windows before
+    * the distinct, so the exchange is (windows-per-event)× the input —
+    * fine for day-grain engagement (≤ 31×); for tighter slides or
+    * looser windows switch to [[tumblingApproxDistinct]] per slide pane
+    * and merge HLL states ([[graft.ops.Sketches.hllRollup]]'s posture:
+    * a distinct can't pane-combine exactly, a sketch can).
+    */
+  def slidingCountDistinct(
+      df: DataFrame,
+      ts: Column,
+      size: String,
+      slide: String,
+      distinctCol: Column,
+      keys: Seq[Column] = Nil,
+      countName: String = "uv"): DataFrame =
+    flatten(
+      df.groupBy(window(ts, size, slide) +: keys: _*)
+        .agg(count_distinct(distinctCol).as(countName)))
+
   /** Approximate distinct count (HLL++) per tumbling window — the
     * scale path for reference A8 (`UniqueVisitorApp2`'s hand-rolled
     * Redis-bitmap bloom filter). Constant memory per (window,key)

@@ -303,6 +303,35 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"keep-latest must plan a group-limit, not a full per-key sort:\n$p")
   }
 
+  test("psi: the corpus scans once — totals and terms reuse the persisted bin counts") {
+    // the raw plan string expands InMemoryRelation internals (which
+    // re-print the cached FileScan), so the pin is cache USE, not a
+    // scan count: both consumers must read the persisted bin counts
+    val df = SparkEntry.queries("q_psi")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"totals and term join must both reuse the persisted bin counts:\n$p")
+  }
+
+  test("trend slope: aggregated exchanges only, no corpus-wide window or sort") {
+    val p = plan("q_trend_slope")
+    assert(!p.contains("WindowExec") && !p.toLowerCase.contains("sortmergejoin"),
+      s"moment sums must stay pure aggregates:\n$p")
+  }
+
+  test("scd2 history: one key exchange, the lead window sorts within partitions") {
+    val p = plan("q_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"scd2 is one exchange on the key:\n$p")
+  }
+
+  test("containment pairs join on hashed long shingles, not strings") {
+    val p = plan("d_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"containment must stay an equi-join:\n$p")
+  }
+
   test("pii audit is a pure projection: no exchange, no UDF") {
     val p = plan("t_pii")
     assert(!p.contains("Exchange"), p)

@@ -212,4 +212,40 @@ class RobustnessSpec extends SparkSpec {
     val const = Seq((1L, "a", 5.0), (2L, "a", 5.0)).toDF("event_id", "event_type", "value")
     assert(Stats.zscoreOutliers(const, col("event_type"), col("value")).count() == 0)
   }
+
+  test("round-8 late-batch ops on degenerate input: empties, singletons, zero modulus") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyVals = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("k", "ts", "v")
+
+    // negativeSamples on a 0/1-row corpus: n-1 would be a ZERO MODULUS
+    // under ANSI pmod — must emit nothing, not throw
+    assert(Sampling.negativeSamples(emptyDocs, col("doc_id"), 3).count() == 0)
+    val one = Seq(Tuple1(7L)).toDF("doc_id")
+    assert(Sampling.negativeSamples(one, col("doc_id"), 3).count() == 0)
+
+    // stats family on empty input: no throw, empty output
+    assert(Stats.madOutliers(emptyVals, col("k"), col("v")).count() == 0)
+    assert(Stats.winsorizeByKey(emptyVals, col("k"), col("v")).count() == 0)
+    assert(Stats.ewmaDaily(emptyVals, col("k"), col("ts"), col("v")).count() == 0)
+    assert(Stats.trendSlopeByKey(emptyVals, col("k"), col("ts"), col("v")).count() == 0)
+    assert(Stats.topMovers(emptyVals, col("k"), col("ts"), col("v")).count() == 0)
+    assert(Stats.psiByKey(emptyVals, col("k"), col("v"), lit(true), 10.0).count() == 0)
+
+    // psi with an entirely one-sided slice: smoothing keeps terms finite
+    val oneSided = Seq(("k", 1.0, true), ("k", 2.0, true)).toDF("k", "v", "a")
+    assert(Stats.psiByKey(oneSided, col("k"), col("v"), col("a"), 10.0).count() == 1)
+
+    // containment with an empty corpus / single doc: no pairs, no throw
+    assert(Dedup.containmentPairs(emptyDocs, col("doc_id"), col("text"), 3, 0.8).count() == 0)
+    val single = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(single, col("doc_id"), col("text"), 3, 0.8).count() == 0)
+
+    // incrementalIngest with an empty corpus admits the whole batch
+    val batch = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    assert(Dedup.incrementalIngest(emptyDocs, batch, col("doc_id"), col("text")).count() == 2)
+
+    // mixtureAllocation with an empty corpus: empty plan, no throw
+    assert(Sampling.mixtureAllocation(
+      emptyDocs, col("text"), col("doc_id"), Seq("a" -> 500000L), 100L).count() == 0)
+  }
 }
