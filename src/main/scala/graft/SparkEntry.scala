@@ -1086,6 +1086,25 @@ object SparkEntry {
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
+    "e_norms" -> ((s, dir) => {
+      // embedding-store QA: per-vector dim + floored squared norm — the
+      // zero/truncated-vector pre-flight; pure projection
+      Embeddings.normStats(Tables(s, dir).embeddings, col("vec_id"), col("embedding"))
+    }),
+    "q_wau_sketch" -> ((s, dir) => {
+      // q_wau's sketch-store form: ONE daily HLL build answers every
+      // 7-day window by unioning 7 sketches — the pane merge an exact
+      // distinct cannot do. Estimates ⇒ rows-only record; ApproxGates
+      // bounds error vs exact q_wau (<5%) and pins the window set
+      val daily = Tables(s, dir).events
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      daily
+        .select(col("day"), col("sk"), explode(sequence(lit(0), lit(6))).as("i"))
+        .withColumn("window_start", col("day") - expr("make_interval(0, 0, 0, i)"))
+        .groupBy(col("window_start"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("uv_est"))
+    }),
     "q_wau" -> ((s, dir) => {
       // rolling weekly actives per day (the DAU/WAU engagement family):
       // exact distinct users per 7d/1d sliding window — 7× expansion
@@ -3010,6 +3029,12 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "e_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+        |    AS norm_sq_micro
+        |FROM embeddings""".stripMargin,
     "q_wau" ->
       """WITH w AS (
         |  SELECT DISTINCT

@@ -194,6 +194,22 @@ object Embeddings {
     * both engines fold lists in order, so digest parity is exact; the
     * digest floors to micro-units like [[pcaProjectDigest]].
     */
+  /** Embedding-store QA: per-vector squared L2 norm in floored
+    * micro-units plus dimension — the pre-flight that catches zero /
+    * truncated / un-normalized vectors before they poison cosine math
+    * downstream (a zero-norm vector scores 0 against everything and
+    * silently vanishes from near-dup output). Left-to-right double fold
+    * of exact float widenings, same determinism contract as
+    * [[truncateRenorm]]'s digest — the record is engine-exact. Pure
+    * projection, no shuffle.
+    */
+  def normStats(df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(
+      id.as("vec_id"),
+      size(vec).cast("long").as("dim"),
+      floor(aggregate(vec.cast("array<double>"), lit(0.0), (acc, x) => acc + x * x) * 1e6)
+        .cast("long").as("norm_sq_micro"))
+
   def truncateRenorm(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")
     val t = slice(vec.cast("array<double>"), 1, k)

@@ -151,6 +151,22 @@ class ApproxGatesSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q_wau_sketch: pane-merged estimates within 5% of exact sliding distinct") {
+    // the daily-sketch union must cover exactly the exact query's window
+    // set (every 7d/1d window any event touches) and estimate each
+    // window's true distinct within HLL lgK=12 accuracy
+    val exact = graft.SparkEntry.queries("q_wau")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val est = graft.SparkEntry.queries("q_wau_sketch")(spark, dir)
+      .select(col("window_start"), col("uv_est").cast("double"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+    assert(est.keySet == exact.keySet)
+    for ((w, e) <- exact) {
+      val rel = math.abs(est(w) - e) / e
+      assert(rel <= 0.05, s"wau sketch error $rel > 5% at $w (est ${est(w)}, exact $e)")
+    }
+  }
+
   test("t_cms_counts: every estimate within the Cormode-Muthukrishnan bound, never under") {
     // SparkEntry params: probes = distinct tokens of the 10 lowest-id
     // docs, eps=0.001, confidence=0.99. One-sided error: est >= exact
