@@ -1086,6 +1086,12 @@ object SparkEntry {
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
+    "q_join_profile" -> ((s, dir) => {
+      // pre-join diagnostic: exact output cardinality + orphan rows for
+      // lineitem ⋈ orders — read this BEFORE shipping the 100 TB join
+      val t = Tables(s, dir)
+      Stats.joinProfile(t.lineitem, t.orders, col("l_orderkey"), col("o_orderkey"))
+    }),
     "e_norms" -> ((s, dir) => {
       // embedding-store QA: per-vector dim + floored squared norm — the
       // zero/truncated-vector pre-flight; pure projection
@@ -3029,6 +3035,18 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_join_profile" ->
+      """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+        |r AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+        |j AS (SELECT * FROM l FULL OUTER JOIN r USING (k))
+        |SELECT sum(cl) AS n_left, sum(cr) AS n_right,
+        |  count(cl) AS n_left_keys, count(cr) AS n_right_keys,
+        |  count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END)
+        |    AS n_shared_keys,
+        |  coalesce(sum(cl * cr), 0) AS join_rows,
+        |  coalesce(sum(CASE WHEN cr IS NULL THEN cl END), 0) AS left_orphan_rows,
+        |  coalesce(sum(CASE WHEN cl IS NULL THEN cr END), 0) AS right_orphan_rows
+        |FROM j""".stripMargin,
     "e_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]),

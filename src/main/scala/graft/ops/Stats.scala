@@ -524,6 +524,37 @@ object Stats {
         col("n_keys"))
   }
 
+  /** Pre-join profile: the one-row diagnostic to read BEFORE shipping a
+    * 100 TB join — row/key counts per side, shared-key count, the EXACT
+    * join output cardinality (Σ over shared keys of leftCnt·rightCnt —
+    * the number a fan-out bug inflates by orders of magnitude), and
+    * orphan rows per side (referential-integrity violations for a
+    * foreign-key join; expected population for an outer join).
+    *
+    * Scale: each side aggregates to key grain (map-side combined), then
+    * one key-grain full-outer join of the two |keys|-sized count tables
+    * — the corpus is scanned once per side and never joined row-level.
+    * All outputs exact integers.
+    */
+  def joinProfile(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column): DataFrame = {
+    val l = left.groupBy(leftKey.as("__k")).agg(count(lit(1)).as("__cl"))
+    val r = right.groupBy(rightKey.as("__k")).agg(count(lit(1)).as("__cr"))
+    l.join(r, Seq("__k"), "full_outer")
+      .agg(
+        sum(col("__cl")).as("n_left"),
+        sum(col("__cr")).as("n_right"),
+        count(col("__cl")).as("n_left_keys"),
+        count(col("__cr")).as("n_right_keys"),
+        count(when(col("__cl").isNotNull && col("__cr").isNotNull, 1)).as("n_shared_keys"),
+        coalesce(sum(col("__cl") * col("__cr")), lit(0L)).as("join_rows"),
+        coalesce(sum(when(col("__cr").isNull, col("__cl"))), lit(0L)).as("left_orphan_rows"),
+        coalesce(sum(when(col("__cl").isNull, col("__cr"))), lit(0L)).as("right_orphan_rows"))
+  }
+
   /** Time-series densification + gap fill: the hourly per-key series with
     * every hour of the observed global span present — missing (key, hour)
     * cells emitted with `rev = 0` and `rev_locf` carried forward from the

@@ -237,6 +237,17 @@ class RobustStatsSpec extends SparkSpec {
     assert(got("misc") == (("misc", 30L, 0L, 0L, 0L)))
   }
 
+  test("joinProfile: exact fan-out cardinality and per-side orphans") {
+    val l = Seq((1L, "x"), (1L, "y"), (2L, "z"), (9L, "o")).toDF("lk", "pay")
+    val r = Seq((1L, "a"), (1L, "b"), (3L, "c")).toDF("rk", "dim")
+    val got = Stats.joinProfile(l, r, col("lk"), col("rk"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // join rows: key 1 -> 2*2 = 4 (key 2/9 orphan left, key 3 orphan right)
+    assert(got == ((4L, 3L, 3L, 2L, 1L, 4L, 2L, 1L)))
+    val plain = l.join(r, col("lk") === col("rk")).count()
+    assert(plain == 4L) // forecast equals the real join
+  }
+
   test("rrfFuse: integer contributions, absent ranking contributes 0, deterministic ties") {
     val ra = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
     val rb = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
