@@ -1086,6 +1086,19 @@ object SparkEntry {
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
+    "p_blocklist" -> ((s, dir) => {
+      // safety/compliance audit: ANY-term blocklist hits with the
+      // per-doc term trail; token stream prunes to the blocklist first
+      TextOps.blocklistAudit(
+        Tables(s, dir).documents, col("doc_id"), col("text"),
+        Seq("slow", "big", "stream"))
+    }),
+    "q_vocab_growth" -> ((s, dir) => {
+      // Heaps-law vocabulary growth at 50-doc grain: plateau = template
+      // corpus, linear = noise; types count at first occurrence
+      TextOps.vocabGrowth(
+        Tables(s, dir).documents, col("doc_id"), col("text"), bucket = 50)
+    }),
     "q_join_profile" -> ((s, dir) => {
       // pre-join diagnostic: exact output cardinality + orphan rows for
       // lineitem ⋈ orders — read this BEFORE shipping the 100 TB join
@@ -1749,6 +1762,31 @@ object SparkEntry {
           (col("rev_micro").cast("double") / 1e6).as("daily_rev"),
           ((col("ma_num_micro").cast("double") / 1e6) / col("ma_cnt")).as("ma7"),
           (col("cum_micro").cast("double") / 1e6).as("cum_rev"))
+    }),
+    "q_semi_join_stream" -> ((s, dir) => {
+      // STREAM-STATIC left_semi: daily count of events from the static
+      // top-50 power-user set. The dim carries the sentinel key too, so
+      // the sentinel reaches the conditional aggregate and the final day
+      // still finalizes (Replay's pushdown rule, applied to joins that
+      // would otherwise drop it)
+      val s2 = s
+      import s2.implicits._
+      val power = TopN
+        .perPartition(
+          Tables(s, dir).events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt")),
+          Seq(lit(1)), Seq(col("cnt").desc, col("user_id").asc), 50)
+        .select(col("user_id").cast("string").as("pu"))
+        .union(Seq(Replay.Sentinel).toDF("pu"))
+      Replay
+        .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          stream.toDF()
+            .withWatermark("ts", "0 seconds")
+            .join(broadcast(power), col("key") === col("pu"), "left_semi")
+            .groupBy(window(col("ts"), "1 day"))
+            .agg(count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"))
+            .select(col("window.start").as("window_start"), col("cnt"))
+        }
+        .filter(col("cnt") > 0)
     }),
     "q_range_join_stream" -> ((s, dir) => {
       // q_range_join's streaming form at daily grain: STREAM-STATIC
@@ -3034,6 +3072,35 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+        |GROUP BY 1""".stripMargin,
+    "p_blocklist" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS w FROM documents)
+         |SELECT doc_id, count(*) AS n_hits,
+         |  array_to_string(list_sort(list_distinct(list(w))), '|') AS hit_terms
+         |FROM toks WHERE w IN ('slow', 'big', 'stream')
+         |GROUP BY doc_id""".stripMargin,
+    "q_vocab_growth" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+         |  FROM documents
+         |), toks AS (
+         |  SELECT rk, unnest($tokensExpr) AS w FROM r
+         |), fs AS (
+         |  SELECT w, min(rk) AS fr FROM toks WHERE w <> '' GROUP BY w
+         |), b AS (
+         |  SELECT fr // 50 AS bucket, count(*) AS new_types FROM fs GROUP BY 1
+         |)
+         |SELECT bucket, new_types,
+         |  sum(new_types) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
+         |FROM b""".stripMargin,
+    "q_semi_join_stream" ->
+      """WITH p AS (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  ORDER BY count(*) DESC, user_id LIMIT 50
+        |)
+        |SELECT date_trunc('day', ts) AS window_start, count(*) AS cnt
+        |FROM events WHERE user_id IN (SELECT user_id FROM p)
         |GROUP BY 1""".stripMargin,
     "q_join_profile" ->
       """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),

@@ -730,6 +730,66 @@ object TextOps {
       .select(col("doc_id"), col("tf_total"))
   }
 
+  /** Blocklist audit: per matching document, how many blocked-term hits
+    * and WHICH terms (sorted, pipe-joined) — the safety/compliance
+    * filter stage with the audit trail reviewers need (a bare `filter`
+    * tells you nothing about WHY a doc dropped). Complements
+    * [[conjunctiveSearch]] (ALL terms) with the disjunctive ANY-term
+    * form. Token stream prunes to the blocklist before any exchange;
+    * docs with no hit are absent (anti-join against this = the clean
+    * corpus).
+    */
+  def blocklistAudit(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one blocked term")
+    df.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        array_join(array_sort(collect_set(col("w"))), "|").as("hit_terms"))
+  }
+
+  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct word types
+    * vs corpus position, at `bucket`-doc granularity — the corpus-QA
+    * curve that flags template/boilerplate corpora (vocab plateaus) and
+    * near-random noise (vocab grows linearly). Position is doc-id rank;
+    * each type counts at its FIRST occurrence, so the curve is exact and
+    * order-deterministic. Returns (bucket, new_types, cum_types).
+    *
+    * Scale: one (word)-grain aggregate finds each type's first doc rank
+    * (min over an id-rank column), one bucket-grain count, and a running
+    * sum over |buckets| rows — the corpus tokenizes once; the global
+    * id-rank uses a dense_rank window documented like
+    * [[graft.ops.Sampling.negativeSamples]]'s (range-partitioned sort,
+    * reusable).
+    */
+  def vocabGrowth(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      bucket: Int): DataFrame = {
+    require(bucket >= 1, "need bucket >= 1")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(id)
+    val ranked = df
+      .withColumn("__r", row_number().over(w).cast("long") - 1)
+      .select(col("__r"), explode(tokens(text)).as("__w"))
+      .filter(col("__w") =!= "")
+    val firstSeen = ranked
+      .groupBy(col("__w"))
+      .agg(min(col("__r")).as("__fr"))
+      .groupBy(expr(s"__fr div ${bucket}L").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    firstSeen.withColumn(
+      "cum_types",
+      sum(col("new_types")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
+
   /** Per-term tf ranking: docs containing `term` ranked by (tf desc,
     * doc_id asc) — one pruned-token-stream aggregate; the minimal
     * ranked-retrieval input for [[rrfFuse]] (any ranking with

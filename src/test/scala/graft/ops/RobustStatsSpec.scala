@@ -237,6 +237,25 @@ class RobustStatsSpec extends SparkSpec {
     assert(got("misc") == (("misc", 30L, 0L, 0L, 0L)))
   }
 
+  test("blocklistAudit: hit counts + sorted term trail; clean docs absent") {
+    val docs = Seq(
+      (1L, "bad worse bad ok"), (2L, "all clean here"), (3L, "worse"))
+      .toDF("doc_id", "text")
+    val got = TextOps.blocklistAudit(docs, col("doc_id"), col("text"), Seq("bad", "worse"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((3L, "bad|worse")), 3L -> ((1L, "worse"))))
+  }
+
+  test("vocabGrowth: types count at first occurrence; running total is cumulative") {
+    // bucket=2: docs 0,1 -> bucket 0 (types a,b,c); docs 2,3 -> bucket 1
+    // (only d is NEW)
+    val docs = Seq((10L, "a b"), (11L, "b c"), (12L, "a d"), (13L, "c d"))
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(docs, col("doc_id"), col("text"), bucket = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 3L, 3L), (1L, 1L, 4L)))
+  }
+
   test("joinProfile: exact fan-out cardinality and per-side orphans") {
     val l = Seq((1L, "x"), (1L, "y"), (2L, "z"), (9L, "o")).toDF("lk", "pay")
     val r = Seq((1L, "a"), (1L, "b"), (3L, "c")).toDF("rk", "dim")
