@@ -408,6 +408,57 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(discPrice).cast("double").as("revenue"))
     }),
+    "q_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape: for each part in the p_size slice, the supplier
+      // with the LOWEST observed sale price (argmin-per-group + dimension
+      // join-back). Plan discipline: the part slice broadcasts INTO the
+      // fact scan first (row-group pruning + a 394-key build side), so
+      // the (partkey, suppkey) aggregate only sees the slice's lineitems;
+      // the per-part argmin is a rank-1 WindowGroupLimit (per-map-task
+      // top-1 before the exchange); supplier/nation broadcast onto the
+      // |parts|-sized result. min over doubles is exact — no accumulation,
+      // so the record hashes cross-engine without decimal scaffolding.
+      val t = Tables(s, dir)
+      val slice = t.part.filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_name"))
+      val perSupp = t.lineitem
+        .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      TopN.perPartition(
+          perSupp,
+          partition = Seq(col("p_partkey")),
+          order = Seq(col("min_price").asc, col("l_suppkey").asc),
+          n = 1)
+        .join(broadcast(Tables(s, dir).supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir).nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("min_price"))
+    }),
+    "q_nation_flows" -> ((s, dir) => {
+      // TPC-H Q7 shape: yearly trade volume between (supplier nation →
+      // customer nation) pairs, cross-border only. One fact-fact shuffle
+      // (lineitem ⋈ orders on orderkey); customer/supplier/nation all
+      // broadcast — nation joins twice under different aliases, the
+      // multi-role-dimension pattern. Decimal money math (q1/q5): sums
+      // are order-independent, cast to double only at the edge.
+      val t = Tables(s, dir)
+      val supp = broadcast(t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = broadcast(t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("l_year"))
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
     "q_rollup_revenue" -> ((s, dir) => {
       // OLAP grouping sets — the reference's DWS summary layer (per-dim
       // cubes materialized app-by-app) re-expressed as one declarative
@@ -1167,6 +1218,32 @@ object SparkEntry {
       Stats.trendSlopeByKey(
         Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
     }),
+    "q_trend_slope_stream" -> ((s, dir) => {
+      // q_trend_slope's streaming twin: the incremental-regression machine
+      // folds per-day micro sums as days finalize and emits ONE exact
+      // rational slope per key at the 10-day idle horizon (above the
+      // corpus's max per-key gap, ≥ 1 day so the horizon outlasts open
+      // days, and under the replay sentinel's 30-day margin so the
+      // closing watermark provably arrives). BigInt in the machine where
+      // batch uses DECIMAL(38); the string→decimal cast at the edge is
+      // exact, so both twins hash against the same oracle.
+      val input = Tables(s, dir).events
+        .select(
+          col("event_type").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"),
+          (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("value"))
+      Replay
+        .keyedValueEvents(input) { stream =>
+          StateMachines.trendSlope(stream, idleSec = 10L * 86400L).toDF()
+        }
+        .select(
+          col("key"),
+          col("n_days"),
+          col("slope_num").cast(DecimalType(38, 0)).as("slope_num"),
+          col("slope_den").cast(DecimalType(38, 0)).as("slope_den"))
+    }),
     "p_mixture_alloc" -> ((s, dir) => {
       // corpus-mixing plan: 30/40/20/10% of a 20k-token budget across
       // four named sources, capped at availability, exact integer keep
@@ -1383,6 +1460,19 @@ object SparkEntry {
       Similarity.pqTopK(v, v.filter(col("id") < 10),
         m = 16, nCentroids = 16, k = 5, refine = 12)
     }),
+    "s_knn_binary" -> ((s, dir) => {
+      // binary (sign-bit) ANN: 8-byte Hamming codes scan 32× less than
+      // the float vectors, exact cosine re-ranks the rerank·k Hamming
+      // shortlist (rows-only: candidate choice is approximate, emitted
+      // sims exact). Unlike LSH/IVF nothing is skipped by bucketing —
+      // every vector is cheaply examined. Acceptance bar (ApproxGatesSpec,
+      // same params, sf0.01): recall@5 >= 0.9 vs s_knn_brute (measured
+      // 0.96 at rerank=32; rerank=8 measured 0.64 — 1 sign bit/dim on
+      // near-uniform data needs the wide re-rank margin, the documented
+      // knee like IVF's nProbe).
+      val v = embeddingsIdVec(Tables(s, dir))
+      Similarity.binaryTopK(v, v.filter(col("id") < 10), dim = 64, k = 5, rerank = 32)
+    }),
 
     "e_centroids" -> ((s, dir) => {
       // per-label centroid vectors (cluster prototypes): one aggregated
@@ -1421,6 +1511,17 @@ object SparkEntry {
       val b = Embeddings.pcaBasis(e, col("embedding"), k = 8)
       Embeddings.pcaProjectDigest(e, col("vec_id"), col("embedding"), b, whiten = true)
         .select(col("id").as("vec_id"), col("proj_md5"), col("k"), col("sq_norm_micro"))
+    }),
+    "e_jl_project" -> ((s, dir) => {
+      // Johnson–Lindenstrauss ±1 projection to k=16 — the NO-TRAINING
+      // scale path next to e_pca's fitted basis: hash-derived Rademacher
+      // matrix, one codegen'd projection pass, zero fit jobs. Elements
+      // floor to micro FIRST so every output coord is an exact integer
+      // sum — oracle-exact (DuckDB replays the md5 sign matrix);
+      // JlProjectionSpec gates the distance-preservation property.
+      Embeddings.jlProject(
+        Tables(s, dir).embeddings, col("vec_id"), col("embedding"), dim = 64, k = 16)
+        .select(col("id").as("vec_id"), col("pos"), col("y_micro"))
     }),
     "e_truncate" -> ((s, dir) => {
       // matryoshka truncate-to-16 + L2 renorm: the MRL serving trick
@@ -2326,6 +2427,30 @@ object SparkEntry {
       |)
       |SELECT event_type, day, rev_micro, ewma_micro FROM e""".stripMargin
 
+  /** Shared by q_trend_slope and its streaming machine twin: exact
+    * rational least-squares slope over (epoch-day, daily micro sum). */
+  private val trendSlopeSql =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), x AS (
+      |  SELECT event_type, datediff('day', DATE '1970-01-01', day) AS x, y
+      |  FROM d
+      |), m AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM x GROUP BY 1
+      |)
+      |SELECT event_type AS key, n_days,
+      |  CASE WHEN n_days >= 2
+      |    THEN CAST(n_days * sxy - sx * sy AS DECIMAL(38,0)) END AS slope_num,
+      |  CASE WHEN n_days >= 2
+      |    THEN CAST(n_days * sxx - sx * sx AS DECIMAL(38,0)) END AS slope_den
+      |FROM m""".stripMargin
+
   private val scd2Sql =
     """SELECT user_id, event_id, event_type, ts AS valid_from,
       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2647,6 +2772,34 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
+    "q_min_cost_supplier" ->
+      """WITH m AS (
+        |  SELECT p_partkey, p_name, l_suppkey, min(l_extendedprice) AS min_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10
+        |  GROUP BY 1, 2, 3
+        |), b AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |                               ORDER BY min_price, l_suppkey) AS rn
+        |  FROM m
+        |)
+        |SELECT p_partkey, p_name, s_name, n_name, min_price
+        |FROM b
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1""".stripMargin,
+    "q_nation_flows" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |  year(o_orderdate) AS l_year,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |WHERE ns.n_name <> nc.n_name
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q_rollup_revenue" ->
       s"""SELECT r_name, n_name, CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
          |  count(*) AS n_items
@@ -3193,27 +3346,8 @@ object SparkEntry {
         |             ('high', 150.0, 1e12)) t(tier, lo, hi)
         |  ON value >= lo AND value < hi
         |GROUP BY 1, 2""".stripMargin,
-    "q_trend_slope" ->
-      """WITH d AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2
-        |), x AS (
-        |  SELECT event_type, datediff('day', DATE '1970-01-01', day) AS x, y
-        |  FROM d
-        |), m AS (
-        |  SELECT event_type, count(*) AS n_days,
-        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
-        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
-        |    sum(CAST(x AS HUGEINT) * x) AS sxx
-        |  FROM x GROUP BY 1
-        |)
-        |SELECT event_type AS key, n_days,
-        |  CASE WHEN n_days >= 2
-        |    THEN CAST(n_days * sxy - sx * sy AS DECIMAL(38,0)) END AS slope_num,
-        |  CASE WHEN n_days >= 2
-        |    THEN CAST(n_days * sxx - sx * sx AS DECIMAL(38,0)) END AS slope_den
-        |FROM m""".stripMargin,
+    "q_trend_slope" -> trendSlopeSql,
+    "q_trend_slope_stream" -> trendSlopeSql,
     "p_mixture_alloc" ->
       """WITH avail AS (
         |  SELECT source AS key, sum(n_chars) AS avail_tokens
@@ -3596,6 +3730,22 @@ object SparkEntry {
         |        (x, i) -> {'pos': i - 1, 'v': x})) AS u
         |      FROM embeddings)
         |GROUP BY label, u.pos""".stripMargin,
+    "e_jl_project" ->
+      """WITH s AS (
+        |  SELECT j.range AS j, i.range AS i,
+        |    CASE WHEN substr(md5('jl:' || CAST(j.range AS VARCHAR) || ':'
+        |        || CAST(i.range AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM range(16) j, range(64) i
+        |), e AS (
+        |  SELECT vec_id, u.i AS i, CAST(floor(u.x * 1000000) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, unnest(list_transform(CAST(embedding AS DOUBLE[]),
+        |          (x, i) -> {'i': i - 1, 'x': x})) AS u
+        |        FROM embeddings)
+        |)
+        |SELECT e.vec_id, s.j AS pos, CAST(sum(s.sgn * e.xq) AS BIGINT) AS y_micro
+        |FROM e JOIN s ON s.i = e.i
+        |GROUP BY 1, 2""".stripMargin,
     "e_quantize_int8" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

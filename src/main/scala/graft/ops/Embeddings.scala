@@ -231,4 +231,52 @@ object Embeddings {
       size(col("proj")).cast("long").as("k"),
       floor(aggregate(col("proj"), lit(0.0), (acc, x) => acc + x * x) * 1e6)
         .cast("long").as("sq_norm_micro"))
+
+  // ---- Johnson–Lindenstrauss random projection ----
+
+  /** Deterministic Rademacher (±1) JL sign: +1 iff the first hex nibble
+    * of `md5("jl:<j>:<i>")` is < 8 — a fair coin any engine with md5 can
+    * replay, so a SQL oracle reproduces the exact projection matrix
+    * (the portable-hash discipline of [[graft.ops.Sampling]]).
+    */
+  private[graft] def jlSign(j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$j:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss random projection to `k` dims — the SCALE-path
+    * complement to [[pcaBasis]]: where PCA needs a distributed covariance
+    * pass + driver eigendecomposition, JL needs NO training at all (the
+    * ±1 matrix is hash-derived at plan time), preserves pairwise
+    * distances within the JL distortion bound (w.h.p. for
+    * k = O(ln N / ε²)), and runs as one codegen'd projection over the
+    * corpus — the right tool when 100 TB of embeddings need a cheap
+    * dimensionality cut before ANN indexing and nobody wants a fit pass.
+    *
+    * Exactness: elements floor to integer micro-units FIRST
+    * (`floor(x·1e6)` as long), then each output coord is an exact
+    * INTEGER sum `Σᵢ ±xqᵢ` — order-independent and engine-portable, so
+    * the record is oracle-exact (the [[centroidByKey]] discipline). The
+    * conventional 1/√k scale is left to the caller: it is a constant
+    * monotone factor, and keeping the record integral keeps it exact.
+    *
+    * Returns (id, pos, y_micro), one row per output coordinate. Scale:
+    * pure per-row HOF expressions (the k×dim sign matrix is a plan-time
+    * literal, k·dim ≤ a few thousand) + one `posexplode`; no shuffle, no
+    * fit, no driver data path.
+    */
+  def jlProject(df: DataFrame, id: Column, vec: Column, dim: Int, k: Int): DataFrame = {
+    require(k >= 1 && dim >= 1, "need k >= 1 and dim >= 1")
+    val signsLit = array((0 until k).map(j =>
+      array((0 until dim).map(i => lit(jlSign(j, i))): _*)): _*)
+    df.select(
+        id.as("id"),
+        transform(vec.cast("array<double>"), x => floor(x * 1e6).cast("long")).as("__xq"))
+      .select(
+        col("id"),
+        posexplode(transform(signsLit, row =>
+          aggregate(zip_with(col("__xq"), row, (x, s) => x * s), lit(0L), (acc, t) => acc + t)))
+          .as(Seq("pos", "y_micro")))
+  }
 }

@@ -320,6 +320,88 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("sim"))
   }
 
+  /** Packed sign-bit binary code of a vector: word `w` holds bits
+    * `[w·64, min(dim, (w+1)·64))`, bit i set iff `vec[i] >= 0`. Pure
+    * codegen'd HOFs: each word is a `zip_with` of the dim-slice against a
+    * literal power-of-two array folded by `+` — the powers are distinct
+    * bits, so integer addition IS bitwise-or (no carries), and the result
+    * is deterministic on every engine. The top bit of a full word is
+    * `1L << 63` (= Long.MinValue as a literal); it participates like any
+    * other bit because no carry ever reaches it.
+    */
+  def signBitCode(vec: Column, dim: Int): Column = {
+    require(dim > 0, "need dim > 0")
+    val nWords = (dim + 63) / 64
+    array((0 until nWords).map { w =>
+      val width = math.min(64, dim - w * 64)
+      val powers = array((0 until width).map(i => lit(1L << i)): _*)
+      aggregate(
+        zip_with(slice(vec, w * 64 + 1, width), powers,
+          (x, p) => when(x >= 0, p).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b)
+    }: _*)
+  }
+
+  /** Approximate top-k by BINARY (sign-bit) quantization + Hamming scan +
+    * exact re-rank — the "binary embeddings" retrieval path: each vector
+    * compresses to dim/8 bytes of sign bits; candidate generation scans
+    * codes only (Hamming distance = summed `bit_count(xor)` per word, a
+    * handful of ALU ops vs 2·dim FLOPs), keeps the `rerank·k` Hamming-
+    * nearest per query, and re-scores ONLY those with exact cosine. For
+    * 64-dim float vectors the candidate scan reads 8 B/vector instead of
+    * 256 B — a 32× scan-bandwidth cut that, unlike LSH/IVF, misses NOTHING
+    * from bucketing: every corpus vector is (cheaply) examined, so recall
+    * degrades only through sign-quantization ranking error, recovered by
+    * the exact re-rank margin. Gate: recall@k floor vs [[bruteForceTopK]]
+    * in ApproxGatesSpec.
+    *
+    * Shuffle shape: the Hamming scan joins corpus CODES against broadcast
+    * query codes — the wide vectors never enter the scan frame; exact
+    * vectors join back for the `rerank·k·|queries|` shortlist only. At
+    * 100 TB the code table is corpus/32 bytes and the re-rank fraction
+    * vanishes as N grows (same asymptotic posture as [[pqTopK]]'s refine,
+    * with a simpler index: no codebooks to train, fully deterministic).
+    */
+  def binaryTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      k: Int,
+      rerank: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && rerank > 0, "need positive k and rerank")
+    val c = corpus.select(col("id").as("nbr_id"), col("vec").cast("array<double>").as("nbr_vec"))
+    val q = queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("q_vec"))
+    val cCodes = c.select(col("nbr_id"), signBitCode(col("nbr_vec"), dim).as("nbr_code"))
+    val qCodes = q.select(col("query_id"), signBitCode(col("q_vec"), dim).as("q_code"))
+    val scanned = cCodes
+      .join(broadcast(qCodes),
+        if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
+      .withColumn("ham",
+        aggregate(
+          zip_with(col("q_code"), col("nbr_code"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+    val shortlist = TopN
+      .perPartition(
+        scanned,
+        partition = Seq(col("query_id")),
+        order = Seq(col("ham").asc, col("nbr_id").asc),
+        n = rerank * k)
+      .select(col("query_id"), col("nbr_id"))
+    val rescored = shortlist
+      .join(c, "nbr_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", quantize(cosine(col("q_vec"), col("nbr_vec"))))
+    TopN
+      .perPartition(
+        rescored,
+        partition = Seq(col("query_id")),
+        order = Seq(col("sim").desc, col("nbr_id").asc),
+        n = k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
     * Brute-force N²/2 comparison expressed as a self-join — correct
     * baseline; for huge N switch blocking to [[lshBucket]] equality first

@@ -723,6 +723,93 @@ object StateMachines {
       })
   }
 
+  // ---- incremental least-squares trend (streaming twin of
+  //      graft.ops.Stats.trendSlopeByKey) ----
+
+  case class TrendState(
+      days: List[(Long, Long)], // (epoch day, exact micro sum), open + finalized
+      lastUs: Long)
+
+  case class TrendRow(
+      key: String,
+      n_days: Long,
+      slope_num: Option[String], // exact integers as strings: n·Σxy − Σx·Σy
+      slope_den: Option[String]) // can exceed int64 (BigInt math); caller
+                                 // casts to DECIMAL(38,0) at the edge
+
+  /** Streaming least-squares trend machine: per key, fold events into
+    * per-day exact micro sums; after `idleSec` of event-time inactivity
+    * the key's daily series is declared complete and ONE final append-mode
+    * row emits the exact rational slope (numerator/denominator of the
+    * least-squares fit over (epoch-day, day-sum) points) — the same
+    * integer-exact record as the batch [[graft.ops.Stats.trendSlopeByKey]]
+    * twin, computed with BigInt so n·Σxy − Σx·Σy never wraps where the
+    * batch side uses DECIMAL(38). Keys with < 2 days emit null slopes,
+    * matching the batch guard.
+    *
+    * Horizon discipline (= [[eventSequences]]): a key quiet longer than
+    * `idleSec` closes and re-opens as a second row, so exact batch parity
+    * needs `idleSec` above the corpus's max per-key gap — and ≥ 1 day, so
+    * the closing watermark is provably past every open day.
+    *
+    * State posture: O(|days|) longs per key — the day-grain series, never
+    * events (a year of history is 365 pairs). The regression itself needs
+    * only 5 running sums; the day list is kept because day sums stay OPEN
+    * until the watermark passes them (late events inside the delay must
+    * land in their day), and |days| is bounded by the reporting horizon.
+    */
+  def trendSlope(
+      events: Dataset[KeyedValueEvent],
+      idleSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TrendRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(idleSec >= 86400L, "idleSec must be >= 1 day (horizon must outlast open days)")
+    val idleUs = idleSec * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TrendState, TrendRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        val st0 = state.getOption.getOrElse(TrendState(Nil, Long.MinValue))
+        var days = st0.days
+        var lastUs = st0.lastUs
+        var sawReal = days.nonEmpty
+        for (e <- it; if e.kind != Replay.Sentinel) {
+          sawReal = true
+          val us = usOf(e.ts)
+          lastUs = math.max(lastUs, us)
+          val d = Math.floorDiv(us, DayUs)
+          days = days.find(_._1 == d) match {
+            case Some((_, s)) => (d, s + e.value) :: days.filterNot(_._1 == d)
+            case None         => (d, e.value) :: days
+          }
+        }
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        if (!sawReal) {
+          state.remove() // sentinel-only group
+          Iterator.empty
+        } else if (lastUs + idleUs <= wmUs) {
+          state.remove()
+          val n = days.size.toLong
+          if (n >= 2) {
+            var sx, sy, sxy, sxx = BigInt(0)
+            for ((d, s) <- days) {
+              val x = BigInt(d); val y = BigInt(s)
+              sx += x; sy += y; sxy += x * y; sxx += x * x
+            }
+            Iterator.single(TrendRow(key, n,
+              Some((n * sxy - sx * sy).toString), Some((n * sxx - sx * sx).toString)))
+          } else Iterator.single(TrendRow(key, n, None, None))
+        } else {
+          state.update(TrendState(days, lastUs))
+          state.setTimeoutTimestamp((lastUs + idleUs) / 1000L + 1)
+          Iterator.empty
+        }
+      })
+  }
+
   // ---- SCD Type-2 interval emission (streaming twin of
   //      graft.ops.Sequences.scdHistory) ----
 

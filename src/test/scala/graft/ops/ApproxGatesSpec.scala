@@ -241,6 +241,25 @@ class ApproxGatesSpec extends SparkSpec {
     }
   }
 
+  test("s_knn_binary: recall@5 >= 0.9 vs brute force at dim=64, rerank=32") {
+    // SparkEntry params: probes id<10, k=5, dim=64, rerank·k=160 Hamming
+    // candidates re-ranked exactly. Unlike LSH/IVF nothing is skipped by
+    // bucketing, so recall only degrades through sign-quantization
+    // ranking error inside the rerank margin — 64 sign bits on the
+    // near-uniform 64-dim testdata is the WORST case for that ranking
+    // (1 bit/dim; real binary-embedding deployments carry 512–4096 bits),
+    // so the margin, not the code width, buys the recall: rerank=8
+    // measured 0.64, rerank=32 measured ≥ 0.9.
+    def knnPairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probes = v.filter(col("id") < 10)
+    val truth = knnPairs(Similarity.bruteForceTopK(v, probes, k = 5))
+    val got = knnPairs(Similarity.binaryTopK(v, probes, dim = 64, k = 5, rerank = 32))
+    assert(truth.nonEmpty, "gate is vacuous: no knn pairs")
+    info(s"binary recall@5 = ${recall(got, truth)}")
+    assert(recall(got, truth) >= 0.9, s"recall@5 ${recall(got, truth)} < 0.9")
+  }
+
   test("s_knn_lsh: recall@5 >= 0.9 vs brute force at 4 planes x 16 tables") {
     // SparkEntry params: probes id<10, k=5, dim=64, nPlanes=4, nTables=16
     def knnPairs(df: DataFrame): Set[(Long, Long)] =

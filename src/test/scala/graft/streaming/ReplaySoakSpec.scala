@@ -285,4 +285,38 @@ class ReplaySoakSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("trendSlope under 2s order jitter: exact rational slope vs the batch twin") {
+    // day sums are commutative folds, so jitter inside the watermark
+    // margin cannot change them; the 10d idle horizon exceeds every
+    // per-key gap in the corpus but stays under the replay sentinel's
+    // 30d margin (a 30d horizon missed the max-ts key by the watermark
+    // delay — the sentinel could never prove it idle), so each key emits
+    // exactly one final row whose BigInt rational equals the batch
+    // DECIMAL(38) rational
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val input = events.select(
+      col("event_type").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"),
+      (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("value"))
+    val streamed = Replay
+      .keyedValueEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines
+          .trendSlope(stream, idleSec = 10L * 86400L, watermarkDelay = "5 seconds")
+          .toDF()
+      }
+      .select(col("key"), col("n_days"), col("slope_num"), col("slope_den"))
+      .as[(String, Long, Option[String], Option[String])].collect().toSet
+    val batch = graft.ops.Stats
+      .trendSlopeByKey(events, col("event_type"), col("ts"), col("value"))
+      .select(col("key"), col("n_days"),
+        col("slope_num").cast("string"), col("slope_den").cast("string"))
+      .as[(String, Long, Option[String], Option[String])].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    assert(batch.exists(_._2 >= 2), "gate is vacuous: no key with >= 2 days")
+  }
 }
