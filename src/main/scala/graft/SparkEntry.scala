@@ -1263,6 +1263,71 @@ object SparkEntry {
         Tables(s, dir).events, col("event_type"), col("value"),
         expr("(unix_micros(ts) div 86400000000) % 2 = 0"), width = 50.0)
     }),
+    "q_psi_stream" -> ((s, dir) => {
+      // q_psi's streaming twin: the payload IS the bin (the same
+      // floor(value/width) codegen'd projection as batch), the slice is
+      // day parity computed in the machine; one final row per key at the
+      // 10d idle horizon with the identical IEEE term tree — both twins
+      // hash against the same oracle
+      val input = Tables(s, dir).events
+        .select(
+          col("event_type").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"),
+          floor(col("value") / 50.0).cast("long").as("value"))
+      Replay
+        .keyedValueEvents(input) { stream =>
+          StateMachines.psiSlices(stream, idleSec = 10L * 86400L).toDF()
+        }
+        .select(col("key"), col("n_bins"), col("psi_micro"))
+    }),
+    "q_cusum" -> ((s, dir) => {
+      // one-sided CUSUM change-point chart over daily revenue per type:
+      // s_t = max(0, s_{t-1} + (x_t - mu)), alarm when s_t exceeds one
+      // full average day (h = mu) — completing the drift family (EWMA
+      // smoother, PSI distribution shift, z-score/MAD point outliers)
+      // with the sequential-accumulation detector; integer micro
+      // recursion checked against a DuckDB RECURSIVE CTE
+      Stats.cusumDaily(
+        Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
+    }),
+    "q_cusum_stream" -> ((s, dir) => {
+      // the CUSUM machine ON the stream against the batch-fitted
+      // baseline: refs (mu, h per key) are a |keys|-sized driver
+      // artifact — the PQ-codebook posture (a control chart's baseline
+      // is a trained model, not data); each day emits as the watermark
+      // finalizes it, sharing the batch oracle
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir).events
+      val refs = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * 1000000).cast("long").as("__y"))
+        .groupBy(col("event_type"))
+        .agg(expr("sum(__y) div count(1)").as("__mu"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(1)))
+        .toMap
+      val input = ev.select(
+        col("event_type").as("key"),
+        col("ts"),
+        col("event_type").as("kind"),
+        col("event_id").cast("string").as("id"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("value"))
+      Replay
+        .keyedValueEvents(input) { stream =>
+          StateMachines.cusumDaily(stream, refs).toDF()
+        }
+        .select(col("key"), col("day"), col("rev_micro"), col("cusum_micro"), col("alarm"))
+    }),
+    "q_corr_series" -> ((s, dir) => {
+      // exact rational Pearson correlation between every pair of types'
+      // daily series — corr = corr_num / sqrt(den_a*den_b), the record
+      // keeps the integer moments so it hashes cross-engine (no float
+      // accumulation, no sqrt)
+      Stats.seriesCorrByKeyPair(
+        Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
+    }),
     "p_negatives" -> ((s, dir) => {
       // contrastive negative sampling: 3 deterministic hash-ring
       // negatives per doc, guaranteed != anchor; md5 ring so the draw
@@ -2427,6 +2492,56 @@ object SparkEntry {
       |)
       |SELECT event_type, day, rev_micro, ewma_micro FROM e""".stripMargin
 
+  /** Shared by q_psi and its streaming machine twin: add-1-smoothed PSI
+    * between even/odd-epoch-day slices, micro-floored terms. */
+  private val psiSql =
+    """WITH c AS (
+      |  SELECT event_type AS key, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+      |    sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+      |        THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+      |        THEN 0 ELSE 1 END) AS cb
+      |  FROM events GROUP BY 1, 2
+      |), t AS (
+      |  SELECT key, sum(ca) AS na, sum(cb) AS nb, count(*) AS n_bins
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT c.key, t.n_bins,
+      |  sum(CAST(floor(
+      |    (CAST(ca + 1 AS DOUBLE) / (na + n_bins)
+      |      - CAST(cb + 1 AS DOUBLE) / (nb + n_bins))
+      |    * ln((CAST(ca + 1 AS DOUBLE) / (na + n_bins))
+      |        / (CAST(cb + 1 AS DOUBLE) / (nb + n_bins))) * 1e6)
+      |    AS BIGINT)) AS psi_micro
+      |FROM c JOIN t ON c.key = t.key GROUP BY 1, 2""".stripMargin
+
+  /** Shared by q_cusum and its streaming machine twin: one-sided CUSUM
+    * recursion over daily micro sums against the key's own mean, h = μ. */
+  private val cusumSql =
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, CAST(CAST(sum(y) AS HUGEINT) // count(*) AS BIGINT) AS mu
+      |  FROM d GROUP BY 1
+      |), r AS (
+      |  SELECT d.event_type, day, y, mu,
+      |    row_number() OVER (PARTITION BY d.event_type ORDER BY day) AS rn
+      |  FROM d JOIN m ON d.event_type = m.event_type
+      |), e AS (
+      |  SELECT event_type, day, y, mu, rn,
+      |    greatest(CAST(0 AS BIGINT), y - mu) AS s
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.day, r.y, r.mu, r.rn,
+      |    greatest(CAST(0 AS BIGINT), e.s + r.y - r.mu)
+      |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
+      |)
+      |SELECT event_type AS key, day, y AS rev_micro,
+      |  CAST(s AS BIGINT) AS cusum_micro, s > mu AS alarm
+      |FROM e""".stripMargin
+
   /** Shared by q_trend_slope and its streaming machine twin: exact
     * rational least-squares slope over (epoch-day, daily micro sum). */
   private val trendSlopeSql =
@@ -3364,26 +3479,28 @@ object SparkEntry {
         |  CAST(least(target_tokens, avail_tokens) AS BIGINT) * 1000000
         |    // avail_tokens AS keep_frac_micro
         |FROM p""".stripMargin,
-    "q_psi" ->
-      """WITH c AS (
-        |  SELECT event_type AS key, CAST(floor(value / 50.0) AS BIGINT) AS bin,
-        |    sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
-        |        THEN 1 ELSE 0 END) AS ca,
-        |    sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
-        |        THEN 0 ELSE 1 END) AS cb
+    "q_psi" -> psiSql,
+    "q_psi_stream" -> psiSql,
+    "q_cusum" -> cusumSql,
+    "q_cusum_stream" -> cusumSql,
+    "q_corr_series" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2
-        |), t AS (
-        |  SELECT key, sum(ca) AS na, sum(cb) AS nb, count(*) AS n_bins
-        |  FROM c GROUP BY 1
+        |), p AS (
+        |  SELECT a.event_type AS key_a, b.event_type AS key_b,
+        |    CAST(a.y AS HUGEINT) AS xa, CAST(b.y AS HUGEINT) AS xb
+        |  FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
         |)
-        |SELECT c.key, t.n_bins,
-        |  sum(CAST(floor(
-        |    (CAST(ca + 1 AS DOUBLE) / (na + n_bins)
-        |      - CAST(cb + 1 AS DOUBLE) / (nb + n_bins))
-        |    * ln((CAST(ca + 1 AS DOUBLE) / (na + n_bins))
-        |        / (CAST(cb + 1 AS DOUBLE) / (nb + n_bins))) * 1e6)
-        |    AS BIGINT)) AS psi_micro
-        |FROM c JOIN t ON c.key = t.key GROUP BY 1, 2""".stripMargin,
+        |SELECT key_a, key_b, count(*) AS n_days,
+        |  CAST(count(*) * sum(xa * xb) - sum(xa) * sum(xb)
+        |    AS DECIMAL(38,0)) AS corr_num,
+        |  CAST(count(*) * sum(xa * xa) - sum(xa) * sum(xa)
+        |    AS DECIMAL(38,0)) AS den_a,
+        |  CAST(count(*) * sum(xb * xb) - sum(xb) * sum(xb)
+        |    AS DECIMAL(38,0)) AS den_b
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "p_negatives" ->
       """WITH r AS (
         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r

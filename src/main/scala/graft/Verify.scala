@@ -24,6 +24,7 @@ object Verify {
       // repartition(1), not coalesce(1): coalesce folds the whole final
       // stage into one task; repartition keeps upstream parallel and only
       // the (tiny) verified output crosses a single-partition exchange
+      Files.deleteIfExists(Paths.get(s"$outDir/$name.error")) // no stale tombstones
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

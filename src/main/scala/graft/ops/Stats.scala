@@ -461,6 +461,118 @@ object Stats {
         col("__z.__e").as("ewma_micro"))
   }
 
+  /** Per-key daily one-sided (upper) CUSUM control chart — the
+    * change-point detector next to [[ewmaDaily]]'s smoother and
+    * [[psiByKey]]'s distribution drift: `s₀ = 0;
+    * sₜ = max(0, sₜ₋₁ + (xₜ − μ − k))`, alarm when `sₜ > h`, where μ is
+    * the key's own series mean (the fitted in-control baseline),
+    * `k = μ·slackPermille/1000` the slack and `h = μ·hPermille/1000` the
+    * decision interval — every quantity an exact integer in micro-units,
+    * so the inherently order-dependent recursion is engine-exact (the
+    * [[ewmaDaily]] discipline). Division semantics: μ and the permille
+    * scalings use integer `div`; on the NON-NEGATIVE daily series this
+    * op is for (volumes, revenue), truncation equals the floor division
+    * a SQL oracle's `//` computes.
+    *
+    * Returns (key, day, rev_micro, cusum_micro, alarm).
+    *
+    * Scale: identical shape to [[ewmaDaily]] — ONE corpus aggregation at
+    * (key, day) grain (map-side combined), then the fold runs per key
+    * over the |days| array; μ comes from the same array, so no second
+    * pass and no broadcast join anywhere.
+    */
+  def cusumDaily(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      slackPermille: Long = 0L,
+      hPermille: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = df
+      .groupBy(key.as("key"), to_date(ts).as("day"))
+      .agg((sum(value.cast(DecimalType(18, 6))) * lit(1000000)).cast("long").as("rev_micro"))
+    daily
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("day"), col("rev_micro")))).as("__s"))
+      .withColumn("__mu",
+        expr("aggregate(__s, 0L, (a, x) -> a + x.rev_micro) div size(__s)"))
+      .withColumn("__ref", col("__mu") + expr(s"(__mu * ${slackPermille}L) div 1000L"))
+      .withColumn("__h", expr(s"(__mu * ${hPermille}L) div 1000L"))
+      .withColumn(
+        "__c",
+        aggregate(
+          col("__s"),
+          array().cast("array<bigint>"),
+          (acc, x) =>
+            concat(
+              acc,
+              array(greatest(
+                lit(0L),
+                coalesce(try_element_at(acc, lit(-1)), lit(0L))
+                  + x.getField("rev_micro") - col("__ref"))))))
+      .select(col("key"), col("__h"),
+        explode(arrays_zip(col("__s"), col("__c"))).as("__z"))
+      .select(
+        col("key"),
+        col("__z.__s.day").as("day"),
+        col("__z.__s.rev_micro").as("rev_micro"),
+        col("__z.__c").as("cusum_micro"),
+        (col("__z.__c") > col("__h")).as("alarm"))
+  }
+
+  /** Exact rational Pearson correlation between every PAIR of keys' daily
+    * series — "do clicks and purchases move together?" The record carries
+    * the integer moment combination (corr_num, den_a, den_b) with
+    * corr = corr_num / √(den_a·den_b): no square root, no float division,
+    * so the record is engine-exact where a double `corr()` is not
+    * (the [[trendSlopeByKey]] rational discipline). Pairs are ordered
+    * key_a < key_b over days BOTH keys have (inner join on day).
+    *
+    * Scale: the corpus aggregates ONCE at (key, day) grain; the pair
+    * stage self-joins the |keys|·|days| AGGREGATED frame on day (hash
+    * equi-join, never corpus-sized) and re-aggregates at (key_a, key_b)
+    * grain — with k keys and d days that is k²·d/2 join rows, the
+    * pair-grain cost any pairwise statistic pays, independent of corpus
+    * row count.
+    */
+  def seriesCorrByKeyPair(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val daily = df
+      .groupBy(key.as("key"), to_date(ts).as("day"))
+      .agg((sum(value.cast(DecimalType(18, 6))) * lit(1000000)).cast("long").as("y"))
+      // persisted: both sides of the pair join read this frame —
+      // unpersisted, each side re-scans the corpus (the psiByKey lesson);
+      // the cache is |keys|·|days| rows, O(output-grain) not O(corpus)
+      .persist()
+    val a = daily.select(col("key").as("key_a"), col("day"), col("y").as("__xa"))
+    val b = daily.select(col("key").as("key_b"), col("day"), col("y").as("__xb"))
+    val d19 = DecimalType(19, 0)
+    val d18 = DecimalType(18, 0)
+    a.join(b, Seq("day"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__xa").cast(d38)).as("__sx"),
+        sum(col("__xb").cast(d38)).as("__sy"),
+        // cast operands BEFORE the product (trendSlopeByKey): long·long
+        // would overflow int64 first; (19,0)·(18,0) → precision 38, exact
+        // for |x·y| < 1e38 (micro² products of ≤1e13-micro day sums)
+        sum((col("__xa").cast(d19) * col("__xb").cast(d18)).cast(d38)).as("__sxy"),
+        sum((col("__xa").cast(d19) * col("__xa").cast(d18)).cast(d38)).as("__sxx"),
+        sum((col("__xb").cast(d19) * col("__xb").cast(d18)).cast(d38)).as("__syy"))
+      .select(
+        col("key_a"), col("key_b"), col("n_days"),
+        (col("n_days").cast(d38) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast(d38).as("corr_num"),
+        (col("n_days").cast(d38) * col("__sxx") - col("__sx") * col("__sx"))
+          .cast(d38).as("den_a"),
+        (col("n_days").cast(d38) * col("__syy") - col("__sy") * col("__sy"))
+          .cast(d38).as("den_b"))
+  }
+
   /** Pareto concentration: per-key totals ranked descending with the
     * RUNNING share of the grand total — "which fraction of keys carries
     * 80 % of the value" (revenue concentration, token-budget planning).

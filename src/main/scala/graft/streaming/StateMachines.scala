@@ -723,6 +723,161 @@ object StateMachines {
       })
   }
 
+  // ---- daily CUSUM control chart (streaming twin of
+  //      graft.ops.Stats.cusumDaily) ----
+
+  case class CusumState(
+      open: List[(Long, Long)], // (epoch day, micro sum) inside the watermark
+      cusum: Long)              // carried recursion value over finalized days
+
+  case class CusumRow(
+      key: String,
+      day: java.time.LocalDate,
+      rev_micro: Long,
+      cusum_micro: Long,
+      alarm: Boolean)
+
+  /** Streaming one-sided CUSUM machine: per key, fold events into per-day
+    * exact micro sums; as the watermark finalizes each day in
+    * chronological order, advance `sₜ = max(0, sₜ₋₁ + (xₜ − ref))` and
+    * emit one append-mode row with the alarm flag `sₜ > h` — the change-
+    * point monitor running ON the stream, against a FITTED baseline.
+    *
+    * `refs` maps key → (refMicro, hMicro): the in-control reference
+    * (μ + slack) and decision interval, trained offline by the batch twin
+    * ([[graft.ops.Stats.cusumDaily]] derives both from the key's own
+    * series). A bounded |keys|-sized driver artifact captured in the
+    * closure — the PQ-codebook posture: the baseline is a model, not
+    * data. Keys with no baseline pass through silently (no chart without
+    * a fitted reference).
+    *
+    * State posture: O(open days) + one long per key — strictly smaller
+    * than [[dailyMovingStats]] (no trailing window), the cheapest of the
+    * daily machines.
+    */
+  def cusumDaily(
+      events: Dataset[KeyedValueEvent],
+      refs: Map[String, (Long, Long)],
+      watermarkDelay: String = "0 seconds"): Dataset[CusumRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        refs.get(key) match {
+          case None =>
+            state.remove() // sentinel-only or unfitted key
+            Iterator.empty
+          case Some((refMicro, hMicro)) =>
+            val st0 = state.getOption.getOrElse(CusumState(Nil, 0L))
+            var open = st0.open
+            var sawReal = st0.open.nonEmpty || st0.cusum != 0L
+            for (e <- it; if e.kind != Replay.Sentinel) {
+              sawReal = true
+              val d = Math.floorDiv(usOf(e.ts), DayUs)
+              open = open.find(_._1 == d) match {
+                case Some((_, s)) => (d, s + e.value) :: open.filterNot(_._1 == d)
+                case None         => (d, e.value) :: open
+              }
+            }
+            if (!sawReal) { state.remove(); Iterator.empty }
+            else {
+              val wmUs = state.getCurrentWatermarkMs() * 1000L
+              val (ready, still) = open.partition { case (d, _) => (d + 1) * DayUs <= wmUs }
+              var cusum = st0.cusum
+              val out = ready.sortBy(_._1).map { case (d, s) =>
+                cusum = math.max(0L, cusum + s - refMicro)
+                CusumRow(key, java.time.LocalDate.ofEpochDay(d), s, cusum, cusum > hMicro)
+              }
+              state.update(CusumState(still, cusum))
+              if (still.nonEmpty)
+                state.setTimeoutTimestamp((still.map(_._1).min + 1) * DayUs / 1000L + 1)
+              out.iterator
+            }
+        }
+      })
+  }
+
+  // ---- PSI drift monitor (streaming twin of graft.ops.Stats.psiByKey) ----
+
+  case class PsiState(
+      bins: List[(Long, Boolean, Long)], // (bin, inSliceA, count)
+      lastUs: Long)
+
+  case class PsiRow(key: String, n_bins: Long, psi_micro: Long)
+
+  /** Streaming PSI machine: per key, count (bin, slice) occurrences as
+    * events arrive — the payload IS the bin index (computed upstream by
+    * the same `floor(value/width)` expression as the batch twin, so the
+    * binning is one shared codegen'd projection), the slice is the
+    * event-day's parity (even/odd epoch day, the batch twin's A/B split).
+    * After `idleSec` of event-time inactivity the key's distribution pair
+    * is complete and ONE final row emits the add-1-smoothed PSI with each
+    * `(pA−pB)·ln(pA/pB)` term floored to micro-units BEFORE the sum —
+    * the identical IEEE-double expression tree as the batch column form
+    * (same divisions, same multiply order, java.lang.Math.log on both
+    * paths), so both twins hash against the same oracle.
+    *
+    * State posture: O(observed bins) pairs per key — bins are value
+    * range / width, a constant; never events.
+    */
+  def psiSlices(
+      events: Dataset[KeyedValueEvent],
+      idleSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[PsiRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idleUs = idleSec * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PsiState, PsiRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        val st0 = state.getOption.getOrElse(PsiState(Nil, Long.MinValue))
+        var bins = st0.bins
+        var lastUs = st0.lastUs
+        for (e <- it; if e.kind != Replay.Sentinel) {
+          val us = usOf(e.ts)
+          lastUs = math.max(lastUs, us)
+          val inA = Math.floorDiv(us, DayUs) % 2 == 0
+          val k = (e.value, inA)
+          bins = bins.find(b => (b._1, b._2) == k) match {
+            case Some((bn, a, c)) => (bn, a, c + 1L) :: bins.filterNot(b => (b._1, b._2) == k)
+            case None             => (e.value, inA, 1L) :: bins
+          }
+        }
+        if (bins.isEmpty) {
+          state.remove() // sentinel-only group
+          Iterator.empty
+        } else if (lastUs + idleUs <= state.getCurrentWatermarkMs() * 1000L) {
+          state.remove()
+          val byBin = bins.groupBy(_._1).view.mapValues { l =>
+            (l.collect { case (_, true, c) => c }.sum, l.collect { case (_, false, c) => c }.sum)
+          }.toMap
+          val nBins = byBin.size.toLong
+          val na = byBin.valuesIterator.map(_._1).sum
+          val nb = byBin.valuesIterator.map(_._2).sum
+          var psi = 0L
+          for ((_, (ca, cb)) <- byBin) {
+            // the batch column tree: (ca+1)/(na+nBins) etc., then
+            // floor(((pa-pb) * ln(pa/pb)) * 1e6) — same IEEE ops, same order
+            val pa = (ca + 1L).toDouble / (na + nBins).toDouble
+            val pb = (cb + 1L).toDouble / (nb + nBins).toDouble
+            psi += math.floor((pa - pb) * math.log(pa / pb) * 1e6).toLong
+          }
+          Iterator.single(PsiRow(key, nBins, psi))
+        } else {
+          state.update(PsiState(bins, lastUs))
+          state.setTimeoutTimestamp((lastUs + idleUs) / 1000L + 1)
+          Iterator.empty
+        }
+      })
+  }
+
   // ---- incremental least-squares trend (streaming twin of
   //      graft.ops.Stats.trendSlopeByKey) ----
 

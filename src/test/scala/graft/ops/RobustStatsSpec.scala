@@ -280,6 +280,57 @@ class RobustStatsSpec extends SparkSpec {
     assert(got == Seq((20L, c1 + c2, 1L), (10L, c1, 2L), (30L, c2, 3L)))
   }
 
+  test("cusumDaily: recursion resets at zero, single-day key never alarms") {
+    // key "a": days 10/10/40 around mu=20 -> s = 0, 0, max(0,0+40-20)=20
+    // (h = mu = 20, 20 > 20 false: excess must EXCEED one average day);
+    // key "b": one day -> mu = x -> s = 0, no alarm possible
+    val df = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 10.0), ("a", "2024-01-03", 40.0),
+      ("b", "2024-01-01", 7.0))
+      .toDF("k", "d", "v")
+      .select(col("k"), col("d").cast("timestamp").as("ts"), col("v"))
+    val got = Stats.cusumDaily(df, col("k"), col("ts"), col("v"))
+      .select(col("key"), col("day").cast("string"), col("cusum_micro"), col("alarm"))
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("a", "2024-01-01", 0L, false),
+      ("a", "2024-01-02", 0L, false),
+      ("a", "2024-01-03", 20000000L, false),
+      ("b", "2024-01-01", 0L, false)))
+    // an excess above h DOES alarm: mu=50, s3 = max(0, 110-50) = 60M > h=50M
+    val hot = Seq(
+      ("a", "2024-01-01", 20.0), ("a", "2024-01-02", 20.0), ("a", "2024-01-03", 110.0))
+      .toDF("k", "d", "v")
+      .select(col("k"), col("d").cast("timestamp").as("ts"), col("v"))
+    val alarms = Stats.cusumDaily(hot, col("k"), col("ts"), col("v"))
+      .filter(col("alarm")).select(col("day").cast("string")).as[String].collect().toSeq
+    assert(alarms == Seq("2024-01-03"))
+  }
+
+  test("seriesCorrByKeyPair: exact anti-correlation, disjoint days drop out, zero den on constants") {
+    val df = Seq(
+      // a and b perfectly anti-correlated on two shared days
+      ("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
+      ("b", "2024-01-01", 2.0), ("b", "2024-01-02", 1.0),
+      // c constant on the same days (den_c = 0 -> undefined corr, caller's
+      // guard); d shares NO days with anyone -> no pair rows at all
+      ("c", "2024-01-01", 5.0), ("c", "2024-01-02", 5.0),
+      ("d", "2024-03-01", 9.0))
+      .toDF("k", "day", "v")
+      .select(col("k"), col("day").cast("timestamp").as("ts"), col("v"))
+    val got = Stats.seriesCorrByKeyPair(df, col("k"), col("ts"), col("v"))
+      .select(col("key_a"), col("key_b"), col("n_days"),
+        col("corr_num").cast("long"), col("den_a").cast("long"), col("den_b").cast("long"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // micro units: x in {1e6, 2e6}; n*sxy - sx*sy for (a,b) = -1e12;
+    // den_a = den_b = 1e12
+    assert(got == Set(
+      ("a", "b", 2L, -1000000000000L, 1000000000000L, 1000000000000L),
+      ("a", "c", 2L, 0L, 1000000000000L, 0L),
+      ("b", "c", 2L, 0L, 1000000000000L, 0L)))
+    assert(!got.exists(t => t._1 == "d" || t._2 == "d"))
+  }
+
   test("hllRollup: deterministic and exact-grade on small cardinalities") {
     // 3 buckets x overlapping user sets; at tiny cardinality the HLL
     // sparse mode is exact, so the union estimate equals true distinct

@@ -319,4 +319,68 @@ class ReplaySoakSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(batch.exists(_._2 >= 2), "gate is vacuous: no key with >= 2 days")
   }
+
+  test("cusumDaily under 2s order jitter: exact recursion + alarms vs the batch twin") {
+    // day sums are commutative folds (jitter-immune inside the margin)
+    // and days finalize chronologically, so the carried max(0, ...)
+    // recursion replays the batch fold exactly; refs come from the same
+    // daily aggregate both twins share
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000).cast("long").as("__y"))
+    val refs = daily
+      .groupBy(col("event_type"))
+      .agg(expr("sum(__y) div count(1)").as("__mu"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(1))).toMap
+    val input = events.select(
+      col("event_type").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"),
+      (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("value"))
+    val streamed = Replay
+      .keyedValueEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines.cusumDaily(stream, refs, watermarkDelay = "5 seconds").toDF()
+      }
+      .select(col("key"), col("day").cast("string"),
+        col("rev_micro"), col("cusum_micro"), col("alarm"))
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    val batch = graft.ops.Stats
+      .cusumDaily(events, col("event_type"), col("ts"), col("value"))
+      .select(col("key"), col("day").cast("string"),
+        col("rev_micro"), col("cusum_micro"), col("alarm"))
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("psiSlices under 2s order jitter: exact PSI vs the batch twin") {
+    // (bin, slice) counts are commutative; the micro-floored IEEE term
+    // tree in the machine replicates the batch column expressions, so
+    // the horizon-final row equals the batch aggregate bit-for-bit
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val input = events.select(
+      col("event_type").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"),
+      floor(col("value") / 50.0).cast("long").as("value"))
+    val streamed = Replay
+      .keyedValueEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines
+          .psiSlices(stream, idleSec = 10L * 86400L, watermarkDelay = "5 seconds")
+          .toDF()
+      }
+      .select(col("key"), col("n_bins"), col("psi_micro"))
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.ops.Stats
+      .psiByKey(events, col("event_type"), col("value"),
+        expr("(unix_micros(ts) div 86400000000) % 2 = 0"), width = 50.0)
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
