@@ -1328,6 +1328,22 @@ object SparkEntry {
       Stats.seriesCorrByKeyPair(
         Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
     }),
+    "q_seasonal_residuals" -> ((s, dir) => {
+      // day-of-week seasonal baseline: residual vs the key's own
+      // weekday mean — the seasonality-aware anomaly view; exact micro
+      // integers, engine-neutral (epoch-day % 7) weekday ids
+      Stats.seasonalResiduals(
+        Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
+    }),
+    "d_dedup_editdist" -> ((s, dir) => {
+      // typo-grade near-dup: all pairs at edit distance <= 8 via the
+      // LOSSLESS prefix-filtered positional q-gram join (rarest-gram
+      // prefixes keep the equi-join off common grams), exact levenshtein
+      // verify — the oracle is the definition itself (plain N2 + length
+      // window in DuckDB), equality proves the blocking lossless
+      Dedup.editDistancePairs(
+        Tables(s, dir).documents, col("doc_id"), col("text"), t = 8, q = 4)
+    }),
     "p_negatives" -> ((s, dir) => {
       // contrastive negative sampling: 3 deterministic hash-ring
       // negatives per doc, guaranteed != anchor; md5 ring so the draw
@@ -3483,6 +3499,30 @@ object SparkEntry {
     "q_psi_stream" -> psiSql,
     "q_cusum" -> cusumSql,
     "q_cusum_stream" -> cusumSql,
+    "q_seasonal_residuals" ->
+      """WITH d AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT *, datediff('day', DATE '1970-01-01', day) % 7 AS dow FROM d
+        |), m AS (
+        |  SELECT key, dow,
+        |    CAST(CAST(sum(rev_micro) AS HUGEINT) // count(*) AS BIGINT)
+        |      AS dow_mean_micro
+        |  FROM w GROUP BY 1, 2
+        |)
+        |SELECT w.key, w.day, CAST(w.dow AS BIGINT) AS dow, w.rev_micro,
+        |  m.dow_mean_micro, w.rev_micro - m.dow_mean_micro AS residual_micro
+        |FROM w JOIN m ON w.key = m.key AND w.dow = m.dow""".stripMargin,
+    "d_dedup_editdist" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        |  AND abs(len(a.text) - len(b.text)) <= 8
+        |  AND len(a.text) >= 36 AND len(b.text) >= 36
+        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
     "q_corr_series" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

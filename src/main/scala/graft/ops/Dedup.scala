@@ -160,6 +160,91 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** All pairs (a < b) with character edit distance ≤ `t` — the record-
+    * linkage / typo-grade near-dup metric (one transposed word flips a
+    * shingle but costs 2 edits; Jaccard and Levenshtein see DIFFERENT
+    * neighborhoods, which is why both ship). Restricted to docs of
+    * length ≥ (t+1)·q, the prefix-filter validity domain (shorter docs
+    * are a caller-side all-pairs residual: below that length the q-gram
+    * bound max(|Gₐ|,|G_b|) − t·q can reach 0 and NO gram-based blocking
+    * is lossless).
+    *
+    * Candidate generation is the classic prefix-filtered positional
+    * q-gram join (Gravano et al. 2001 / ppjoin family), LOSSLESS by two
+    * theorems: (1) d(a,b) ≤ t ⇒ the (gram, occurrence-index) sets share
+    * ≥ max(|Gₐ|,|G_b|) − t·q elements (each edit destroys ≤ q grams);
+    * (2) two sets overlapping that much must collide within their
+    * t·q + 1 FIRST elements under any shared total order. Ordering
+    * occurrences by (global gram frequency asc, gram, occurrence) makes
+    * each doc's prefix its RAREST grams, so the equi-join fans out on
+    * rare keys only — the common-gram (' the') skew that sinks naive
+    * gram joins never reaches the exchange. Candidates then verify with
+    * exact `levenshtein` (definitive — the count filter is only a
+    * cheaper pre-verify and is skipped; prefix candidates are already
+    * near-true).
+    *
+    * Returns (a, b, dist) with dist ≤ t exact.
+    *
+    * Scale: shuffles at gram grain (DF aggregate + join), doc grain
+    * (prefix rank, ≤ t·q+1 rows per doc out), and candidate-pair grain
+    * (text join + verify) — never all-pairs; the length-window prune
+    * |len_a − len_b| ≤ t applies inside the candidate join.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      t: Int,
+      q: Int = 4): DataFrame = {
+    require(t >= 1 && q >= 2, "need t >= 1 and q >= 2")
+    val prefixLen = t * q + 1
+    val docs = df
+      .select(id.cast("long").as("doc_id"), text.as("__t"))
+      .filter(length(col("__t")) >= (t + 1) * q)
+      // both the gram stage and the verify join read this frame; cache
+      // it or the corpus scans twice (the pair-frame lesson)
+      .persist()
+    // positional q-gram occurrences as (hash, occurrence-index): the
+    // multiset view that makes min(ca,cb) an equi-join row count
+    val occ = docs
+      .select(
+        col("doc_id"),
+        length(col("__t")).as("__len"),
+        explode(expr(
+          s"transform(sequence(1, length(__t) - ${q - 1}), i -> xxhash64(substring(__t, i, $q)))"))
+          .as("g"))
+      .groupBy(col("doc_id"), col("__len"), col("g"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("doc_id"), col("__len"), col("g"),
+        explode(expr("sequence(1L, __c)")).as("oi"))
+    val gramDf = occ.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val pref = occ
+      .join(gramDf, "g")
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("__df"), col("g"), col("oi"))))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("doc_id"), col("__len"), col("g"), col("oi"))
+    val cand = pref.as("l")
+      .join(pref.as("r"),
+        col("l.g") === col("r.g") && col("l.oi") === col("r.oi")
+          && col("l.doc_id") < col("r.doc_id")
+          && abs(col("l.__len") - col("r.__len")) <= t)
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a"), col("__t").as("__ta")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("__t").as("__tb")), "b")
+      // threshold form: banded DP early-exits in O(t·n) instead of the
+      // O(n·m) full matrix (returns -1 past the threshold) — on template
+      // corpora where prefixes still fan out, the verify is the cost
+      // (measured 76 s → threshold form cuts the DP ~n/t-fold)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), t).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   /** Asymmetric CONTAINMENT pairs: (a < b) where the smaller shingle
     * set's containment `|A∩B| / min(|A|,|B|)` ≥ `threshold` — catches a
     * short document quoted/embedded inside a long one, which Jaccard

@@ -521,6 +521,41 @@ object Stats {
         (col("__z.__c") > col("__h")).as("alarm"))
   }
 
+  /** Day-of-week seasonal baseline residuals: each day's value minus the
+    * key's mean for THAT weekday — the seasonality-aware anomaly view the
+    * drift family (EWMA/CUSUM/z-score) lacks: a quiet Sunday is normal,
+    * the same volume on a Tuesday is an incident. Weekday ids are
+    * engine-neutral `(epoch-day) % 7` (0 = Thursday — an id, not a
+    * locale), means use integer `div` (floor ≡ truncation on the
+    * non-negative series this is for), everything stays exact micro
+    * integers.
+    *
+    * Returns (key, day, dow, rev_micro, dow_mean_micro, residual_micro).
+    *
+    * Scale: one (key, day)-grain map-side-combined exchange; the
+    * |keys|·7 weekday-mean table broadcasts back onto it. Nothing
+    * corpus-sized moves twice.
+    */
+  def seasonalResiduals(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = df
+      .groupBy(key.as("key"), to_date(ts).as("day"))
+      .agg((sum(value.cast(DecimalType(18, 6))) * lit(1000000)).cast("long").as("rev_micro"))
+      .withColumn("dow", pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long"))
+      // the weekday-mean aggregate and the join-back both read this
+      // frame (the psiByKey persist discipline); |keys|·|days| rows
+      .persist()
+    val mu = daily
+      .groupBy(col("key").as("__mk"), col("dow").as("__md"))
+      .agg(expr("sum(rev_micro) div count(1)").as("dow_mean_micro"))
+    daily
+      .join(broadcast(mu), col("key") === col("__mk") && col("dow") === col("__md"))
+      .select(
+        col("key"), col("day"), col("dow"), col("rev_micro"),
+        col("dow_mean_micro"),
+        (col("rev_micro") - col("dow_mean_micro")).as("residual_micro"))
+  }
+
   /** Exact rational Pearson correlation between every PAIR of keys' daily
     * series — "do clicks and purchases move together?" The record carries
     * the integer moment combination (corr_num, den_a, den_b) with

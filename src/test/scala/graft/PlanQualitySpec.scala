@@ -71,6 +71,36 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected exactly one shuffle exchange (final agg):\n$p")
   }
 
+  test("q_min_cost_supplier: part slice broadcast into the fact scan, rank-1 pruned pre-shuffle") {
+    val p = plan("q_min_cost_supplier")
+    // part/supplier/nation all broadcast — the fact side never shuffles
+    // for a dimension
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    // the per-part argmin must plan WindowGroupLimit so each map task
+    // keeps only its local top-1 BEFORE the exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=1 must prune per-map-task before the shuffle:\n$p")
+    // two shuffles by design: the (part,supplier) aggregate and the
+    // per-part rank partition
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected agg + rank exchanges only:\n$p")
+  }
+
+  test("q_nation_flows: one fact-fact shuffle pair, every dimension broadcast") {
+    val p = plan("q_nation_flows")
+    // supplier+nation and customer+nation collapse into broadcast builds
+    // (nation broadcasts into each, each result broadcasts onto the fact
+    // join): >= 4 broadcast joins, and no dimension ever shuffles. At
+    // sf0.001 stats let even ORDERS broadcast (5th BHJ, zero join
+    // exchanges — the stats-adaptive ideal); at scale the orderkey join
+    // becomes the one shuffle pair. Pin the invariant, not the flavor:
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"at most the orderkey pair + final agg may shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no dimension may fall back to a sort-merge join at this scale:\n$p")
+  }
+
   test("rollup is one Expand + one partial-final agg pair, not a pass per level") {
     val p = plan("q_rollup_revenue")
     assert("Expand".r.findAllIn(p).size == 1,

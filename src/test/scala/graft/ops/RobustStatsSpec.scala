@@ -331,6 +331,46 @@ class RobustStatsSpec extends SparkSpec {
     assert(!got.exists(t => t._1 == "d" || t._2 == "d"))
   }
 
+  test("editDistancePairs: typo pair found, far pair rejected, short docs excluded") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")),           // dist 2 (i->a is 1? no: u->a = 1 char) — small
+      (3L, "a completely different sentence about spark shuffles and watermarks here"),
+      (4L, "tiny doc"),                               // < (t+1)*q = 36 chars: excluded
+      (5L, "tiny dog"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, col("doc_id"), col("text"), t = 8, q = 4)
+      .select(col("a"), col("b"), col("dist")).as[(Long, Long, Long)].collect().toSet
+    // brute truth on the eligible (len >= 36) docs
+    val lev = docs.as("l").join(docs.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .filter(length(col("l.text")) >= 36 && length(col("r.text")) >= 36)
+      .select(col("l.doc_id"), col("r.doc_id"),
+        levenshtein(col("l.text"), col("r.text")).cast("long"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 8).toSet
+    assert(got == lev)
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // the short near-pair (4,5) is outside the validity domain — absent
+    assert(!got.exists(p => p._1 == 4L || p._2 == 5L))
+  }
+
+  test("seasonalResiduals: residual vs the key's own weekday mean, exact micro") {
+    // two Mondays (2024-01-01, 2024-01-08) at 10 and 30 -> dow mean 20;
+    // one Tuesday at 50 -> its own mean, residual 0
+    val df = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-08", 30.0), ("a", "2024-01-02", 50.0))
+      .toDF("k", "d", "v")
+      .select(col("k"), col("d").cast("timestamp").as("ts"), col("v"))
+    val got = Stats.seasonalResiduals(df, col("k"), col("ts"), col("v"))
+      .select(col("day").cast("string"), col("rev_micro"), col("dow_mean_micro"),
+        col("residual_micro"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 10000000L, 20000000L, -10000000L),
+      ("2024-01-08", 30000000L, 20000000L, 10000000L),
+      ("2024-01-02", 50000000L, 50000000L, 0L)))
+  }
+
   test("hllRollup: deterministic and exact-grade on small cardinalities") {
     // 3 buckets x overlapping user sets; at tiny cardinality the HLL
     // sparse mode is exact, so the union estimate equals true distinct
