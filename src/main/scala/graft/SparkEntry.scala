@@ -1367,6 +1367,22 @@ object SparkEntry {
         Tables(s, dir).documents, col("doc_id"), col("text"),
         Seq("dup", "spark", "window"))
     }),
+    "s_phrase_search" -> ((s, dir) => {
+      // positional phrase retrieval: docs containing the exact token
+      // sequence "fast spark" with occurrence count + first position —
+      // scan-bound, zero-shuffle (the adjacency test runs inside one
+      // codegen'd HOF per row)
+      TextOps.phraseSearch(
+        Tables(s, dir).documents, col("doc_id"), col("text"), Seq("fast", "spark"))
+    }),
+    "s_mmr" -> ((s, dir) => {
+      // diversity re-rank: MMR over the top-50 exact-cosine pool,
+      // lambda=0.7, k=5 (rows-only: the greedy argmax is not
+      // SQL-expressible; MmrSpec gates first-pick = top-1, subset-of-
+      // pool, determinism, and measured redundancy reduction)
+      val v = embeddingsIdVec(Tables(s, dir))
+      Similarity.mmrRerank(v, v.filter(col("id") < 10), k = 5, poolSize = 50)
+    }),
     "p_dsir" -> ((s, dir) => {
       // DSIR importance weights: log-likelihood ratio of an en-target
       // unigram LM vs the raw-corpus LM, integer-floored per-word terms
@@ -1685,6 +1701,26 @@ object SparkEntry {
           (lit(64L) + pmod(col("n_bytes").cast("long"), lit(960L))).as("width"),
           (lit(64L) + pmod(col("n_bytes").cast("long") * 7, lit(960L))).as("height"),
           lit(3).as("channels"))
+    }),
+    "m_exif_meta" -> ((s, dir) => {
+      // REAL TIFF IFD walk (JPEG APP1/Exif): orientation + pixel dims,
+      // alternating byte order by doc parity so the parser proves BOTH
+      // endiannesses — payloads synthesized in-plan, oracle predicts
+      // arithmetically (the m_image_meta discipline)
+      val docs = Tables(s, dir).documents.select(
+        col("doc_id"),
+        Multimodal.syntheticExifPayload(
+          (col("doc_id") % 8 + 1).cast("int"),
+          lit(64L) + col("doc_id") % 2000,
+          lit(64L) + (col("doc_id") * 3) % 2000,
+          col("doc_id") % 2 === 0).as("payload"))
+      Multimodal
+        .exifMeta(docs, col("payload"))
+        .select(
+          col("doc_id"), col("endian"),
+          col("orientation").cast("long").as("orientation"),
+          col("exif_w").cast("long").as("exif_w"),
+          col("exif_h").cast("long").as("exif_h"))
     }),
     "m_image_meta" -> ((s, dir) => {
       // REAL header parse (PNG IHDR / JPEG SOFn scan / GIF screen
@@ -3515,6 +3551,16 @@ object SparkEntry {
         |SELECT w.key, w.day, CAST(w.dow AS BIGINT) AS dow, w.rev_micro,
         |  m.dow_mean_micro, w.rev_micro - m.dow_mean_micro AS residual_micro
         |FROM w JOIN m ON w.key = m.key AND w.dow = m.dow""".stripMargin,
+    "s_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, $tokensExpr AS w FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    [i for i in range(1, len(w)) if w[i] = 'fast' AND w[i+1] = 'spark'] AS hits
+         |  FROM d WHERE len(w) >= 2
+         |)
+         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+         |  CAST(hits[1] AS BIGINT) AS first_pos
+         |FROM h WHERE len(hits) >= 1""".stripMargin,
     "d_dedup_editdist" ->
       """SELECT a.doc_id AS a, b.doc_id AS b,
         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
@@ -4014,6 +4060,13 @@ object SparkEntry {
         |  64 + octet_length(encode(text)) % 960 AS width,
         |  64 + (octet_length(encode(text)) * 7) % 960 AS height,
         |  3 AS channels
+        |FROM documents""".stripMargin,
+    "m_exif_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS endian,
+        |  doc_id % 8 + 1 AS orientation,
+        |  64 + doc_id % 2000 AS exif_w,
+        |  64 + (doc_id * 3) % 2000 AS exif_h
         |FROM documents""".stripMargin,
     "m_image_meta" ->
       """SELECT doc_id,

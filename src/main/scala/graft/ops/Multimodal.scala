@@ -67,6 +67,55 @@ object Multimodal {
         concat(unhex(lit("474946383961")), le2(w), le2(h), unhex(lit("F70000"))))
   }
 
+  /** REAL EXIF metadata (JPEG APP1 → TIFF IFD walk) via the native
+    * codegen'd [[org.apache.spark.sql.graft.ExifMeta]] expression —
+    * orientation + pixel dimensions, BOTH byte orders ("II"/"MM")
+    * handled, because pipelines must normalize orientation BEFORE any
+    * resize/crop. Unparseable payloads yield a null struct.
+    */
+  def exifMeta(df: DataFrame, payload: Column): DataFrame =
+    df
+      .withColumn("__meta", org.apache.spark.sql.graft.ExifFunctions.exifMeta(payload))
+      .withColumn("endian", col("__meta.endian"))
+      .withColumn("orientation", col("__meta.orientation"))
+      .withColumn("exif_w", col("__meta.exif_w"))
+      .withColumn("exif_h", col("__meta.exif_h"))
+      .drop("__meta")
+
+  /** Synthesize a JPEG carrying a REAL APP1/Exif/TIFF block — IFD0 with
+    * Orientation + Exif-IFD pointer, Exif IFD with pixel dims — in the
+    * requested byte order ('II' little / 'MM' big), pure column
+    * expressions so an oracle predicts [[exifMeta]] arithmetically while
+    * the parser still walks a genuine endian-parameterized TIFF layout.
+    * Layout (offsets relative to TIFF start): header 8 B, IFD0 at 8
+    * (2 entries + next-pointer = 30 B), Exif IFD at 38; APP1 length
+    * 2 + 6 + 68 = 76.
+    */
+  def syntheticExifPayload(
+      orient: Column, w: Column, h: Column, bigEndian: Column): Column = {
+    def be(c: Column, hexDigits: Int) = unhex(lpad(hex(c), hexDigits, "0"))
+    def le(c: Column, hexDigits: Int) = {
+      val hx = lpad(hex(c), hexDigits, "0")
+      unhex(concat((hexDigits - 2 to 0 by -2).map(i => substring(hx, i + 1, 2)): _*))
+    }
+    def u16(c: Column) = when(bigEndian, be(c, 4)).otherwise(le(c, 4))
+    def u32(c: Column) = when(bigEndian, be(c, 8)).otherwise(le(c, 8))
+    val tiff = concat(
+      when(bigEndian, unhex(lit("4D4D"))).otherwise(unhex(lit("4949"))),
+      u16(lit(42)), u32(lit(8)),
+      // IFD0: 2 entries; SHORT values sit left-justified in the 4-byte field
+      u16(lit(2)),
+      u16(lit(0x0112)), u16(lit(3)), u32(lit(1)), u16(orient), unhex(lit("0000")),
+      u16(lit(0x8769)), u16(lit(4)), u32(lit(1)), u32(lit(38)),
+      u32(lit(0)),
+      // Exif IFD: pixel dims as LONGs
+      u16(lit(2)),
+      u16(lit(0xa002)), u16(lit(4)), u32(lit(1)), u32(w),
+      u16(lit(0xa003)), u16(lit(4)), u32(lit(1)), u32(h),
+      u32(lit(0)))
+    concat(unhex(lit("FFD8FFE1004C457869660000")), tiff, unhex(lit("FFD9")))
+  }
+
   /** REAL audio metadata from RIFF/WAVE headers (fmt chunk + data chunk
     * size), parsed by the native codegen'd
     * [[org.apache.spark.sql.graft.AudioMeta]] expression — no codec

@@ -320,6 +320,95 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("sim"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick k of the `poolSize` most-relevant candidates,
+    * trading relevance against redundancy —
+    * `argmax λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — so the
+    * final k cover the query's neighborhood instead of returning k
+    * near-copies of the same answer (the retrieval-diversity step RAG
+    * stacks run after ANN). λ arrives in micro-units; all scoring is
+    * integer (quantized 1e-4 sims × micro weights), ties break
+    * (score desc, nbr_id asc) — fully deterministic, same-output on
+    * every engine and run.
+    *
+    * Scale: candidate generation is [[bruteForceTopK]] (swap in
+    * [[binaryTopK]]/[[pqTopK]] upstream at corpus scale — any
+    * (query_id, nbr_id, sim) pool works via `rerankPool`); the greedy
+    * loop runs per query over poolSize vectors inside `flatMapGroups` —
+    * O(poolSize·k) fused dot products on a bounded group, the same
+    * bounded-driver-artifact posture as PQ codebooks except it never
+    * even reaches the driver.
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      poolSize: Int,
+      lambdaMicro: Long = 700000L): DataFrame =
+    rerankPool(
+      bruteForceTopK(corpus, queries, poolSize),
+      corpus, k, lambdaMicro)
+
+  /** [[mmrRerank]] over a caller-supplied candidate pool
+    * ((query_id, nbr_id, sim) rows, sim quantized 1e-4) — the seam that
+    * lets LSH/IVF/PQ/binary candidates feed the same diversity pass.
+    */
+  def rerankPool(
+      pool: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      lambdaMicro: Long): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L, "lambdaMicro in [0, 1e6]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col("id").as("nbr_id"), col("vec").cast("array<double>").as("nbr_vec"))
+    // single-pass fused dot+norms, the CosineSim accumulation order —
+    // pair sims quantize identically to the column path
+    def qcos(a: Array[Double], b: Array[Double]): Long = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      math.floor(sim * 10000).toLong
+    }
+    pool
+      .join(c, "nbr_id")
+      .select(col("query_id").cast("long"), col("nbr_id").cast("long"),
+        col("sim").cast("long"), col("nbr_vec"))
+      .as[(Long, Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.map(t => (t._2, t._3, t._4.toArray)).toArray
+          .sortBy(t => (-t._2, t._1))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val remaining = scala.collection.mutable.LinkedHashSet(cands.indices: _*)
+        while (selected.size < k && remaining.nonEmpty) {
+          var bestIdx = -1
+          var bestScore = Long.MinValue
+          for (i <- remaining) {
+            val redundancy =
+              if (selected.isEmpty) 0L
+              else selected.iterator.map(s => qcos(cands(i)._3, cands(s)._3)).max
+            val score = lambdaMicro * cands(i)._2 - (1000000L - lambdaMicro) * redundancy
+            // ties: score desc, then nbr_id asc (cands sorted by id within
+            // equal sim, and LinkedHashSet preserves that iteration order)
+            if (score > bestScore ||
+              (score == bestScore && (bestIdx < 0 || cands(i)._1 < cands(bestIdx)._1))) {
+              bestScore = score; bestIdx = i
+            }
+          }
+          selected += bestIdx
+          remaining -= bestIdx
+        }
+        selected.iterator.zipWithIndex.map { case (ci, r) =>
+          (qid, (r + 1).toLong, cands(ci)._1, cands(ci)._2)
+        }
+      }
+      .toDF("query_id", "rank", "nbr_id", "sim")
+  }
+
   /** Packed sign-bit binary code of a vector: word `w` holds bits
     * `[w·64, min(dim, (w+1)·64))`, bit i set iff `vec[i] >= 0`. Pure
     * codegen'd HOFs: each word is a `zip_with` of the dim-slice against a

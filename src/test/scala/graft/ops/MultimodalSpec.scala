@@ -210,6 +210,42 @@ class MultimodalSpec extends SparkSpec {
     assert(viaCol.isNullAt(0))
   }
 
+  test("exifMeta parses both byte orders round-trip through synthesis") {
+    val df = Seq((1L, 6, 640, 480, true), (2L, 1, 800, 600, false))
+      .toDF("id", "o", "w", "h", "be")
+    val got = Multimodal
+      .exifMeta(
+        df.withColumn("payload",
+          Multimodal.syntheticExifPayload(col("o"), col("w"), col("h"), col("be"))),
+        col("payload"))
+      .select("id", "endian", "orientation", "exif_w", "exif_h")
+      .as[(Long, String, Int, Int, Int)].collect().toSet
+    assert(got == Set((1L, "MM", 6, 640, 480), (2L, "II", 1, 800, 600)))
+  }
+
+  test("exifMeta: hand-built TIFF walks; corrupt/absent APP1 yields null, not failure") {
+    import org.apache.spark.sql.graft.ExifHeaders
+    // hand-assemble a little-endian Exif JPEG: orientation only, no Exif IFD
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val tiff = b(
+      'I', 'I', 42, 0, 8, 0, 0, 0, // II, 42 LE, IFD0 at 8
+      1, 0, // one entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, 8, 0, 0, 0, // tag 0x0112 SHORT 1 value 8
+      0, 0, 0, 0) // next IFD = 0
+    val jpeg = b(0xff, 0xd8, 0xff, 0xe1, 0, (2 + 6 + tiff.length),
+      'E', 'x', 'i', 'f', 0, 0) ++ tiff ++ b(0xff, 0xd9)
+    val row = ExifHeaders.parse(jpeg)
+    assert(row != null && row.getUTF8String(0).toString == "II" && row.getInt(1) == 8)
+    assert(row.isNullAt(2) && row.isNullAt(3)) // no Exif IFD -> null dims
+    // plain JPEG without APP1 -> null; truncated TIFF -> null; junk -> null
+    assert(ExifHeaders.parse(b(0xff, 0xd8, 0xff, 0xda, 0, 2)) == null)
+    assert(ExifHeaders.parse(jpeg.take(14)) == null)
+    assert(ExifHeaders.parse("junk".getBytes("UTF-8")) == null)
+    // wrong TIFF magic -> null
+    val bad = jpeg.clone(); bad(14) = 41
+    assert(ExifHeaders.parse(bad) == null)
+  }
+
   test("sampleFrames explodes every-nth frame index before any decode") {
     val df = Seq((1L, "vid".getBytes("UTF-8"), 10)).toDF("id", "payload", "n_frames")
     val got = Multimodal

@@ -26,6 +26,27 @@ class SearchSeriesSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 3L -> 4L))
   }
 
+  test("phraseSearch: adjacency required, multi-space tolerated, overlaps counted, boundaries hit") {
+    val docs = Seq(
+      (1L, "fast spark runs"),           // match at pos 1 (phrase at start)
+      (2L, "runs fast  spark"),          // double space: still adjacent tokens, pos 2 (end)
+      (3L, "fast code spark"),           // words present but apart -> no match
+      (4L, "fast spark fast spark"),     // two occurrences
+      (5L, "a fast sparkly thing"),      // 'sparkly' != 'spark' (token equality, not prefix)
+      (6L, "spark fast"))                // wrong order -> no match
+      .toDF("doc_id", "text")
+    val got = TextOps
+      .phraseSearch(docs, col("doc_id"), col("text"), Seq("fast", "spark"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 1L, 2L), (4L, 2L, 1L)))
+    // overlapping self-phrase: "x x x" contains "x x" at positions 1 AND 2
+    val self = TextOps
+      .phraseSearch(Seq((7L, "x x x")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), Seq("x", "x"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(self == Set((7L, 2L, 1L)))
+  }
+
   test("gapFillHourly densifies the global span, zero-fills, and carries LOCF per key") {
     val events = Seq(
       ("a", "2020-01-01 10:10:00", 5.0),
