@@ -1335,6 +1335,43 @@ object SparkEntry {
       Stats.seasonalResiduals(
         Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
     }),
+    "q_seasonal_residuals_stream" -> ((s, dir) => {
+      // the seasonal machine ON the stream against the batch-fitted
+      // weekday baseline (|keys|·7 driver artifact — the q_cusum_stream
+      // posture); each day's residual emits as the watermark closes it,
+      // sharing the batch oracle
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir).events
+      val refs = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * 1000000).cast("long").as("__y"))
+        .withColumn("__dow", pmod(datediff(col("__day"), lit("1970-01-01")), lit(7)).cast("long"))
+        .groupBy(col("event_type"), col("__dow"))
+        .agg(expr("sum(__y) div count(1)").as("__mu"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val input = ev.select(
+        col("event_type").as("key"),
+        col("ts"),
+        col("event_type").as("kind"),
+        col("event_id").cast("string").as("id"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("value"))
+      Replay
+        .keyedValueEvents(input) { stream =>
+          StateMachines.seasonalResiduals(stream, refs).toDF()
+        }
+        .select(col("key"), col("day"), col("dow"), col("rev_micro"),
+          col("dow_mean_micro"), col("residual_micro"))
+    }),
+    "p_kfold" -> ((s, dir) => {
+      // deterministic 5-fold CV assignment + per-fold size audit: the
+      // md5-mod fold is reproducible on any engine, so training jobs and
+      // eval harnesses agree on membership with no assignment table
+      Sampling.kfold(Tables(s, dir).documents, col("doc_id"), k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    }),
     "d_dedup_editdist" -> ((s, dir) => {
       // typo-grade near-dup: all pairs at edit distance <= 8 via the
       // LOSSLESS prefix-filtered positional q-gram join (rarest-gram
@@ -2567,6 +2604,25 @@ object SparkEntry {
       |    AS BIGINT)) AS psi_micro
       |FROM c JOIN t ON c.key = t.key GROUP BY 1, 2""".stripMargin
 
+  /** Shared by q_seasonal_residuals and its streaming machine twin:
+    * residual of each day vs the key's own weekday mean. */
+  private val seasonalSql =
+    """WITH d AS (
+      |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT *, datediff('day', DATE '1970-01-01', day) % 7 AS dow FROM d
+      |), m AS (
+      |  SELECT key, dow,
+      |    CAST(CAST(sum(rev_micro) AS HUGEINT) // count(*) AS BIGINT)
+      |      AS dow_mean_micro
+      |  FROM w GROUP BY 1, 2
+      |)
+      |SELECT w.key, w.day, CAST(w.dow AS BIGINT) AS dow, w.rev_micro,
+      |  m.dow_mean_micro, w.rev_micro - m.dow_mean_micro AS residual_micro
+      |FROM w JOIN m ON w.key = m.key AND w.dow = m.dow""".stripMargin
+
   /** Shared by q_cusum and its streaming machine twin: one-sided CUSUM
     * recursion over daily micro sums against the key's own mean, h = μ. */
   private val cusumSql =
@@ -3535,22 +3591,13 @@ object SparkEntry {
     "q_psi_stream" -> psiSql,
     "q_cusum" -> cusumSql,
     "q_cusum_stream" -> cusumSql,
-    "q_seasonal_residuals" ->
-      """WITH d AS (
-        |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
-        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micro
-        |  FROM events GROUP BY 1, 2
-        |), w AS (
-        |  SELECT *, datediff('day', DATE '1970-01-01', day) % 7 AS dow FROM d
-        |), m AS (
-        |  SELECT key, dow,
-        |    CAST(CAST(sum(rev_micro) AS HUGEINT) // count(*) AS BIGINT)
-        |      AS dow_mean_micro
-        |  FROM w GROUP BY 1, 2
-        |)
-        |SELECT w.key, w.day, CAST(w.dow AS BIGINT) AS dow, w.rev_micro,
-        |  m.dow_mean_micro, w.rev_micro - m.dow_mean_micro AS residual_micro
-        |FROM w JOIN m ON w.key = m.key AND w.dow = m.dow""".stripMargin,
+    "q_seasonal_residuals" -> seasonalSql,
+    "q_seasonal_residuals_stream" -> seasonalSql,
+    "p_kfold" ->
+      """SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |    AS BIGINT) % 5 AS fold,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "s_phrase_search" ->
       s"""WITH d AS (SELECT doc_id, $tokensExpr AS w FROM documents),
          |h AS (

@@ -247,4 +247,20 @@ object Sampling {
       }
     df.withColumn("split", label)
   }
+
+  /** Deterministic k-fold assignment: `fold = md5-48-bit(key) mod k` —
+    * the cross-validation companion of [[split]]: every engine and every
+    * run derives the SAME fold for a given id, so CV training jobs,
+    * eval harnesses, and the decontamination audit all agree on fold
+    * membership without a materialized assignment table (though the
+    * assignment IS trivially materializable — it's one projection).
+    * Integer mod of the 48-bit hash: folds are exchangeable and
+    * balanced to binomial noise. Per-row, shuffle-free.
+    */
+  def kfold(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, "need k >= 2 folds")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
+        lit(k.toLong)))
+  }
 }

@@ -801,6 +801,70 @@ object StateMachines {
       })
   }
 
+  // ---- seasonal residual monitor (streaming twin of
+  //      graft.ops.Stats.seasonalResiduals) ----
+
+  case class SeasonalRow(
+      key: String,
+      day: java.time.LocalDate,
+      dow: Long,
+      rev_micro: Long,
+      dow_mean_micro: Long,
+      residual_micro: Long)
+
+  /** Streaming seasonal-residual machine: per key, fold events into
+    * per-day micro sums; as the watermark finalizes each day, emit the
+    * residual against the FITTED weekday baseline (`refs` maps
+    * (key, epoch-day % 7) → mean micro — trained by the batch twin,
+    * a |keys|·7 driver artifact, the [[cusumDaily]] baseline posture).
+    * The seasonality-aware anomaly feed: a quiet Sunday emits ~0, the
+    * same volume on a Tuesday emits a large negative residual the
+    * moment the day closes. Keys/weekdays without a baseline pass
+    * through silently.
+    *
+    * State posture: O(open days) per key — the smallest of the daily
+    * machines (no carried recursion at all).
+    */
+  def seasonalResiduals(
+      events: Dataset[KeyedValueEvent],
+      refs: Map[(String, Long), Long],
+      watermarkDelay: String = "0 seconds"): Dataset[SeasonalRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, SeasonalRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
+        val st0 = state.getOption.getOrElse(CusumState(Nil, 0L))
+        var open = st0.open
+        var sawReal = st0.open.nonEmpty
+        for (e <- it; if e.kind != Replay.Sentinel) {
+          sawReal = true
+          val d = Math.floorDiv(usOf(e.ts), DayUs)
+          open = open.find(_._1 == d) match {
+            case Some((_, s)) => (d, s + e.value) :: open.filterNot(_._1 == d)
+            case None         => (d, e.value) :: open
+          }
+        }
+        if (!sawReal) { state.remove(); Iterator.empty }
+        else {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, still) = open.partition { case (d, _) => (d + 1) * DayUs <= wmUs }
+          val out = ready.sortBy(_._1).flatMap { case (d, s) =>
+            val dow = Math.floorMod(d, 7L)
+            refs.get((key, dow)).map(mu =>
+              SeasonalRow(key, java.time.LocalDate.ofEpochDay(d), dow, s, mu, s - mu))
+          }
+          state.update(CusumState(still, 0L))
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp((still.map(_._1).min + 1) * DayUs / 1000L + 1)
+          out.iterator
+        }
+      })
+  }
+
   // ---- PSI drift monitor (streaming twin of graft.ops.Stats.psiByKey) ----
 
   case class PsiState(

@@ -371,6 +371,21 @@ class RobustStatsSpec extends SparkSpec {
       ("2024-01-02", 50000000L, 50000000L, 0L)))
   }
 
+  test("kfold: deterministic, complete, balanced to binomial noise") {
+    val df = spark.range(10000).toDF("doc_id")
+    val a = Sampling.kfold(df, col("doc_id"), k = 5)
+      .groupBy("fold").count().as[(Long, Long)].collect().toMap
+    assert(a.keySet == Set(0L, 1L, 2L, 3L, 4L)) // every fold non-empty
+    assert(a.values.sum == 10000L)              // a partition, nothing dropped
+    // binomial sd ~ 40; ±5 sd is deterministic slack on the fixed hash
+    assert(a.values.forall(n => math.abs(n - 2000L) < 200),
+      s"fold imbalance: $a")
+    // same ids land in the same fold on a second evaluation
+    val b = Sampling.kfold(df, col("doc_id"), k = 5)
+      .groupBy("fold").count().as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("hllRollup: deterministic and exact-grade on small cardinalities") {
     // 3 buckets x overlapping user sets; at tiny cardinality the HLL
     // sparse mode is exact, so the union estimate equals true distinct

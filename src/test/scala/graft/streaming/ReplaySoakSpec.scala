@@ -356,6 +356,41 @@ class ReplaySoakSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("seasonalResiduals under 2s order jitter: exact residuals vs the batch twin") {
+    // day sums are jitter-immune inside the margin; the fitted weekday
+    // baseline comes from the same daily aggregate both twins share
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000).cast("long").as("__y"))
+      .withColumn("__dow", pmod(datediff(col("__day"), lit("1970-01-01")), lit(7)).cast("long"))
+    val refs = daily
+      .groupBy(col("event_type"), col("__dow"))
+      .agg(expr("sum(__y) div count(1)").as("__mu"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val input = events.select(
+      col("event_type").as("key"),
+      col("ts"),
+      col("event_type").as("kind"),
+      col("event_id").cast("string").as("id"),
+      (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("value"))
+    val streamed = Replay
+      .keyedValueEvents(input, orderJitterSec = 2) { stream =>
+        StateMachines.seasonalResiduals(stream, refs, watermarkDelay = "5 seconds").toDF()
+      }
+      .select(col("key"), col("day").cast("string"), col("dow"),
+        col("rev_micro"), col("dow_mean_micro"), col("residual_micro"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.ops.Stats
+      .seasonalResiduals(events, col("event_type"), col("ts"), col("value"))
+      .select(col("key"), col("day").cast("string"), col("dow"),
+        col("rev_micro"), col("dow_mean_micro"), col("residual_micro"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("psiSlices under 2s order jitter: exact PSI vs the batch twin") {
     // (bin, slice) counts are commutative; the micro-floored IEEE term
     // tree in the machine replicates the batch column expressions, so
