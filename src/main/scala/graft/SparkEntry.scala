@@ -1364,6 +1364,13 @@ object SparkEntry {
         .select(col("key"), col("day"), col("dow"), col("rev_micro"),
           col("dow_mean_micro"), col("residual_micro"))
     }),
+    "p_manifest" -> ((s, dir) => {
+      // per-source integrity manifest: row count, char total, and the
+      // md5 of the sorted doc-id list — set-identity for corpus builds
+      // (two builds made the same corpus iff the digests match)
+      Sampling.groupManifest(
+        Tables(s, dir).documents, col("source"), col("doc_id"), col("n_chars"))
+    }),
     "p_kfold" -> ((s, dir) => {
       // deterministic 5-fold CV assignment + per-fold size audit: the
       // md5-mod fold is reproducible on any engine, so training jobs and
@@ -3593,6 +3600,11 @@ object SparkEntry {
     "q_cusum_stream" -> cusumSql,
     "q_seasonal_residuals" -> seasonalSql,
     "q_seasonal_residuals_stream" -> seasonalSql,
+    "p_manifest" ->
+      """SELECT source AS "group", count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_weight,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+        |FROM documents GROUP BY 1""".stripMargin,
     "p_kfold" ->
       """SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
         |    AS BIGINT) % 5 AS fold,

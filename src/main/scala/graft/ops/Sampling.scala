@@ -248,6 +248,30 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Per-group integrity manifest: (group, n_rows, total_weight,
+    * ids_md5) where `ids_md5` digests the NUMERICALLY-sorted id list —
+    * the dataset-card / reproducibility artifact: two corpus builds (or
+    * two engines) produced the same membership iff the digests match,
+    * without shipping or diffing the ids themselves. Complements
+    * p_corpus_report's statistics with set-identity.
+    *
+    * Scale: one map-side-combined aggregate at group grain; the digest
+    * runs over each group's collected id array. At groups whose
+    * membership exceeds a task's memory, digest fold-sized sub-groups
+    * ([[kfold]]) and treat the manifest of fold digests as the identity
+    * — same guarantee, bounded rows.
+    */
+  def groupManifest(df: DataFrame, group: Column, id: Column, weight: Column): DataFrame =
+    df.groupBy(group.as("group"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(weight).as("total_weight"),
+        // sort as LONGS first (lexical string order would diverge from
+        // any SQL oracle's ORDER BY id), then render
+        md5(concat_ws(",",
+          sort_array(collect_list(id.cast("long"))).cast("array<string>")))
+          .as("ids_md5"))
+
   /** Deterministic k-fold assignment: `fold = md5-48-bit(key) mod k` —
     * the cross-validation companion of [[split]]: every engine and every
     * run derives the SAME fold for a given id, so CV training jobs,

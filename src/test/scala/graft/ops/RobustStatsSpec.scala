@@ -386,6 +386,21 @@ class RobustStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("groupManifest: set-identity digest — order-blind, membership-sensitive") {
+    val a = Seq((1L, "s", 10L), (2L, "s", 20L), (3L, "t", 5L)).toDF("id", "g", "w")
+    val b = Seq((2L, "s", 20L), (1L, "s", 10L), (3L, "t", 5L)).toDF("id", "g", "w") // reordered
+    val c = Seq((1L, "s", 10L), (4L, "s", 20L), (3L, "t", 5L)).toDF("id", "g", "w") // 2 -> 4
+    def m(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, String)] =
+      Sampling.groupManifest(df, col("g"), col("id"), col("w"))
+        .as[(String, Long, Long, String)].collect()
+        .map { case (k, n, w2, d) => k -> ((n, w2, d)) }.toMap
+    val (ma, mb, mc) = (m(a), m(b), m(c))
+    assert(ma == mb, "row order must not change the digest")
+    assert(ma("s")._1 == 2L && ma("s")._2 == 30L)
+    assert(ma("s")._3 != mc("s")._3, "membership change must change the digest")
+    assert(ma("t") == mc("t"), "untouched groups keep their digest")
+  }
+
   test("hllRollup: deterministic and exact-grade on small cardinalities") {
     // 3 buckets x overlapping user sets; at tiny cardinality the HLL
     // sparse mode is exact, so the union estimate equals true distinct
