@@ -55,7 +55,14 @@ object Bench {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save(); true
         } catch { case _: Throwable => false }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // centralized cache lifecycle: a query's internal persist()s (pair
+      // frames, shingle frames) are scoped to that query — freeing them
+      // here keeps a 185-query session's storage flat instead of
+      // accumulating every round's additions (the clear itself is
+      // metadata-cheap and OUTSIDE the timed window)
+      spark.catalog.clearCache()
+      sec
     }
 
     // q_*_stream queries are correctness-gate replays (file-source

@@ -78,8 +78,14 @@ object SparkEntry {
     }),
     "q_uv_daily_bloom" -> ((s, dir) => {
       // A8 parity path: the reference's own bloom-bitmap structure as a
-      // typed Aggregator (rows-only check: estimate, not exact)
-      WindowAggs.tumblingBloomDistinct(Tables(s, dir).events, col("ts"), "1 day", col("user_id"))
+      // typed Aggregator. ORACLE-CHECKED since round 9: the bitmap is a
+      // pure function of the distinct-user SET (bit-OR is merge-order
+      // independent) and the portable md5 double hashing lets the oracle
+      // SQL replay every bit and the fill-ratio estimate exactly; the
+      // splitmix default stays the production hash.
+      WindowAggs.tumblingBloomDistinct(
+        Tables(s, dir).events, col("ts"), "1 day", col("user_id"),
+        portableHash = true)
     }),
     "q_channel_stats" -> ((s, dir) => {
       // A5: per-(channel,behavior) daily counts (channelApp, intended
@@ -637,8 +643,11 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(embeddingsIdVec(Tables(s, dir)), 0.40)
     }),
     "d_dedup_embed_lsh" -> ((s, dir) => {
-      // scale path of d_dedup_embed: LSH-blocked candidates, exact verify;
-      // probabilistic recall -> rows-only check (no oracle).
+      // scale path of d_dedup_embed: LSH-blocked candidates, exact verify.
+      // ORACLE-CHECKED since round 9: the sign hyperplanes are a
+      // deterministic constant, so the oracle SQL replays them from
+      // embedded literals (dedupEmbedLshSql) — recall remains
+      // probabilistic vs d_dedup_embed, but the OUTPUT is exactly pinned.
       // Acceptance bar (ApproxGatesSpec, same params, sf0.01): output ⊆
       // brute-force pairs (exact cosine verify ⇒ precision 1) and pair
       // recall ≥ 0.9 (measured 0.932 at 4 planes × 16 tables; the round-2
@@ -679,7 +688,9 @@ object SparkEntry {
     }),
     "d_dedup_bow_lsh" -> ((s, dir) => {
       // THE declared BoW near-dup plan: LSH-blocked candidates, exact
-      // verify; probabilistic recall -> rows-only check (no oracle).
+      // verify; probabilistic recall -> rows-only check (no oracle: the
+      // BoW vectors hash tokens with xxhash64, which no SQL engine
+      // replays — unlike the embedding twin whose vectors come off disk).
       // Acceptance bar (ApproxGatesSpec, same params, sf0.01): output ⊆
       // exact d_dedup_bow pairs (exact cosine verify ⇒ precision 1) and
       // pair recall ≥ 0.9 (measured 0.998 at sf0.1, 3.5s exact vs 0.6s
@@ -943,12 +954,14 @@ object SparkEntry {
     "t_cms_counts" -> ((s, dir) => {
       // Count-Min point-frequency estimates, completing the sketch
       // family (HLL distinct / Bloom membership / Misra-Gries heavy
-      // hitters): one treeAggregate pass builds the mergeable d×w grid,
-      // probes are driver-side O(d) lookups — the corpus is never
-      // rescanned per query. Probe set = distinct tokens of the 10
-      // lowest-id docs (bounded, deterministic). Sketch output ⇒
-      // rows-only record row; ApproxGatesSpec asserts the one-sided
-      // Cormode-Muthukrishnan bound on every probe.
+      // hitters): one map-side-combined pass builds the mergeable d×w
+      // grid as a DataFrame, probes join it at their d buckets — the
+      // corpus is never rescanned per query. Probe set = distinct tokens
+      // of the 10 lowest-id docs (bounded, deterministic).
+      // ORACLE-CHECKED since round 9: the md5-bucket hash replays in SQL
+      // so the grid and every estimate are exactly pinned;
+      // ApproxGatesSpec still asserts the one-sided Cormode-Muthukrishnan
+      // bound on every probe.
       val docs = Tables(s, dir).documents
       val probes = Sketches.probeTokens(docs, col("doc_id"), col("text"), 10)
       Sketches.cmsTokenEstimates(docs, col("text"), probes)
@@ -1106,19 +1119,12 @@ object SparkEntry {
     "d_cluster_sizes" -> ((s, dir) => {
       // dedup QA: component-size distribution of the near-dup graph —
       // catches a threshold too loose (giant component) or too tight
-      // (all size-2) at a glance; aggregates the CC label table only.
-      // ORACLE-ANCHOR form (raw pair graph): on duplication-heavy corpora
-      // the declared scale plan is d_cluster_sizes_composed below
-      // (61.5 s -> 3.7 s at the adversarial 10x, docs/SCALE.md)
-      Dedup.clusterSizeDistribution(
-        Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6))
-    }),
-    "d_cluster_sizes_composed" -> ((s, dir) => {
-      // THE scale path for d_cluster_sizes: collapse byte-identical
-      // copies to representatives first, pair + CC on reps only, expand
-      // component sizes by n_copies — 61 s → 7 s on the adversarial
-      // duplication-heavy 10× corpus (docs/SCALE.md); equivalent to the
-      // raw graph whenever exact copies tokenize identically
+      // (all size-2) at a glance. THE ANCHOR IS THE SCALE PLAN (round-9
+      // swap): collapse byte-identical copies to representatives first,
+      // pair + CC on reps only, expand component sizes by n_copies —
+      // 61 s → 7 s on the adversarial duplication-heavy 10× corpus
+      // (docs/SCALE.md); equivalent to the raw pair graph whenever exact
+      // copies tokenize identically (they do — same bytes, same shingles)
       val t = Tables(s, dir)
       val groups = Dedup.exact(t.documents, col("doc_id"), col("text"))
       val reps = Dedup.exactRepresentatives(t.documents, col("doc_id"), col("text"))
@@ -1127,6 +1133,14 @@ object SparkEntry {
         Dedup.connectedComponents(
           Dedup.nearDupPairs(reps, col("doc_id"), col("text"),
             shingleLen = 3, threshold = 0.6, losslessPairs = true)))
+    }),
+    "d_cluster_sizes_raw" -> ((s, dir) => {
+      // the raw-pair-graph form, kept ONLY as the small-scale oracle
+      // cross-check of the composed anchor above: the shared-shingle join
+      // emits m² rows per shingle shared by m docs, so on duplication-
+      // heavy corpora this form IS the blow-up — never the 100 TB path
+      Dedup.clusterSizeDistribution(
+        Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6))
     }),
     "q_uv_sketch" -> ((s, dir) => {
       // mergeable HLL sketch store: daily per-type sketches unioned to a
@@ -1195,8 +1209,22 @@ object SparkEntry {
     }),
     "d_containment" -> ((s, dir) => {
       // asymmetric containment pairs: short-doc-inside-long-doc overlap
-      // Jaccard can't see; lossless shingle equi-join, integer record
+      // Jaccard can't see. ORACLE-ANCHOR form (shared-shingle self-join);
+      // the declared 100 TB plan is d_containment_blocked below — same
+      // output, prefix-filtered candidates
       Dedup.containmentPairs(
+        Tables(s, dir).documents, col("doc_id"), col("text"), n = 3, threshold = 0.8)
+    }),
+    "d_containment_blocked" -> ((s, dir) => {
+      // the boilerplate-skew scale plan for containment (round 9):
+      // prefix-filtered probe × full index candidates, LOSSLESS by the
+      // pigeonhole bound, exact shared-shingle verify — same oracle as
+      // d_containment, without the m²-per-hot-shingle exchange (3 s vs
+      // killed-at-18-min on the 50k-doc shared-boilerplate corpus;
+      // docs/SCALE.md). On DUPLICATION-heavy corpora collapse to exact
+      // representatives first instead — there the blow-up is true pairs
+      // and blocking can't help (the d_cluster_sizes lesson).
+      Dedup.containmentPairsBlocked(
         Tables(s, dir).documents, col("doc_id"), col("text"), n = 3, threshold = 0.8)
     }),
     "q_movers" -> ((s, dir) => {
@@ -1225,8 +1253,8 @@ object SparkEntry {
       // corpus's max per-key gap, ≥ 1 day so the horizon outlasts open
       // days, and under the replay sentinel's 30-day margin so the
       // closing watermark provably arrives). BigInt in the machine where
-      // batch uses DECIMAL(38); the string→decimal cast at the edge is
-      // exact, so both twins hash against the same oracle.
+      // batch uses DECIMAL(38); both record the moments as exact integer
+      // STRINGS (the >2^53 type-faithful record), same oracle.
       val input = Tables(s, dir).events
         .select(
           col("event_type").as("key"),
@@ -1238,11 +1266,7 @@ object SparkEntry {
         .keyedValueEvents(input) { stream =>
           StateMachines.trendSlope(stream, idleSec = 10L * 86400L).toDF()
         }
-        .select(
-          col("key"),
-          col("n_days"),
-          col("slope_num").cast(DecimalType(38, 0)).as("slope_num"),
-          col("slope_den").cast(DecimalType(38, 0)).as("slope_den"))
+        .select(col("key"), col("n_days"), col("slope_num"), col("slope_den"))
     }),
     "p_mixture_alloc" -> ((s, dir) => {
       // corpus-mixing plan: 30/40/20/10% of a 20k-token budget across
@@ -1421,9 +1445,11 @@ object SparkEntry {
     }),
     "s_mmr" -> ((s, dir) => {
       // diversity re-rank: MMR over the top-50 exact-cosine pool,
-      // lambda=0.7, k=5 (rows-only: the greedy argmax is not
-      // SQL-expressible; MmrSpec gates first-pick = top-1, subset-of-
-      // pool, determinism, and measured redundancy reduction)
+      // lambda=0.7, k=5. ORACLE-CHECKED since round 9: with k fixed the
+      // greedy argmax unrolls into 5 chained SQL selection steps on the
+      // same integer-quantized basis (sMmrSql); MmrSpec additionally
+      // gates first-pick = top-1, subset-of-pool, determinism, and
+      // measured redundancy reduction.
       val v = embeddingsIdVec(Tables(s, dir))
       Similarity.mmrRerank(v, v.filter(col("id") < 10), k = 5, poolSize = 50)
     }),
@@ -1569,6 +1595,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(v, v.filter(col("id") < 10), k = 5)
     }),
     "s_knn_lsh" -> ((s, dir) => {
+      // ORACLE-CHECKED since round 9: the deterministic sign matrix is
+      // embedded in sKnnLshSql, so candidates AND ranking replay exactly.
       // Acceptance bar (ApproxGatesSpec, same params, sf0.01): recall@5
       // ≥ 0.9 vs s_knn_brute (measured 0.92 at 4 planes × 16 tables; the
       // round-2 single-table formulation measured 0.02 — multi-table OR
@@ -1604,8 +1632,9 @@ object SparkEntry {
     "s_knn_binary" -> ((s, dir) => {
       // binary (sign-bit) ANN: 8-byte Hamming codes scan 32× less than
       // the float vectors, exact cosine re-ranks the rerank·k Hamming
-      // shortlist (rows-only: candidate choice is approximate, emitted
-      // sims exact). Unlike LSH/IVF nothing is skipped by bucketing —
+      // shortlist. ORACLE-CHECKED since round 9: codes, Hamming shortlist
+      // and re-rank are all deterministic, so sKnnBinarySql replays the
+      // whole pipeline. Unlike LSH/IVF nothing is skipped by bucketing —
       // every vector is cheaply examined. Acceptance bar (ApproxGatesSpec,
       // same params, sf0.01): recall@5 >= 0.9 vs s_knn_brute (measured
       // 0.96 at rerank=32; rerank=8 measured 0.64 — 1 sign bit/dim on
@@ -1694,17 +1723,30 @@ object SparkEntry {
         .select(col("key").as("lang_pred"), col("p"), col("value").as("n_tokens"))
     }),
     "t_heavy_tokens" -> ((s, dir) => {
-      // bounded-memory approximate top tokens (Misra–Gries, k=64): the
-      // sketch path for vocabularies too large to count exactly. The
-      // guarantees are deterministic, gated in ApproxGatesSpec: every
-      // token with freq > N/65 present, estimates undercount by ≤ N/65.
-      // no_oracle: counter survival near the cut depends on merge order.
+      // bounded-memory heavy hitters, SKETCH-THEN-VERIFY (round-9
+      // redefinition): Misra–Gries (k=64) finds the ≤64 candidate tokens
+      // in one bounded-memory pass, then ONE more bounded pass (broadcast
+      // semi-join on the candidate set) counts those candidates exactly,
+      // keeping tokens with true freq·65 > N. MG's deterministic
+      // guarantee (every token with freq > N/(k+1) survives the sketch)
+      // makes the RESULT exact and merge-order independent — so the query
+      // is oracle-checked, while the raw (order-dependent) MG estimates
+      // stay gated in ApproxGatesSpec. This is also the honest 100 TB
+      // shape: sketch for candidates, exact-verify the bounded set.
       val toks = Tables(s, dir).documents
-        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val cand = toks
+        .agg(HeavyHitters.heavyHitters(col("token"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e._1").as("token"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
       toks
-        .agg(HeavyHitters.heavyHitters(col("tok"), 64).as("hh"))
-        .select(posexplode(col("hh")).as(Seq("pos", "e")))
-        .select((col("pos") + 1).as("rank_est"), col("e._1").as("token"), col("e._2").as("est"))
+        .join(broadcast(cand), "token")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 65 > col("n_total"))
+        .select(col("token"), col("cnt"), col("n_total"))
     }),
     "t_bm25" -> ((s, dir) => {
       // BM25 (doc, term) relevance for the 20 highest-DF terms: tf
@@ -2603,12 +2645,12 @@ object SparkEntry {
       |  FROM c GROUP BY 1
       |)
       |SELECT c.key, t.n_bins,
-      |  sum(CAST(floor(
+      |  CAST(sum(CAST(floor(
       |    (CAST(ca + 1 AS DOUBLE) / (na + n_bins)
       |      - CAST(cb + 1 AS DOUBLE) / (nb + n_bins))
       |    * ln((CAST(ca + 1 AS DOUBLE) / (na + n_bins))
       |        / (CAST(cb + 1 AS DOUBLE) / (nb + n_bins))) * 1e6)
-      |    AS BIGINT)) AS psi_micro
+      |    AS BIGINT)) AS BIGINT) AS psi_micro
       |FROM c JOIN t ON c.key = t.key GROUP BY 1, 2""".stripMargin
 
   /** Shared by q_seasonal_residuals and its streaming machine twin:
@@ -2676,9 +2718,9 @@ object SparkEntry {
       |)
       |SELECT event_type AS key, n_days,
       |  CASE WHEN n_days >= 2
-      |    THEN CAST(n_days * sxy - sx * sy AS DECIMAL(38,0)) END AS slope_num,
+      |    THEN CAST(n_days * sxy - sx * sy AS VARCHAR) END AS slope_num,
       |  CASE WHEN n_days >= 2
-      |    THEN CAST(n_days * sxx - sx * sx AS DECIMAL(38,0)) END AS slope_den
+      |    THEN CAST(n_days * sxx - sx * sx AS VARCHAR) END AS slope_den
       |FROM m""".stripMargin
 
   private val scd2Sql =
@@ -2712,11 +2754,11 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY lang_pred ORDER BY n) AS rn,
        |    count(*) OVER (PARTITION BY lang_pred) AS cnt
        |  FROM d
-       |), p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+       |), p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p)
        |SELECT lang_pred, p, CAST(n AS BIGINT) AS n_tokens
        |FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * cnt) AS BIGINT))""".stripMargin
   private val channelStatsSql =
-    """SELECT date_trunc('day', ts) AS window_start, event_type,
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
       |       count(*) AS cnt
       |FROM events GROUP BY 1, 2, 3""".stripMargin
@@ -2773,13 +2815,193 @@ object SparkEntry {
       |SELECT user_id, pts AS first_ts, ts AS last_ts FROM o
       |WHERE m = 1 AND pm = 1 AND epoch_us(ts) - epoch_us(pts) <= 7200000000""".stripMargin
 
+  /** Sign-LSH oracle plumbing (round 9): the hyperplanes are a
+    * deterministic compile-time constant (splitmix64 of (seed, plane,
+    * dim)), so the oracle SQL can replay the exact sign matrix from
+    * embedded '+'/'-' literals — turning the sign-LSH paths from
+    * recall-gated into oracle-checked. DuckDB's `list_dot_product` folds
+    * sequentially like [[org.apache.spark.sql.graft.SignProjectionBucket]],
+    * so the per-plane projections (and their `>= 0` sign bits) agree
+    * bit-for-bit.
+    */
+  private def lshSignValues(nTables: Int, nPlanes: Int, dim: Int): String =
+    (0 until nTables).flatMap { t =>
+      graft.ops.Similarity
+        .hyperplaneSignStrings(42L + t * 7919L, nPlanes, dim)
+        .zipWithIndex
+        .map { case (s, p) => s"($t, $p, '$s')" }
+    }.mkString(",\n    ")
+
+  /** Shared bucket CTE for the 4-plane × 16-table sign-LSH queries
+    * (s_knn_lsh, d_dedup_embed_lsh — both declared with these params). */
+  private lazy val lshBucketCte: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), sg(tbl, plane, ss) AS (VALUES
+       |    ${lshSignValues(16, 4, 64)}
+       |), bkt AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(e, list_transform(range(64),
+       |      j -> CASE WHEN substring(ss, CAST(j + 1 AS INT), 1) = '+'
+       |           THEN 1.0 ELSE -1.0 END)) >= 0
+       |      THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM v, sg GROUP BY 1, 2
+       |)""".stripMargin
+
+  private lazy val sKnnLshSql: String =
+    lshBucketCte + """
+      |, cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS nbr_id
+      |  FROM bkt b JOIN bkt q ON b.tbl = q.tbl AND b.bucket = q.bucket
+      |  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
+      |), rescored AS (
+      |  SELECT c.query_id, c.nbr_id,
+      |    CAST(floor(list_cosine_similarity(qv.e, nv.e) * 10000) AS BIGINT) AS sim
+      |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+      |  JOIN v nv ON nv.vec_id = c.nbr_id
+      |)
+      |SELECT query_id, rank, nbr_id, sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, nbr_id) AS rank
+      |  FROM rescored
+      |) WHERE rank <= 5""".stripMargin
+
+  private lazy val dedupEmbedLshSql: String =
+    lshBucketCte + """
+      |, cand AS (
+      |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      |  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bucket = r.bucket
+      |    AND l.vec_id < r.vec_id
+      |)
+      |SELECT c.a, c.b,
+      |  CAST(floor(list_cosine_similarity(va.e, vb.e) * 10000) AS BIGINT) AS sim
+      |FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b
+      |WHERE CAST(floor(list_cosine_similarity(va.e, vb.e) * 10000) AS BIGINT)
+      |  >= 4000""".stripMargin
+
+  /** s_knn_binary oracle: the sign-bit code is replayed as a 64-term sum
+    * whose i=63 term is Long.MinValue (bit 63 participates like any other
+    * because no carry ever reaches it — [[graft.ops.Similarity.signBitCode]]);
+    * DuckDB sums in HUGEINT and the final CAST back to BIGINT is exact
+    * because the true value is an int64 bit pattern. Hamming = bit_count of
+    * the code xor, shortlist = rerank·k = 160 per query by (ham, nbr_id),
+    * exact cosine re-ranks the shortlist to k = 5.
+    */
+  private val sKnnBinarySql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), code AS (
+      |  SELECT vec_id, CAST(sum(
+      |    CASE WHEN e[i + 1] >= 0 THEN
+      |      CASE WHEN i = 63 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << i) END
+      |    ELSE 0 END) AS BIGINT) AS c
+      |  FROM v, range(64) r(i) GROUP BY vec_id
+      |), q AS (
+      |  SELECT vec_id AS query_id, c AS qc FROM code WHERE vec_id < 10
+      |), short AS (
+      |  SELECT query_id, vec_id AS nbr_id FROM (
+      |    SELECT q.query_id, code.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY bit_count(xor(q.qc, code.c)), code.vec_id) AS rn
+      |    FROM q JOIN code ON code.vec_id <> q.query_id
+      |  ) WHERE rn <= 160
+      |), qv AS (
+      |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10
+      |), rescored AS (
+      |  SELECT s.query_id, s.nbr_id,
+      |    CAST(floor(list_cosine_similarity(qv.qe, v.e) * 10000) AS BIGINT) AS sim
+      |  FROM short s JOIN v ON v.vec_id = s.nbr_id
+      |  JOIN qv ON qv.query_id = s.query_id
+      |)
+      |SELECT query_id, rank, nbr_id, sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, nbr_id) AS rank
+      |  FROM rescored
+      |) WHERE rank <= 5""".stripMargin
+
+  /** s_mmr oracle: the greedy MMR argmax unrolls into k = 5 chained CTEs
+    * (selection t scores every unselected pool member as
+    * λ·sim − (1−λ)·max-pairwise-sim-to-selected on the same 1e-4-quantized
+    * integer basis as [[graft.ops.Similarity.rerankPool]], ties
+    * (score desc, nbr_id asc)). Pool and pairwise sims replay the
+    * list_cosine_similarity idiom the s_knn_brute oracle already pins.
+    */
+  private val sMmrSql: String = {
+    val steps = (2 to 5).map { t =>
+      val prev = (1 until t).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+      s"""sel$t AS (
+         |  SELECT query_id, nbr_id, sim, $t AS rank FROM (
+         |    SELECT query_id, nbr_id, sim,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY 700000 * sim - 300000 * red DESC, nbr_id) AS rn
+         |    FROM (
+         |      SELECT p.query_id, p.nbr_id, p.sim, max(pr.psim) AS red
+         |      FROM pool p
+         |      JOIN ($prev) s ON s.query_id = p.query_id
+         |      JOIN pr ON pr.query_id = p.query_id AND pr.a = p.nbr_id
+         |        AND pr.b = s.nbr_id
+         |      LEFT JOIN ($prev) x
+         |        ON x.query_id = p.query_id AND x.nbr_id = p.nbr_id
+         |      WHERE x.nbr_id IS NULL
+         |      GROUP BY 1, 2, 3
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10
+       |), pool AS (
+       |  SELECT query_id, nbr_id, sim FROM (
+       |    SELECT qv.query_id, v.vec_id AS nbr_id,
+       |      CAST(floor(list_cosine_similarity(qv.qe, v.e) * 10000) AS BIGINT) AS sim,
+       |      row_number() OVER (PARTITION BY qv.query_id
+       |        ORDER BY floor(list_cosine_similarity(qv.qe, v.e) * 10000) DESC,
+       |          v.vec_id) AS rn
+       |    FROM qv JOIN v ON v.vec_id <> qv.query_id
+       |  ) WHERE rn <= 50
+       |), pr AS (
+       |  SELECT a.query_id, a.nbr_id AS a, b.nbr_id AS b,
+       |    CAST(floor(list_cosine_similarity(va.e, vb.e) * 10000) AS BIGINT) AS psim
+       |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.nbr_id <> b.nbr_id
+       |  JOIN v va ON va.vec_id = a.nbr_id JOIN v vb ON vb.vec_id = b.nbr_id
+       |), sel1 AS (
+       |  SELECT query_id, nbr_id, sim, 1 AS rank FROM (
+       |    SELECT query_id, nbr_id, sim,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, nbr_id) AS rn
+       |    FROM pool
+       |  ) WHERE rn = 1
+       |), ${steps.mkString(", ")}
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, sim
+       |FROM (${(1 to 5).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  /** Shared by d_containment and its lossless prefix-filtered twin
+    * d_containment_blocked (same output by the pigeonhole bound —
+    * [[graft.ops.Dedup.containmentPairsBlocked]]). */
+  private lazy val containmentSql: String =
+    s"""WITH d AS (SELECT doc_id, $tokensExpr AS w FROM documents),
+       |g AS (SELECT doc_id, $shinglesExpr AS sh FROM d),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS c,
+       |    least(len(a.sh), len(b.sh)) AS m
+       |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |)
+       |SELECT a, b, c * 1000000 // m AS c_micro
+       |FROM p WHERE c * 1000000 // m >= 800000""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_pv_hourly" -> pvHourlySql,
     "q_pv_hourly_stream" -> pvHourlySql,
     "q_sessions_stream" -> sessionsSql,
     "q_login_fail_stream" -> loginFailSql,
     "q_ad_blacklist_stream" ->
-      """SELECT user_id, date_trunc('day', ts) AS day
+      """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_order_timeout_stream" ->
@@ -2839,7 +3061,7 @@ object SparkEntry {
     "q_hot_pages_stream" -> slidingOracle(
       "", "event_type", "event_type", 600000000L, 3, 3, "DESC"),
     "q_ad_blacklist" ->
-      """SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
+      """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_login_fail" -> loginFailSql,
@@ -3376,11 +3598,11 @@ object SparkEntry {
          |WHERE pos <= greatest(0, n_grams - 5)""".stripMargin,
     "q_histogram" ->
       """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
-        |  CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_lo,
+        |  CAST(CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS DOUBLE) AS bin_lo,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_histogram_stream" ->
-      """SELECT date_trunc('day', ts) AS window_start, event_type,
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
         |  CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS cnt
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_latest_snapshot" ->
@@ -3391,7 +3613,7 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1""".stripMargin,
     "q_latest_snapshot_stream" ->
       """SELECT window_start, user_id, ts, event_id FROM (
-        |  SELECT date_trunc('day', ts) AS window_start, user_id, ts, event_id,
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id, ts, event_id,
         |    row_number() OVER (PARTITION BY date_trunc('day', ts), user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
@@ -3447,7 +3669,7 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
         |  min(gap) AS min_gap_us, max(gap) AS max_gap_us,
-        |  sum(gap) AS sum_gap_us
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap_us
         |FROM g GROUP BY user_id""".stripMargin,
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS cnt,
@@ -3474,28 +3696,31 @@ object SparkEntry {
          |  SELECT fr // 50 AS bucket, count(*) AS new_types FROM fs GROUP BY 1
          |)
          |SELECT bucket, new_types,
-         |  sum(new_types) OVER (ORDER BY bucket
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
+         |  CAST(sum(new_types) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_types
          |FROM b""".stripMargin,
     "q_semi_join_stream" ->
       """WITH p AS (
         |  SELECT user_id FROM events GROUP BY user_id
         |  ORDER BY count(*) DESC, user_id LIMIT 50
         |)
-        |SELECT date_trunc('day', ts) AS window_start, count(*) AS cnt
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, count(*) AS cnt
         |FROM events WHERE user_id IN (SELECT user_id FROM p)
         |GROUP BY 1""".stripMargin,
     "q_join_profile" ->
       """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
         |r AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1),
         |j AS (SELECT * FROM l FULL OUTER JOIN r USING (k))
-        |SELECT sum(cl) AS n_left, sum(cr) AS n_right,
+        |SELECT CAST(sum(cl) AS BIGINT) AS n_left, CAST(sum(cr) AS BIGINT) AS n_right,
         |  count(cl) AS n_left_keys, count(cr) AS n_right_keys,
         |  count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END)
         |    AS n_shared_keys,
-        |  coalesce(sum(cl * cr), 0) AS join_rows,
-        |  coalesce(sum(CASE WHEN cr IS NULL THEN cl END), 0) AS left_orphan_rows,
-        |  coalesce(sum(CASE WHEN cl IS NULL THEN cr END), 0) AS right_orphan_rows
+        |  CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS join_rows,
+        |  CAST(coalesce(sum(CASE WHEN cr IS NULL THEN cl END), 0) AS BIGINT)
+        |    AS left_orphan_rows,
+        |  CAST(coalesce(sum(CASE WHEN cl IS NULL THEN cr END), 0) AS BIGINT)
+        |    AS right_orphan_rows
         |FROM j""".stripMargin,
     "e_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
@@ -3528,18 +3753,8 @@ object SparkEntry {
         |SELECT key, day, rev_micro, delta_micro FROM l
         |WHERE delta_micro IS NOT NULL
         |ORDER BY abs(delta_micro) DESC, key, day LIMIT 10""".stripMargin,
-    "d_containment" ->
-      s"""WITH d AS (SELECT doc_id, $tokensExpr AS w FROM documents),
-         |g AS (SELECT doc_id, $shinglesExpr AS sh FROM d),
-         |p AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS c,
-         |    least(len(a.sh), len(b.sh)) AS m
-         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
-         |)
-         |SELECT a, b, c * 1000000 // m AS c_micro
-         |FROM p WHERE c * 1000000 // m >= 800000""".stripMargin,
+    "d_containment" -> containmentSql,
+    "d_containment_blocked" -> containmentSql,
     "q_movers" ->
       """WITH d AS (
         |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
@@ -3564,12 +3779,13 @@ object SparkEntry {
         |    count(*) OVER () AS cnt
         |  FROM s
         |), p AS (
-        |  SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS p
+        |  SELECT CAST(unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+        |    AS DOUBLE) AS p
         |)
         |SELECT p, v AS value
         |FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * cnt) AS BIGINT))""".stripMargin,
     "q_range_join_stream" ->
-      """SELECT date_trunc('day', ts) AS window_start, tier, count(*) AS cnt,
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, tier, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
         |FROM events
         |JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
@@ -3580,7 +3796,7 @@ object SparkEntry {
     "q_trend_slope_stream" -> trendSlopeSql,
     "p_mixture_alloc" ->
       """WITH avail AS (
-        |  SELECT source AS key, sum(n_chars) AS avail_tokens
+        |  SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS avail_tokens
         |  FROM documents GROUP BY 1
         |), t(tk, w) AS (VALUES ('src0', 300000), ('src1', 400000),
         |                       ('src2', 200000), ('src3', 100000)),
@@ -3590,9 +3806,9 @@ object SparkEntry {
         |  FROM avail LEFT JOIN t ON key = tk
         |)
         |SELECT key, avail_tokens, target_tokens,
-        |  least(target_tokens, avail_tokens) AS alloc_tokens,
-        |  CAST(least(target_tokens, avail_tokens) AS BIGINT) * 1000000
-        |    // avail_tokens AS keep_frac_micro
+        |  CAST(least(target_tokens, avail_tokens) AS BIGINT) AS alloc_tokens,
+        |  CAST(CAST(least(target_tokens, avail_tokens) AS BIGINT) * 1000000
+        |    // avail_tokens AS BIGINT) AS keep_frac_micro
         |FROM p""".stripMargin,
     "q_psi" -> psiSql,
     "q_psi_stream" -> psiSql,
@@ -3640,11 +3856,11 @@ object SparkEntry {
         |)
         |SELECT key_a, key_b, count(*) AS n_days,
         |  CAST(count(*) * sum(xa * xb) - sum(xa) * sum(xb)
-        |    AS DECIMAL(38,0)) AS corr_num,
+        |    AS VARCHAR) AS corr_num,
         |  CAST(count(*) * sum(xa * xa) - sum(xa) * sum(xa)
-        |    AS DECIMAL(38,0)) AS den_a,
+        |    AS VARCHAR) AS den_a,
         |  CAST(count(*) * sum(xb * xb) - sum(xb) * sum(xb)
-        |    AS DECIMAL(38,0)) AS den_b
+        |    AS VARCHAR) AS den_b
         |FROM p GROUP BY 1, 2""".stripMargin,
     "p_negatives" ->
       """WITH r AS (
@@ -3675,7 +3891,7 @@ object SparkEntry {
          |SELECT doc_id, rrf_micro,
          |  row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
          |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
-    "d_cluster_sizes_composed" -> clusterSizesSql,
+    "d_cluster_sizes_raw" -> clusterSizesSql,
     "d_cluster_sizes" -> clusterSizesSql,
     "q_range_join" ->
       """SELECT tier, count(*) AS cnt,
@@ -4104,6 +4320,63 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
         |  FROM sims
         |) ranked WHERE rank <= 5""".stripMargin,
+    "s_knn_lsh" -> sKnnLshSql,
+    "s_knn_binary" -> sKnnBinarySql,
+    "s_mmr" -> sMmrSql,
+    "d_dedup_embed_lsh" -> dedupEmbedLshSql,
+    "t_heavy_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($tokensExpr) AS token FROM documents
+         |), total AS (SELECT count(*) AS n_total FROM toks)
+         |SELECT token, count(*) AS cnt, (SELECT n_total FROM total) AS n_total
+         |FROM toks GROUP BY token
+         |HAVING count(*) * 65 > (SELECT n_total FROM total)""".stripMargin,
+    "t_cms_counts" ->
+      s"""WITH tk AS (
+         |  SELECT w FROM (SELECT unnest($tokensExpr) AS w FROM documents)
+         |  WHERE w <> ''
+         |), grid AS (
+         |  SELECT i,
+         |    CAST(concat('0x', substring(md5(concat('42:', CAST(i AS VARCHAR),
+         |      '|', w)), 1, 12)) AS BIGINT) % 2719 AS b,
+         |    count(*) AS cnt
+         |  FROM tk, range(5) r(i) GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT DISTINCT w FROM (
+         |    SELECT unnest($tokensExpr) AS w
+         |    FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 10)
+         |  ) WHERE w <> ''
+         |), pb AS (
+         |  SELECT p.w, r.i,
+         |    CAST(concat('0x', substring(md5(concat('42:', CAST(r.i AS VARCHAR),
+         |      '|', p.w)), 1, 12)) AS BIGINT) % 2719 AS b
+         |  FROM probes p, range(5) r(i)
+         |)
+         |SELECT pb.w, CAST(min(coalesce(grid.cnt, 0)) AS BIGINT) AS est
+         |FROM pb LEFT JOIN grid ON grid.i = pb.i AND grid.b = pb.b
+         |GROUP BY 1""".stripMargin,
+    "q_uv_daily_bloom" ->
+      """WITH u AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |    AS window_start, user_id
+        |  FROM events
+        |), h AS (
+        |  SELECT window_start,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) AS h1,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 13, 12))
+        |      AS BIGINT) | 1 AS h2
+        |  FROM u
+        |), bits AS (
+        |  SELECT DISTINCT window_start, (h1 + i * h2) % 1048576 AS bit
+        |  FROM h, range(4) r(i)
+        |), x AS (
+        |  SELECT window_start, count(*) AS nset FROM bits GROUP BY 1
+        |)
+        |SELECT window_start,
+        |  CAST(floor(-(1048576.0 / 4) * ln(1 - nset / 1048576.0) + 0.5)
+        |    AS BIGINT) AS uv_bloom
+        |FROM x""".stripMargin,
     "d_dedup_embed" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -37,6 +37,9 @@ object Verify {
           s"${e.getClass.getName}: ${e.getMessage}\n")
         catch { case _: Throwable => () }
       }
+      // centralized cache lifecycle: free any persist() a query made so
+      // the 185-query dump holds storage flat (see Bench.runOne)
+      spark.catalog.clearCache()
     }
     // Summary manifest: declared vs succeeded vs failed, so the record's
     // completeness is auditable without diffing directory listings.

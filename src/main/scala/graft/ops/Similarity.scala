@@ -74,6 +74,18 @@ object Similarity {
     if ((z & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** The sign matrix as '+'/'-' strings, one per plane (char j = sign of
+    * dim j) — lets an external SQL oracle replay the exact hyperplanes:
+    * the planes are a deterministic compile-time constant, so embedding
+    * them in oracle SQL as literals makes the sign-LSH paths
+    * (s_knn_lsh, d_dedup_embed_lsh) oracle-checkable instead of
+    * recall-gated.
+    */
+  def hyperplaneSignStrings(seed: Long, nPlanes: Int, dim: Int): Seq[String] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map(j => if (hyperplaneSign(seed, p, j) > 0) '+' else '-').mkString
+    }
+
   /** LSH bucket id: `nPlanes`-bit signature of random-hyperplane signs.
     * Native codegen'd expression ([[org.apache.spark.sql.graft
     * .SignProjectionBucket]]) with the sign matrix baked in at plan time;

@@ -13,22 +13,27 @@ object Sketches {
 
   /** Count–Min sketch over a token column, probed for `queryTokens`.
     *
-    * Build is ONE distributed pass: Spark's `stat.countMinSketch`
-    * treeAggregates per-partition sketches into a single d×w counter
-    * grid (d = ⌈ln(1/(1−confidence))⌉ rows, w = ⌈e/eps⌉ columns) —
-    * mergeable state, O(d·w) memory regardless of corpus size, the same
-    * posture as the HLL/Bloom aggregates. Probes are driver-side O(d)
-    * lookups on the finished sketch — the point of CMS: the corpus is
-    * never rescanned per query.
+    * The d×w counter grid is built as a DATAFRAME: explode tokens × d
+    * hash rows, hash each (row, token) to one of w buckets, and count —
+    * one map-side-combined exchange whose reduce side is at most d·w
+    * cells no matter the corpus size (the grid IS the mergeable sketch
+    * state, same posture as the HLL sketch store). Probes join the grid
+    * at their d buckets and take the row-minimum.
     *
-    * Guarantee (Cormode–Muthukrishnan): exact ≤ estimate, and
-    * estimate ≤ exact + eps·N with probability ≥ confidence, where N =
-    * total token count. The ApproxGatesSpec gate asserts both sides on
-    * the real corpus.
+    * Bucket hash is the engine-portable md5→48-bit idiom (the same one
+    * p_sample / d_winnow pin), NOT Spark's private murmur3 — which makes
+    * the whole sketch REPLAYABLE IN SQL, so the declared t_cms_counts
+    * query is oracle-checked rather than rows-only (round 9). A 64-bit
+    * xxhash64 is the cheaper production swap; the structure and bounds
+    * are hash-agnostic.
     *
-    * Returns (w, est) for each query token, in `queryTokens` order-
-    * independent deterministic form (sorted), so the record row is
-    * stable.
+    * Guarantee (Cormode–Muthukrishnan): exact ≤ estimate always, and
+    * estimate ≤ exact + eps·N with probability ≥ confidence over the
+    * hash draw (d = ⌈ln(1/(1−confidence))⌉ rows, w = ⌈e/eps⌉ columns;
+    * N = total token count). The ApproxGatesSpec gate asserts both
+    * sides on the real corpus.
+    *
+    * Returns (w, est) for each distinct query token.
     */
   def cmsTokenEstimates(
       df: DataFrame,
@@ -40,11 +45,33 @@ object Sketches {
     require(queryTokens.nonEmpty, "need at least one query token")
     val spark = df.sparkSession
     import spark.implicits._
+    val width = math.ceil(math.E / eps).toLong
+    val depth = math.max(1, math.ceil(math.log(1.0 / (1.0 - confidence))).toInt)
+    def bucket(tok: Column, row: Column): Column =
+      pmod(
+        conv(substring(md5(
+          concat(lit(s"$seed:"), row.cast("string"), lit("|"), tok)), 1, 12), 16, 10)
+          .cast("long"),
+        lit(width))
     val toks = df.select(explode(TextOps.tokens(text)).as("w")).filter(col("w") =!= "")
-    val cms = toks.stat.countMinSketch(col("w"), eps, confidence, seed)
-    queryTokens.distinct.sorted
-      .map(t => (t, cms.estimateCount(t)))
-      .toDF("w", "est")
+    // hash the VOCABULARY, not the occurrences: one count exchange at
+    // token grain first (map-side combined), then d md5s per DISTINCT
+    // token — at corpus scale occurrences ≫ vocabulary, so the md5 cost
+    // is off the hot path (measured 2.4 s → token-grain at sf0.1);
+    // summing counts into cells is the same grid, same oracle
+    val grid = toks
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"),
+        explode(array((0 until depth).map(i => lit(i)): _*)).as("i"))
+      .groupBy(col("i"), bucket(col("w"), col("i")).as("b"))
+      .agg(sum(col("wc")).as("cnt"))
+    val probes = queryTokens.distinct.sorted.toDF("w")
+      .select(col("w"), explode(array((0 until depth).map(i => lit(i)): _*)).as("i"))
+      .select(col("w"), col("i"), bucket(col("w"), col("i")).as("b"))
+    probes
+      .join(grid, Seq("i", "b"), "left")
+      .groupBy(col("w"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
   /** HLL sketch ROLLUP: pre-aggregate distinct-counting state at fine

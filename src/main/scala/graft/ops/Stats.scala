@@ -344,11 +344,16 @@ object Stats {
       .select(
         col("key"),
         col("n_days"),
+        // record type is VARCHAR: DECIMAL(38,0) moments exceed 2^53, so any
+        // engine that canonicalizes through float64 (or int64) corrupts
+        // them — exact integer rendering is the only type-faithful record
         when(col("n_days") >= 2,
-          (col("n_days").cast(d38) * col("__sxy") - col("__sx") * col("__sy")).cast(d38))
+          (col("n_days").cast(d38) * col("__sxy") - col("__sx") * col("__sy")).cast(d38)
+            .cast("string"))
           .as("slope_num"),
         when(col("n_days") >= 2,
-          (col("n_days").cast(d38) * col("__sxx") - col("__sx") * col("__sx")).cast(d38))
+          (col("n_days").cast(d38) * col("__sxx") - col("__sx") * col("__sx")).cast(d38)
+            .cast("string"))
           .as("slope_den"))
   }
 
@@ -600,12 +605,15 @@ object Stats {
         sum((col("__xb").cast(d19) * col("__xb").cast(d18)).cast(d38)).as("__syy"))
       .select(
         col("key_a"), col("key_b"), col("n_days"),
+        // VARCHAR record for the same reason as [[trendSlopeByKey]]: the
+        // moments reach ~1e20 > 2^53, so only exact integer rendering
+        // survives every engine's canonicalization type-faithfully
         (col("n_days").cast(d38) * col("__sxy") - col("__sx") * col("__sy"))
-          .cast(d38).as("corr_num"),
+          .cast(d38).cast("string").as("corr_num"),
         (col("n_days").cast(d38) * col("__sxx") - col("__sx") * col("__sx"))
-          .cast(d38).as("den_a"),
+          .cast(d38).cast("string").as("den_a"),
         (col("n_days").cast(d38) * col("__syy") - col("__sy") * col("__sy"))
-          .cast(d38).as("den_b"))
+          .cast(d38).cast("string").as("den_b"))
   }
 
   /** Pareto concentration: per-key totals ranked descending with the

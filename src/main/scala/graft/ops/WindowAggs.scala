@@ -196,8 +196,11 @@ object WindowAggs {
       distinctCol: Column,
       numBits: Int = 1 << 20,
       keys: Seq[Column] = Nil,
-      countName: String = "uv_bloom"): DataFrame =
+      countName: String = "uv_bloom",
+      portableHash: Boolean = false): DataFrame =
     flatten(
       df.groupBy(window(ts, size) +: keys: _*)
-        .agg(BloomDistinct.bloomDistinct(distinctCol, numBits).as(countName)))
+        .agg(BloomDistinct
+          .bloomDistinct(distinctCol, numBits, portableHash = portableHash)
+          .as(countName)))
 }

@@ -728,7 +728,8 @@ object StateMachines {
 
   case class CusumState(
       open: List[(Long, Long)], // (epoch day, micro sum) inside the watermark
-      cusum: Long)              // carried recursion value over finalized days
+      cusum: Long,              // carried recursion value over finalized days
+      lastUs: Long = Long.MinValue) // newest event time seen (idle horizon)
 
   case class CusumRow(
       key: String,
@@ -758,26 +759,41 @@ object StateMachines {
   def cusumDaily(
       events: Dataset[KeyedValueEvent],
       refs: Map[String, (Long, Long)],
-      watermarkDelay: String = "0 seconds"): Dataset[CusumRow] = {
+      watermarkDelay: String = "0 seconds",
+      idleSec: Long = 30L * 86400L): Dataset[CusumRow] = {
     val spark = events.sparkSession
     import spark.implicits._
+    require(idleSec >= 86400L, "idleSec must be >= 1 day (horizon must outlast open days)")
+    // baseline-size contract: refs is a fitted MODEL artifact (one entry
+    // per monitored key), not data — broadcast ships it once per executor
+    // instead of once per task closure; past this bound, fit per-key
+    // baselines upstream and join them in as a stream side instead
+    require(refs.size <= 5000000,
+      s"cusum baseline has ${refs.size} keys — too large for a broadcast model artifact")
+    val refsBc = spark.sparkContext.broadcast(refs)
+    val idleUs = idleSec * 1000000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState[CusumState, CusumRow](
         OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)((key, it, state) => {
-        refs.get(key) match {
+        refsBc.value.get(key) match {
           case None =>
             state.remove() // sentinel-only or unfitted key
             Iterator.empty
           case Some((refMicro, hMicro)) =>
             val st0 = state.getOption.getOrElse(CusumState(Nil, 0L))
             var open = st0.open
-            var sawReal = st0.open.nonEmpty || st0.cusum != 0L
+            var lastUs = st0.lastUs
+            var sawNew = false
+            var sawReal = st0.open.nonEmpty || st0.cusum != 0L ||
+              st0.lastUs != Long.MinValue
             for (e <- it; if e.kind != Replay.Sentinel) {
-              sawReal = true
-              val d = Math.floorDiv(usOf(e.ts), DayUs)
+              sawNew = true; sawReal = true
+              val us = usOf(e.ts)
+              lastUs = math.max(lastUs, us)
+              val d = Math.floorDiv(us, DayUs)
               open = open.find(_._1 == d) match {
                 case Some((_, s)) => (d, s + e.value) :: open.filterNot(_._1 == d)
                 case None         => (d, e.value) :: open
@@ -792,9 +808,25 @@ object StateMachines {
                 cusum = math.max(0L, cusum + s - refMicro)
                 CusumRow(key, java.time.LocalDate.ofEpochDay(d), s, cusum, cusum > hMicro)
               }
-              state.update(CusumState(still, cusum))
-              if (still.nonEmpty)
-                state.setTimeoutTimestamp((still.map(_._1).min + 1) * DayUs / 1000L + 1)
+              // idle-horizon cleanup (round-9, the psiSlices/trendSlope
+              // discipline): once nothing is open and the key has been
+              // event-time quiet past the horizon, drop the carried cusum —
+              // a permanently quiet key must not hold a state-store entry
+              // forever. A later revival restarts the recursion at 0, the
+              // documented horizon semantics (same as trendSlope's re-open).
+              if (still.isEmpty && !sawNew &&
+                lastUs != Long.MinValue && lastUs + idleUs <= wmUs) {
+                state.remove()
+              } else {
+                state.update(CusumState(still, cusum, lastUs))
+                if (still.nonEmpty)
+                  state.setTimeoutTimestamp((still.map(_._1).min + 1) * DayUs / 1000L + 1)
+                else
+                  // nothing open: arm the idle-horizon timer (strictly past
+                  // the current watermark, or the update would throw)
+                  state.setTimeoutTimestamp(
+                    math.max((lastUs + idleUs) / 1000L + 1, wmUs / 1000L + 1))
+              }
               out.iterator
             }
         }
@@ -831,6 +863,10 @@ object StateMachines {
       watermarkDelay: String = "0 seconds"): Dataset[SeasonalRow] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // same broadcast + size contract as [[cusumDaily]]: |keys|·7 model rows
+    require(refs.size <= 5000000,
+      s"seasonal baseline has ${refs.size} entries — too large for a broadcast model artifact")
+    val refsBc = spark.sparkContext.broadcast(refs)
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
@@ -854,12 +890,17 @@ object StateMachines {
           val (ready, still) = open.partition { case (d, _) => (d + 1) * DayUs <= wmUs }
           val out = ready.sortBy(_._1).flatMap { case (d, s) =>
             val dow = Math.floorMod(d, 7L)
-            refs.get((key, dow)).map(mu =>
+            refsBc.value.get((key, dow)).map(mu =>
               SeasonalRow(key, java.time.LocalDate.ofEpochDay(d), dow, s, mu, s - mu))
           }
-          state.update(CusumState(still, 0L))
-          if (still.nonEmpty)
+          // nothing carried across days here (unlike cusumDaily's
+          // recursion), so a key with no open days needs NO state at all —
+          // remove instead of parking (Nil, 0) forever (round-9 leak fix)
+          if (still.isEmpty) state.remove()
+          else {
+            state.update(CusumState(still, 0L))
             state.setTimeoutTimestamp((still.map(_._1).min + 1) * DayUs / 1000L + 1)
+          }
           out.iterator
         }
       })
