@@ -304,6 +304,47 @@ object SparkEntry {
         .matchWithTimeout(reqs, resps, timeoutSec = 86400L)
         .withColumnRenamed("key", "user_id")
     }),
+    "q_cep_login_fail3_stream" -> ((s, dir) => {
+      // C5 via the GENERIC combinator (round 9): the same
+      // times(3).consecutive().within(6h) pattern the reference builds
+      // with Flink-CEP, expressed as Cep.Pattern and compiled to the NFA
+      // machine — same oracle as q_login_fail3, proving the combinator
+      // layer reproduces the hand-written machine exactly
+      import graft.streaming.Cep
+      Replay.keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+        Cep.run(stream,
+          Cep.Pattern.begin("fail")(_.kind == "error").times(3).within(21600L))
+          .toDF()
+          // KeyedEvent carries string keys/ids; restore the record types
+          .select(col("key").cast("long").as("user_id"),
+            col("first_ts"), col("last_ts"))
+      }
+    }),
+    "q_cep_order_timeout_stream" -> ((s, dir) => {
+      // C6/C7 via the generic combinator: begin(signup).followedBy(
+      // purchase).within(24h) with timeout side output. Non-consuming
+      // followedBy = the SQL min-response-per-request semantics with
+      // response REUSE, so unlike q_order_timeout_stream no
+      // first-signup-per-user restriction is needed — every signup is
+      // its own partial; same oracle as the batch q_order_timeout
+      import graft.streaming.Cep
+      val input = keyedEventsFrame(Tables(s, dir))
+        .filter(col("kind").isin("signup", "purchase"))
+      Replay.keyedEvents(input) { stream =>
+        Cep.run(stream,
+          Cep.Pattern.begin("req")(_.kind == "signup")
+            .followedBy("resp")(_.kind == "purchase")
+            .within(86400L),
+          emitTimeouts = true)
+          .toDF()
+          .select(
+            col("key").cast("long").as("user_id"),
+            col("first_id").cast("long").as("req_id"),
+            col("first_ts").as("req_ts"),
+            when(col("status") === "matched", col("last_ts")).as("resp_ts"),
+            col("status"))
+      }
+    }),
 
     // ---- joins (J1/J2) ----
     "q_interval_join" -> ((s, dir) => {
@@ -2979,6 +3020,41 @@ object SparkEntry {
        |FROM (${(1 to 5).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})""".stripMargin
   }
 
+  /** Shared by q_login_fail3 (hand-written machine) and q_cep_login_fail3_stream
+    * (the generic [[graft.streaming.Cep]] combinator) — same pattern,
+    * same rows. */
+  private val loginFail3Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS m,
+      |    lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, 1) OVER w AS pm1,
+      |    lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, 2) OVER w AS pm2,
+      |    lag(ts, 2) OVER w AS pts2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, pts2 AS first_ts, ts AS last_ts FROM o
+      |WHERE m = 1 AND pm1 = 1 AND pm2 = 1
+      |  AND epoch_us(ts) - epoch_us(pts2) <= 21600000000""".stripMargin
+
+  /** Shared by q_order_timeout (batch operator) and q_cep_order_timeout_stream
+    * (the generic combinator with timeout side output). */
+  private val orderTimeoutSql: String =
+    """WITH req AS (
+      |  SELECT user_id, event_id AS req_id, ts AS req_ts FROM events WHERE event_type = 'signup'
+      |), resp AS (
+      |  SELECT user_id, ts AS resp_ts FROM events WHERE event_type = 'purchase'
+      |), matched AS (
+      |  SELECT req.user_id, req.req_id, req.req_ts, min(resp.resp_ts) AS resp_ts
+      |  FROM req LEFT JOIN resp ON req.user_id = resp.user_id
+      |    AND resp.resp_ts > req.req_ts
+      |    AND epoch_us(resp.resp_ts) <= epoch_us(req.req_ts) + 86400000000
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, req_id, req_ts, resp_ts,
+      |  CASE WHEN resp_ts IS NOT NULL THEN 'matched' ELSE 'timeout' END AS status
+      |FROM matched""".stripMargin
+
   /** Shared by d_containment and its lossless prefix-filtered twin
     * d_containment_blocked (same output by the pigeonhole bound —
     * [[graft.ops.Dedup.containmentPairsBlocked]]). */
@@ -3065,34 +3141,10 @@ object SparkEntry {
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_login_fail" -> loginFailSql,
-    "q_login_fail3" ->
-      """WITH o AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS m,
-        |    lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, 1) OVER w AS pm1,
-        |    lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, 2) OVER w AS pm2,
-        |    lag(ts, 2) OVER w AS pts2
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |)
-        |SELECT user_id, pts2 AS first_ts, ts AS last_ts FROM o
-        |WHERE m = 1 AND pm1 = 1 AND pm2 = 1
-        |  AND epoch_us(ts) - epoch_us(pts2) <= 21600000000""".stripMargin,
-    "q_order_timeout" ->
-      """WITH req AS (
-        |  SELECT user_id, event_id AS req_id, ts AS req_ts FROM events WHERE event_type = 'signup'
-        |), resp AS (
-        |  SELECT user_id, ts AS resp_ts FROM events WHERE event_type = 'purchase'
-        |), matched AS (
-        |  SELECT req.user_id, req.req_id, req.req_ts, min(resp.resp_ts) AS resp_ts
-        |  FROM req LEFT JOIN resp ON req.user_id = resp.user_id
-        |    AND resp.resp_ts > req.req_ts
-        |    AND epoch_us(resp.resp_ts) <= epoch_us(req.req_ts) + 86400000000
-        |  GROUP BY 1, 2, 3
-        |)
-        |SELECT user_id, req_id, req_ts, resp_ts,
-        |  CASE WHEN resp_ts IS NOT NULL THEN 'matched' ELSE 'timeout' END AS status
-        |FROM matched""".stripMargin,
+    "q_login_fail3" -> loginFail3Sql,
+    "q_cep_login_fail3_stream" -> loginFail3Sql,
+    "q_order_timeout" -> orderTimeoutSql,
+    "q_cep_order_timeout_stream" -> orderTimeoutSql,
     "q_asof_join" -> asOfSql,
     "q_asof_stream" -> asOfSql,
     "q_interval_join" -> intervalJoinSql,
