@@ -362,6 +362,28 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"containment must stay an equi-join:\n$p")
   }
 
+  test("blocked containment: rarest-prefix probe side, smaller-set join condition") {
+    val p = plan("d_containment_blocked")
+    // the probe side must be the row_number prefix rank (rarest shingles
+    // first) — without it the candidate join degenerates to full × full
+    assert(p.contains("row_number()") && p.contains("__rn"),
+      s"prefix rank missing from the probe side:\n$p")
+    // the candidate join must enforce probe = smaller (n_sh, doc_id) side
+    assert(p.contains("n_sh"), s"smaller-side condition missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocked containment must stay an equi-join:\n$p")
+  }
+
+  test("CMS grid hashes the vocabulary, not the occurrences") {
+    val p = plan("t_cms_counts")
+    // the d-row explode must ride ON the token-count aggregate (cells sum
+    // per-token counts); an occurrence-grain grid would count(1) instead
+    assert(p.contains("partial_sum(wc") || p.contains("sum(wc"),
+      s"grid cells must sum vocabulary counts:\n$p")
+    assert(!p.contains("WindowExec") && !p.toLowerCase.contains("sortmergejoin"),
+      s"the grid build is pure hash aggregates:\n$p")
+  }
+
   test("pii audit is a pure projection: no exchange, no UDF") {
     val p = plan("t_pii")
     assert(!p.contains("Exchange"), p)

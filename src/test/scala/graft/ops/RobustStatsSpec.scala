@@ -153,6 +153,29 @@ class RobustStatsSpec extends SparkSpec {
     assert(jac.count() == 0) // Jaccard at the same bar sees nothing
   }
 
+  test("containmentPairsBlocked == containmentPairs on a shared-boilerplate corpus") {
+    // the blocking's adversary: every doc opens with the SAME hot
+    // sentence (a shingle in every doc — the m²-blowup input for the
+    // unblocked join) with unique tails; plus one true containment pair
+    // and one pair of equal-size near-identical docs (ties the smaller-
+    // side (n_sh, doc_id) probe selection). Losslessness = set equality.
+    val boiler = "terms of service apply here"
+    val docs = ((1 to 40).map(i =>
+      (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d")) ++ Seq(
+      (100L, "p q r s t"),
+      (101L, ("p q r s t " + (1 to 30).map(i => s"z$i").mkString(" "))),
+      (200L, s"$boiler same tail here exactly"),
+      (201L, s"$boiler same tail here exactly")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a"), col("b"), col("c_micro")).as[(Long, Long, Long)].collect().toSet
+    val raw = rows(Dedup.containmentPairs(docs, col("doc_id"), col("text"), 3, 0.8))
+    val blocked = rows(Dedup.containmentPairsBlocked(docs, col("doc_id"), col("text"), 3, 0.8))
+    assert(raw.contains((100L, 101L, 1000000L)) && raw.contains((200L, 201L, 1000000L)),
+      s"fixture must contain the planted pairs: $raw")
+    assert(blocked == raw)
+  }
+
   test("topMovers: largest |day-over-day| deltas, first day never ranks") {
     val df = Seq(
       ("a", "2020-01-01", 1.0), ("a", "2020-01-02", 10.0), // Δ +9M
