@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The `transformWithState` machine ([[Tws]]) — the modern
+  * StatefulProcessor API — must carry EXACTLY the semantics of its
+  * `flatMapGroupsWithState` twin: same matched/timeout/resp_no_req rows
+  * on a hand scenario and row-for-row equality on replayed real events.
+  * `transformWithState` requires the RocksDB provider, so this suite
+  * doubles as RocksDB coverage for the new API.
+  */
+class TwsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("StatefulProcessor matchWithTimeout: matched, timeout via named timer, resp_no_req") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[KeyedEvent]
+      val q = Tws.matchWithTimeout(input.toDS(), "req", "resp", timeoutSec = 60L)
+        .writeStream.format("memory").queryName("tws_match").outputMode("append").start()
+      try {
+        input.addData(Seq(
+          KeyedEvent("u1", ts("2020-01-01 00:00:00"), "req", "r1"),
+          KeyedEvent("u1", ts("2020-01-01 00:00:30"), "resp", "p1"), // matches r1
+          KeyedEvent("u2", ts("2020-01-01 00:00:00"), "req", "r2"), // will time out
+          KeyedEvent("u3", ts("2020-01-01 00:00:10"), "resp", "p9"))) // no req
+        q.processAllAvailable()
+        // watermark rides past r2's deadline: the REGISTERED TIMER fires
+        // for u2 with no input rows for that key in the batch
+        input.addData(Seq(KeyedEvent("zz", ts("2020-01-01 01:00:00"), "req", "r9")))
+        q.processAllAvailable()
+        input.addData(Seq(KeyedEvent("zz", ts("2020-01-01 01:00:01"), "resp", "p8")))
+        q.processAllAvailable()
+        val got = spark.table("tws_match").as[TaggedRow]
+          .collect().map(r => (r.key, r.tag, r.first_ts, r.last_ts, r.info)).toSet
+        assert(got == Set(
+          ("u1", "matched", ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:30"), "r1"),
+          ("u2", "timeout", ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "r2"),
+          ("u3", "resp_no_req", ts("2020-01-01 00:00:10"), ts("2020-01-01 00:00:10"), "p9"),
+          ("zz", "matched", ts("2020-01-01 01:00:00"), ts("2020-01-01 01:00:01"), "r9")))
+      } finally q.stop()
+    } finally spark.conf.unset(ProviderConf)
+  }
+
+  test("transformWithState == flatMapGroupsWithState machine on replayed real events") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val events = graft.io.Tables(spark, dir).events
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Timestamp, Timestamp, String)] =
+        df.as[TaggedRow].collect().map(r => (r.key, r.tag, r.first_ts, r.last_ts, r.info)).toSet
+      val tws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        Tws.matchWithTimeout(s, "signup", "purchase", timeoutSec = 86400L).toDF()
+      })
+      val fmgws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        StateMachines.matchWithTimeout(s, "signup", "purchase", timeoutSec = 86400L).toDF()
+      })
+      assert(tws.nonEmpty, "gate is vacuous: no signup/purchase traffic")
+      assert(tws.exists(_._2 == "matched") && tws.exists(_._2 == "timeout"),
+        s"fixture must exercise both paths: ${tws.map(_._2)}")
+      assert(tws == fmgws)
+    } finally spark.conf.unset(ProviderConf)
+  }
+}
