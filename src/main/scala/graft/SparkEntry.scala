@@ -455,6 +455,38 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(discPrice).cast("double").as("revenue"))
     }),
+    "q10_returned_revenue" -> ((s, dir) => {
+      // TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+      // Plan: the R filter pushes to the lineitem scan, orders/customer
+      // join at fact grain, nation broadcasts; the final top-20 plans as
+      // TakeOrderedAndProject on (revenue desc, c_custkey) — ordering on
+      // the EXACT decimal sum, double only in the record
+      val t = Tables(s, dir)
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(discPrice).as("__rev"))
+        .orderBy(col("__rev").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("__rev").cast("double").as("revenue"))
+    }),
+    "q12_priority_shipping" -> ((s, dir) => {
+      // TPC-H Q12 shape: per ship-month line counts split by order
+      // priority class — one fact-fact equi-join (orders projected to
+      // 2 columns before the exchange), one aggregated exchange
+      val t = Tables(s, dir)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t.lineitem
+        .join(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_count"))
+    }),
     "q_min_cost_supplier" -> ((s, dir) => {
       // TPC-H Q2 shape: for each part in the p_size slice, the supplier
       // with the LOWEST observed sale price (argmin-per-group + dimension
@@ -3276,6 +3308,26 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
+    "q10_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT c_custkey, c_name, n_name, sum($discPriceSql) AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE l_returnflag = 'R'
+         |  GROUP BY 1, 2, 3
+         |  ORDER BY rev DESC, c_custkey LIMIT 20
+         |)""".stripMargin,
+    "q12_priority_shipping" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_min_cost_supplier" ->
       """WITH m AS (
         |  SELECT p_partkey, p_name, l_suppkey, min(l_extendedprice) AS min_price

@@ -374,6 +374,14 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"blocked containment must stay an equi-join:\n$p")
   }
 
+  test("q10: R-filter pushed to the fact scan, nation broadcast, take-ordered top-20") {
+    val p = plan("q10_returned_revenue")
+    assert(p.contains("EqualTo(l_returnflag,R)") && p.contains("PushedFilters"),
+      s"returnflag filter must reach the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
+  }
+
   test("CMS grid hashes the vocabulary, not the occurrences") {
     val p = plan("t_cms_counts")
     // the d-row explode must ride ON the token-count aggregate (cells sum
