@@ -1264,9 +1264,11 @@ object SparkEntry {
     }),
     "q_wau" -> ((s, dir) => {
       // rolling weekly actives per day (the DAU/WAU engagement family):
-      // exact distinct users per 7d/1d sliding window — 7× expansion
-      // before the distinct, the documented knee where the HLL pane
-      // merge takes over (WindowAggs.slidingCountDistinct scaladoc)
+      // exact distinct users per 7d/1d sliding window. Round 9: events
+      // pre-collapse to distinct (user, day-pane) BEFORE the 7× window
+      // expansion (lossless for aligned geometries), so the expansion
+      // input is the user-day table, not the event log — the exact
+      // floor; q_wau_sketch remains the sub-user-day-cost path
       WindowAggs
         .slidingCountDistinct(
           Tables(s, dir).events, col("ts"), "7 days", "1 day", col("user_id"))

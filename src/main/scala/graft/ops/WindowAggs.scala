@@ -27,6 +27,10 @@ object WindowAggs {
   private def flatten(df: DataFrame): DataFrame =
     df.withColumn("window_start", col("window.start")).drop("window")
 
+  /** Test seam: the same window→window_start flattening the operators
+    * apply, for specs that build a reference aggregation by hand. */
+  private[graft] def flattenForTest(df: DataFrame): DataFrame = flatten(df)
+
   /** Tumbling-window row count per key (reference A3/W4). */
   def tumblingCount(
       df: DataFrame,
@@ -129,12 +133,22 @@ object WindowAggs {
 
   /** Exact distinct count per SLIDING window — the DAU/WAU/MAU
     * engagement family (size "7 days" / slide "1 day" = rolling weekly
-    * actives per day). Each event expands into size/slide windows before
-    * the distinct, so the exchange is (windows-per-event)× the input —
-    * fine for day-grain engagement (≤ 31×); for tighter slides or
-    * looser windows switch to [[tumblingApproxDistinct]] per slide pane
-    * and merge HLL states ([[graft.ops.Sketches.hllRollup]]'s posture:
-    * a distinct can't pane-combine exactly, a sketch can).
+    * actives per day).
+    *
+    * Scale shape (round 9): when `size` is a whole multiple of `slide`
+    * (the engagement case), the corpus first COLLAPSES to distinct
+    * (keys, slide-pane, value) rows — one map-side-combined exchange at
+    * pane grain — and only those collapsed rows expand into size/slide
+    * windows. Lossless: pane boundaries are slide boundaries, and window
+    * membership under aligned windows is constant within a pane, so
+    * per-window distinct over pane rows equals distinct over raw events.
+    * The expansion input drops from |events| to |distinct (key, pane,
+    * value)| — at 100 TB that is the difference between 7× the event log
+    * and 7× the user-day table. Non-multiple geometries fall back to the
+    * raw expansion (membership can change mid-pane there). For tighter
+    * slides or looser windows switch to [[tumblingApproxDistinct]] per
+    * pane and merge HLL states ([[graft.ops.Sketches.hllRollup]]'s
+    * posture: a distinct can't pane-combine exactly, a sketch can).
     */
   def slidingCountDistinct(
       df: DataFrame,
@@ -143,10 +157,44 @@ object WindowAggs {
       slide: String,
       distinctCol: Column,
       keys: Seq[Column] = Nil,
-      countName: String = "uv"): DataFrame =
-    flatten(
-      df.groupBy(window(ts, size, slide) +: keys: _*)
-        .agg(count_distinct(distinctCol).as(countName)))
+      countName: String = "uv"): DataFrame = {
+    val sizeUs = intervalMicros(size)
+    val slideUs = intervalMicros(slide)
+    if (sizeUs.zip(slideUs).exists { case (a, b) => b > 0 && a % b == 0 }) {
+      val pane = df
+        .select(window(ts, slide)("start").as("__ps") +: keys :+ distinctCol.as("__v"): _*)
+        .distinct()
+      val keyCols = pane.columns.filter(c => c != "__ps" && c != "__v").toSeq.map(col)
+      flatten(
+        pane.groupBy(window(col("__ps"), size, slide) +: keyCols: _*)
+          .agg(count_distinct(col("__v")).as(countName)))
+    } else
+      flatten(
+        df.groupBy(window(ts, size, slide) +: keys: _*)
+          .agg(count_distinct(distinctCol).as(countName)))
+  }
+
+  /** Fixed-length duration string → microseconds (None for month/year
+    * units, whose length is calendar-dependent — those fall back to the
+    * raw expansion path). */
+  private def intervalMicros(s: String): Option[Long] = {
+    val m = "^\\s*(\\d+)\\s*(\\w+?)s?\\s*$".r
+    s.toLowerCase match {
+      case m(n, unit) =>
+        val per = unit match {
+          case "microsecond"          => Some(1L)
+          case "millisecond"          => Some(1000L)
+          case "second"               => Some(1000000L)
+          case "minute"               => Some(60L * 1000000L)
+          case "hour"                 => Some(3600L * 1000000L)
+          case "day"                  => Some(86400L * 1000000L)
+          case "week"                 => Some(7L * 86400L * 1000000L)
+          case _                      => None // month/year: calendar-length
+        }
+        per.map(_ * n.toLong)
+      case _ => None
+    }
+  }
 
   /** Approximate distinct count (HLL++) per tumbling window — the
     * scale path for reference A8 (`UniqueVisitorApp2`'s hand-rolled

@@ -54,6 +54,33 @@ class OpsSpec extends SparkSpec {
     assert(viaPanes.nonEmpty)
   }
 
+  test("slidingCountDistinct pane collapse == raw expansion (keyed + fallback geometry)") {
+    // round 9: aligned geometries (size % slide == 0) pre-collapse to
+    // distinct (key, pane, value) before the window expansion — must be
+    // row-identical to the raw expansion, keyed and unkeyed; and the
+    // non-multiple geometry (90 min / 1 h) must take the raw path and
+    // stay correct (window membership changes mid-pane there)
+    val events = graft.io.Tables(spark, "/root/testdata/sf0.001").events
+    def raw(size: String, slide: String, keys: Seq[org.apache.spark.sql.Column]) =
+      WindowAggs.flattenForTest(
+        events.groupBy(window(col("ts"), size, slide) +: keys: _*)
+          .agg(count_distinct(col("user_id")).as("uv")))
+    def viaOp(size: String, slide: String, keys: Seq[org.apache.spark.sql.Column]) =
+      WindowAggs.slidingCountDistinct(events, col("ts"), size, slide, col("user_id"), keys)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+    }
+    for ((size, slide) <- Seq(("3 days", "1 day"), ("90 minutes", "1 hour"))) {
+      val a = rows(viaOp(size, slide, Nil))
+      val b = rows(raw(size, slide, Nil))
+      assert(a == b && a.nonEmpty, s"unkeyed $size/$slide")
+      val ka = rows(viaOp(size, slide, Seq(col("event_type"))))
+      val kb = rows(raw(size, slide, Seq(col("event_type"))))
+      assert(ka == kb && ka.nonEmpty, s"keyed $size/$slide")
+    }
+  }
+
   test("slidingCountPanes accepts computed keys whose auto-names contain dots") {
     // get_json_object auto-generates a name with dots/parens; the second
     // groupBy must re-reference it quoted, not as nested-field access
