@@ -693,11 +693,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6)
     }),
     "d_dedup_minhash" -> ((s, dir) => {
+      // ORACLE-CHECKED since round 9: the whole MinHash pipeline is
+      // deterministic given the hash family, so with the portable
+      // md5-based base/band hashes the oracle SQL replays signature
+      // minima, banding, candidate join, AND exact-Jaccard verify
+      // (minhashSql embeds the splitmix (a,b) permutation params as
+      // literals; xxhash64 stays the cheaper production default).
       // Acceptance bar (ApproxGatesSpec, same params, sf0.01): output ⊆
       // d_dedup_ngram (exact-Jaccard verify ⇒ precision 1) and pair recall
       // ≥ 0.9 vs the lossless ngram pairs (measured 1.0).
       Dedup.minhashDedup(Tables(s, dir).documents, col("doc_id"), col("text"),
-        shingleLen = 3, k = 64, bands = 16, threshold = 0.6)
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
     }),
     "d_dedup_clusters" -> ((s, dir) => {
       // near-dup clustering: connected components over the (lossless)
@@ -706,11 +712,16 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(Tables(s, dir).documents, col("doc_id"), col("text"), 3, 0.6))
     }),
     "d_dedup_simhash" -> ((s, dir) => {
-      // Acceptance bar (ApproxGatesSpec, sf0.01): 4×16-bit band blocking is
-      // LOSSLESS for hamming ≤ 3 (pigeonhole: ≤3 flipped bits leave ≥1 of 4
-      // bands exact), so output ≡ brute-force all-pairs
-      // bit_count(sh_l XOR sh_r) <= 3 — asserted as set equality.
-      Dedup.simhashPairs(Tables(s, dir).documents, col("doc_id"), col("text"), maxHamming = 3)
+      // ORACLE-CHECKED since round 9: SimHash is a deterministic function
+      // of the token-hash family, so with the portable md5-nibble token
+      // hash the oracle SQL replays per-bit votes, the 4×16-bit banding,
+      // and the hamming verify (simhashSql; xxhash64 stays the cheaper
+      // production default). Acceptance bar (ApproxGatesSpec, sf0.01):
+      // 4×16-bit band blocking is LOSSLESS for hamming ≤ 3 (pigeonhole:
+      // ≤3 flipped bits leave ≥1 of 4 bands exact), so output ≡
+      // brute-force all-pairs — asserted as set equality.
+      Dedup.simhashPairs(Tables(s, dir).documents, col("doc_id"), col("text"),
+        maxHamming = 3, portableHash = true)
     }),
     "d_dedup_embed" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(embeddingsIdVec(Tables(s, dir)), 0.40)
@@ -3089,6 +3100,88 @@ object SparkEntry {
       |  CASE WHEN resp_ts IS NOT NULL THEN 'matched' ELSE 'timeout' END AS status
       |FROM matched""".stripMargin
 
+  /** d_dedup_minhash oracle (round 9): MinHash is deterministic given the
+    * hash family, so the portable md5 base/band hashes let DuckDB replay
+    * the whole pipeline — per-shingle 32-bit hashes, the k = 64 universal
+    * permutations (splitmix (a, b) params embedded as literals), 16-band
+    * md5 keys, the candidate self-join, and the exact hash-set Jaccard
+    * verify. One IEEE division of exact ints = the d_dedup_ngram record
+    * discipline.
+    */
+  private lazy val minhashSql: String = {
+    val params = graft.ops.Dedup.hashParams(64, 42L)
+      .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(",\n    ")
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokensExpr AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM d
+       |), hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh,
+       |    s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT))) AS hh
+       |  FROM g
+       |), hr AS (
+       |  SELECT doc_id, unnest(hh) AS h32 FROM hs
+       |), p(i, pa, pb) AS (VALUES
+       |    $params
+       |), sig AS (
+       |  SELECT doc_id, i, min((h32 * pa + pb) % 4294967311) AS m
+       |  FROM hr, p GROUP BY 1, 2
+       |), band AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS bh
+       |  FROM sig GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+       |    AND l.doc_id < r.doc_id
+       |), v AS (
+       |  SELECT c.a, c.b,
+       |    len(list_intersect(ha.hh, hb.hh)) AS cnt,
+       |    len(ha.hh) AS na, len(hb.hh) AS nb
+       |  FROM cand c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
+       |)
+       |SELECT a, b, CAST(cnt AS DOUBLE) / (na + nb - cnt) AS jaccard
+       |FROM v
+       |WHERE cnt > 0 AND CAST(cnt AS DOUBLE) / (na + nb - cnt) >= 0.6""".stripMargin
+  }
+
+  /** d_dedup_simhash oracle (round 9): per-bit majority votes over the
+    * portable md5-nibble token hash (bit b = bit b%4 of hex nibble b/4),
+    * banded into 4 16-bit values built FROM THE BITS (so no signed-shift
+    * divergence on a negative packed long), candidate self-join on
+    * (band, value), hamming = per-bit disagreement count on candidates.
+    */
+  private lazy val simhashSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokensExpr AS w FROM documents
+       |), tk AS (
+       |  SELECT DISTINCT doc_id, unnest(w) AS t FROM d
+       |), bits AS (
+       |  SELECT doc_id, r.b,
+       |    CASE WHEN 2 * sum(
+       |      (CAST(concat('0x', substring(md5(t), CAST(r.b // 4 + 1 AS INT), 1))
+       |         AS BIGINT) >> CAST(r.b % 4 AS INT)) & 1)
+       |      > count(*) THEN 1 ELSE 0 END AS bit
+       |  FROM tk, range(64) r(b) GROUP BY 1, 2
+       |), band AS (
+       |  SELECT doc_id, b // 16 AS band,
+       |    CAST(sum(bit << CAST(b % 16 AS INT)) AS BIGINT) AS bv
+       |  FROM bits GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM band l JOIN band r ON l.band = r.band AND l.bv = r.bv
+       |    AND l.doc_id < r.doc_id
+       |), ham AS (
+       |  SELECT c.a, c.b,
+       |    CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INTEGER)
+       |      AS hamming
+       |  FROM cand c
+       |  JOIN bits ba ON ba.doc_id = c.a
+       |  JOIN bits bb ON bb.doc_id = c.b AND ba.b = bb.b
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+
   /** Shared by d_containment and its lossless prefix-filtered twin
     * d_containment_blocked (same output by the pigeonhole bound —
     * [[graft.ops.Dedup.containmentPairsBlocked]]). */
@@ -3861,6 +3954,8 @@ object SparkEntry {
         |ORDER BY abs(delta_micro) DESC, key, day LIMIT 10""".stripMargin,
     "d_containment" -> containmentSql,
     "d_containment_blocked" -> containmentSql,
+    "d_dedup_minhash" -> minhashSql,
+    "d_dedup_simhash" -> simhashSql,
     "q_movers" ->
       """WITH d AS (
         |  SELECT event_type AS key, CAST(ts AS DATE) AS day,

@@ -370,7 +370,7 @@ object Dedup {
     * splitmix64-expanded from a fixed seed so results are reproducible
     * across runs and engines.
     */
-  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+  private[graft] def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
     var x = seed
     def next(): Long = {
       x += 0x9e3779b97f4a7c15L
@@ -395,17 +395,35 @@ object Dedup {
     * which re-hashes every shingle k times and overflows codegen).
     * One shuffle on doc_id; partial aggregation halves it map-side.
     */
-  def minhashSignatures(
-      df: DataFrame,
-      id: Column,
-      text: Column,
-      shingleLen: Int,
-      k: Int,
-      seed: Long = 42L): DataFrame = {
+  /** Portable 32-bit shingle-hash rows: (doc_id, s) where s = the first
+    * 8 md5 hex chars of the shingle STRING — the engine-portable base
+    * hash a SQL oracle can replay (`'0x' || substr(md5(sh), 1, 8)`), vs
+    * [[graft.ops.TextOps.shingleHashRows]]'s cheaper xxhash64. 32-bit
+    * collisions merge a shingle pair identically on BOTH engines, so the
+    * verify stays record-exact.
+    */
+  private def portableShingleHashRows(
+      df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), explode(TextOps.wordShingles(text, n)).as("__sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long").as("s"))
+
+  /** (doc_id, s) shingle-hash rows in the chosen family, 32-bit reduced
+    * to `h32`. Shared seam: signatures and the exact-Jaccard verify both
+    * read this frame ([[minhashDedup]] persists it once). */
+  private def minhashRows(
+      df: DataFrame, id: Column, text: Column, shingleLen: Int,
+      portableHash: Boolean): DataFrame =
+    if (portableHash) portableShingleHashRows(df, id, text, shingleLen)
+    else TextOps.shingleHashRows(df, id, text, shingleLen)
+
+  private def h32Of(portableHash: Boolean): Column =
+    if (portableHash) col("s") // md5-48→8-hex path is already 32-bit
+    else pmod(col("s"), lit(4294967296L))
+
+  private def signaturesFromRows(rows: DataFrame, k: Int, seed: Long): DataFrame = {
     val params = hashParams(k, seed)
-    TextOps
-      .shingleHashRows(df, id, text, shingleLen)
-      .withColumn("h32", pmod(col("s"), lit(4294967296L)))
+    rows
       .groupBy(col("doc_id"))
       .agg(
         min(pmod(col("h32") * params.head._1 + params.head._2, lit(MinhashPrime))).as("m0"),
@@ -414,28 +432,39 @@ object Dedup {
         }: _*)
   }
 
+  def minhashSignatures(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int,
+      k: Int,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame =
+    signaturesFromRows(
+      minhashRows(df, id, text, shingleLen, portableHash)
+        .withColumn("h32", h32Of(portableHash)),
+      k, seed)
+
   /** LSH candidate pairs: band the k-length signature into `bands` bands of
     * k/bands minima, bucket-join on (band index, 64-bit band hash) — a
     * compact long join key instead of array equality. Pairs sharing ≥1 band
     * are candidates; verification (exact Jaccard) is the caller's choice —
     * [[minhashDedup]] wires both.
     */
-  def minhashCandidates(
-      df: DataFrame,
-      id: Column,
-      text: Column,
-      shingleLen: Int,
-      k: Int,
-      bands: Int,
-      seed: Long = 42L): DataFrame = {
+  private def candidatesFromSignatures(
+      sigs: DataFrame, k: Int, bands: Int, portableHash: Boolean): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = minhashSignatures(df, id, text, shingleLen, k, seed)
+    // portable band key: md5 of the '|'-joined minima (decimal-rendered,
+    // so `md5(m0 || '|' || ...)` replays in SQL); production default
+    // stays the cheaper 64-bit xxhash64 long key
+    def bandKey(j: Int): Column =
+      if (portableHash)
+        md5(concat_ws("|", (j * r until (j + 1) * r).map(i => col(s"m$i").cast("string")): _*))
+      else xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*)
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(array((0 until bands).map { j =>
-        xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*)
-      }: _*)).as(Seq("band", "band_hash")))
+      posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "band_hash")))
     banded
       .as("l")
       .join(
@@ -446,6 +475,19 @@ object Dedup {
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
   }
+
+  def minhashCandidates(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int,
+      k: Int,
+      bands: Int,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame =
+    candidatesFromSignatures(
+      minhashSignatures(df, id, text, shingleLen, k, seed, portableHash),
+      k, bands, portableHash)
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification: candidates
     * from banding, then true n-gram Jaccard ≥ threshold on candidates only.
@@ -459,25 +501,35 @@ object Dedup {
       k: Int,
       bands: Int,
       threshold: Double,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame = {
     // Verification over exploded shingle-hash rows, not per-doc arrays:
     // joining the candidate pairs through (doc, shingle) rows counts
     // |A∩B| with codegen'd hash joins, where array_intersect over
     // wordShingles arrays re-entered interpreted higher-order territory
     // (measured: verification fell from ~2.5 s to ~0.5 s at sf0.1).
     // A candidate pair sharing zero shingles simply drops out (J = 0).
-    val ex = TextOps.shingleHashRows(df, id, text, shingleLen).distinct()
+    // ONE persisted hash-row frame feeds BOTH the signature build and the
+    // verify joins (the minima over the distinct set equal the minima
+    // over the multiset) — previously the tokenize+shingle+hash stage ran
+    // twice, which doubled the md5 cost of the portable family (round 9;
+    // freed by the runner's clearCache).
+    val ex = minhashRows(df, id, text, shingleLen, portableHash).distinct().persist()
     val nsh = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    minhashCandidates(df, id, text, shingleLen, k, bands, seed)
+    val sigs = signaturesFromRows(ex.withColumn("h32", h32Of(portableHash)), k, seed)
+    candidatesFromSignatures(sigs, k, bands, portableHash)
       .join(ex.select(col("doc_id").as("a"), col("s")), "a")
       .join(ex.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c"))
       .join(nsh.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(nsh.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      // one IEEE division of exact ints — hash-stable on every engine
+      // (the d_dedup_ngram discipline; the old round(·, 4) was LESS
+      // stable: decimal re-rounding differs across engines)
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Cross-corpus contamination check: pairs (train doc, eval doc) with
@@ -914,24 +966,38 @@ object Dedup {
     * conditional sums in a single hash aggregate (vs 64 interpreter passes
     * over a per-row array), then OR the sign bits back into one long.
     */
-  def simhashDocs(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhashDocs(
+      df: DataFrame, id: Column, text: Column, portableHash: Boolean = false): DataFrame = {
     // Lane-packed vote counting: 16 sums of 4×16-bit lanes instead of 64
     // single-bit sums (4× fewer aggregate updates). Lane j of sum g counts
     // tokens whose hash bit (g + 16·j) is set; no cross-lane carry while a
     // doc has < 2^16 distinct tokens (far beyond any real document —
     // tokens are distinct'd first). Bit set in the final hash iff set-count
     // · 2 > n, identical to the ±1-vote sign rule.
-    val h = col("h")
-    val votes = df
-      .select(id.as("doc_id"), explode(array_distinct(TextOps.tokens(text))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+    //
+    // portableHash: token-hash bit b = bit (b % 4) of the md5 hex
+    // nibble b/4 — a convention a SQL oracle replays verbatim
+    // (`('0x' || substr(md5(t), b//4 + 1, 1))::BIGINT >> (b % 4) & 1`);
+    // xxhash64 stays the cheaper production default.
+    val base0 = df.select(id.as("doc_id"), explode(array_distinct(TextOps.tokens(text))).as("t"))
+    val (base, bitOf) =
+      if (portableHash) {
+        val b0 = base0.withColumn("__hex", md5(col("t")))
+        def nib(n: Int): Column =
+          conv(substring(col("__hex"), n + 1, 1), 16, 10).cast("long")
+        (b0, (b: Int) => shiftright(nib(b / 4), b % 4).bitwiseAND(1L))
+      } else {
+        val b0 = base0.withColumn("h", xxhash64(col("t")))
+        (b0, (b: Int) => shiftrightunsigned(col("h"), b).bitwiseAND(1L))
+      }
+    val votes = base
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n"),
         (0 until 16).map { g =>
           sum(
             (0 until 4)
-              .map(j => shiftrightunsigned(h, g + 16 * j).bitwiseAND(1L) * lit(1L << (16 * j)))
+              .map(j => bitOf(g + 16 * j) * lit(1L << (16 * j)))
               .reduce(_ + _)).as(s"p$g")
         }: _*)
     votes.select(
@@ -950,8 +1016,13 @@ object Dedup {
     * with Hamming distance ≤ 3 shares an exact band), verify Hamming
     * distance ≤ maxHamming via popcount of XOR.
     */
-  def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
-    val docs = simhashDocs(df, id, text)
+  def simhashPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxHamming: Int,
+      portableHash: Boolean = false): DataFrame = {
+    val docs = simhashDocs(df, id, text, portableHash)
     val banded = docs.select(
       col("doc_id"),
       col("sh"),
