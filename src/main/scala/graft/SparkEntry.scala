@@ -772,9 +772,11 @@ object SparkEntry {
     }),
     "d_dedup_bow_lsh" -> ((s, dir) => {
       // THE declared BoW near-dup plan: LSH-blocked candidates, exact
-      // verify; probabilistic recall -> rows-only check (no oracle: the
-      // BoW vectors hash tokens with xxhash64, which no SQL engine
-      // replays — unlike the embedding twin whose vectors come off disk).
+      // verify. ORACLE-CHECKED since round 9: every stage was already
+      // deterministic and portable (md5 BoW buckets, splitmix sign
+      // planes, exact integer-count cosine) — bowLshSql replays
+      // projection → banding → candidates → verify end-to-end; recall vs
+      // the exact twin stays probabilistic and gated.
       // Acceptance bar (ApproxGatesSpec, same params, sf0.01): output ⊆
       // exact d_dedup_bow pairs (exact cosine verify ⇒ precision 1) and
       // pair recall ≥ 0.9 (measured 0.998 at sf0.1, 3.5s exact vs 0.6s
@@ -3145,6 +3147,59 @@ object SparkEntry {
        |WHERE cnt > 0 AND CAST(cnt AS DOUBLE) / (na + nb - cnt) >= 0.6""".stripMargin
   }
 
+  /** d_dedup_bow_lsh oracle (round 9): the whole pipeline was already
+    * deterministic and engine-portable — md5-bucket BoW counts (the
+    * d_dedup_bow oracle's own formulation), the splitmix sign matrix
+    * (embedded as ±-literals, 12 planes × 16 tables), and an exact
+    * integer-count cosine verify whose doubles are all exactly
+    * representable — it just never had its SQL written. Projections are
+    * computed SPARSELY (counts joined to a (table, plane, dim, ±1)
+    * table): absent buckets contribute 0, so the sparse sum equals the
+    * dense fold bit-for-bit (every value is an exact integer in double).
+    */
+  private lazy val bowLshSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokensExpr) AS w FROM documents),
+       |cnt AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substring(md5(w), 1, 12)) AS BIGINT) % 64 AS b,
+       |    count(*) AS c
+       |  FROM toks GROUP BY 1, 2
+       |), sg(tbl, plane, ss) AS (VALUES
+       |    ${lshSignValues(16, 12, 64)}
+       |), pl AS (
+       |  SELECT tbl, plane, r.i AS b,
+       |    CASE WHEN substring(ss, CAST(r.i + 1 AS INT), 1) = '+'
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM sg, range(64) r(i)
+       |), proj AS (
+       |  SELECT c.doc_id, p.tbl, p.plane, sum(c.c * p.sgn) AS pr
+       |  FROM cnt c JOIN pl p ON p.b = c.b GROUP BY 1, 2, 3
+       |), bkt AS (
+       |  SELECT doc_id, tbl,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << plane)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bucket = r.bucket
+       |    AND l.doc_id < r.doc_id
+       |), nrm AS (
+       |  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cnt GROUP BY 1
+       |), dots AS (
+       |  SELECT ca.a, ca.b, CAST(sum(x.c * y.c) AS BIGINT) AS dp
+       |  FROM cand ca
+       |  JOIN cnt x ON x.doc_id = ca.a
+       |  JOIN cnt y ON y.doc_id = ca.b AND y.b = x.b
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.a, d.b,
+       |  CAST(floor(dp / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) AS BIGINT) AS sim
+       |FROM dots d
+       |JOIN nrm na ON na.doc_id = d.a
+       |JOIN nrm nb ON nb.doc_id = d.b
+       |WHERE CAST(floor(dp / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) AS BIGINT)
+       |  >= 9500""".stripMargin
+
   /** d_dedup_simhash oracle (round 9): per-bit majority votes over the
     * portable md5-nibble token hash (bit b = bit b%4 of hex nibble b/4),
     * banded into 4 16-bit values built FROM THE BITS (so no signed-shift
@@ -3956,6 +4011,7 @@ object SparkEntry {
     "d_containment_blocked" -> containmentSql,
     "d_dedup_minhash" -> minhashSql,
     "d_dedup_simhash" -> simhashSql,
+    "d_dedup_bow_lsh" -> bowLshSql,
     "q_movers" ->
       """WITH d AS (
         |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
