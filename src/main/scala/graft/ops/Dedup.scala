@@ -395,26 +395,18 @@ object Dedup {
     * which re-hashes every shingle k times and overflows codegen).
     * One shuffle on doc_id; partial aggregation halves it map-side.
     */
-  /** Portable 32-bit shingle-hash rows: (doc_id, s) where s = the first
-    * 8 md5 hex chars of the shingle STRING — the engine-portable base
-    * hash a SQL oracle can replay (`'0x' || substr(md5(sh), 1, 8)`), vs
-    * [[graft.ops.TextOps.shingleHashRows]]'s cheaper xxhash64. 32-bit
-    * collisions merge a shingle pair identically on BOTH engines, so the
-    * verify stays record-exact.
-    */
-  private def portableShingleHashRows(
-      df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.select(id.as("doc_id"), explode(TextOps.wordShingles(text, n)).as("__sh"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long").as("s"))
-
   /** (doc_id, s) shingle-hash rows in the chosen family, 32-bit reduced
     * to `h32`. Shared seam: signatures and the exact-Jaccard verify both
-    * read this frame ([[minhashDedup]] persists it once). */
+    * read this frame ([[minhashDedup]] persists it once). The portable
+    * family ([[graft.ops.TextOps.portableShingleHashRows]]: md5→32-bit,
+    * SQL-replayable) shares the xxhash path's window-lead plan shape;
+    * 32-bit collisions merge a shingle pair identically on BOTH engines,
+    * so the verify stays record-exact.
+    */
   private def minhashRows(
       df: DataFrame, id: Column, text: Column, shingleLen: Int,
       portableHash: Boolean): DataFrame =
-    if (portableHash) portableShingleHashRows(df, id, text, shingleLen)
+    if (portableHash) TextOps.portableShingleHashRows(df, id, text, shingleLen)
     else TextOps.shingleHashRows(df, id, text, shingleLen)
 
   private def h32Of(portableHash: Boolean): Column =

@@ -84,10 +84,24 @@ object TextOps {
     * Docs shorter than `n` tokens yield one shingle (the whole text),
     * matching [[wordShingles]] semantics.
     */
-  def shingleHashRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  def shingleHashRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    shingleHashRowsWith(df, id, text, n, xxhash64(_))
+
+  /** [[shingleHashRows]] with the engine-portable md5→32-bit shingle hash
+    * (`'0x' || substr(md5(sh), 1, 8)` replays in SQL) — same window-lead
+    * plan shape, only the hash differs; used by the oracle-checked
+    * portable MinHash family.
+    */
+  def portableShingleHashRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    shingleHashRowsWith(df, id, text, n,
+      sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
+
+  private def shingleHashRowsWith(
+      df: DataFrame, id: Column, text: Column, n: Int,
+      hashFn: Column => Column): DataFrame = {
     require(n >= 1, "shingle length must be >= 1")
     val toks = df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "w")))
-    if (n == 1) toks.select(col("doc_id"), xxhash64(col("w")).as("s"))
+    if (n == 1) toks.select(col("doc_id"), hashFn(col("w")).as("s"))
     else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
       val leads = (1 until n).map(i => lead(col("w"), i).over(w))
@@ -98,7 +112,7 @@ object TextOps {
           "s",
           when(
             leads.last.isNotNull || col("pos") === 0,
-            xxhash64(concat_ws(" ", (col("w") +: leads): _*))))
+            hashFn(concat_ws(" ", (col("w") +: leads): _*))))
         .filter(col("s").isNotNull)
         .select(col("doc_id"), col("s"))
     }
