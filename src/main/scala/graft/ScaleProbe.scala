@@ -29,9 +29,15 @@ object ScaleProbe {
       def pass(): Double = {
         val t0 = System.nanoTime
         SparkEntry.queries(n)(spark, d).write.format("noop").mode("overwrite").save()
-        (System.nanoTime - t0) / 1e9
+        val sec = (System.nanoTime - t0) / 1e9
+        // round-9 lesson: without this, a query's internal persist()
+        // survives into the timed pass (plan-identical → cache hit) and
+        // the probe silently reports a cached number — the portable
+        // minhash cut measured 2.6 s here vs 10 s in the honest bench
+        spark.catalog.clearCache()
+        sec
       }
-      pass() // warm: plan + shuffle files + JIT
+      pass() // warm: plan + shuffle files + JIT (caches cleared)
       println(f"SCALE $n%-24s $d%-24s ${pass()}%.2f s")
     }
     spark.stop()
