@@ -382,6 +382,16 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
   }
 
+  test("q12: orders projected to 2 columns before the fact-fact join, one agg pair") {
+    val p = plan("q12_priority_shipping")
+    // the orders scan must read only the join key + priority — a wider
+    // read means the projection didn't push past the join
+    assert(
+      "ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>".r.findFirstIn(p).isDefined,
+      s"orders side must prune to (o_orderkey, o_orderpriority):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("CMS grid hashes the vocabulary, not the occurrences") {
     val p = plan("t_cms_counts")
     // the d-row explode must ride ON the token-count aggregate (cells sum
