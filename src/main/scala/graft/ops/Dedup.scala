@@ -325,6 +325,7 @@ object Dedup {
     // sizes): persist, or the tokenize+window+hash stage recomputes 5×
     // (cache lifecycle: queries()-level persists are freed by the
     // runner's clearCache between queries — see Verify/Bench)
+    val tMicro = (threshold * 1e6).toLong
     val ex = TextOps.shingleHashRows(df, id, text, n).distinct().persist()
     val sized = ex.withColumn(
       "n_sh",
@@ -336,7 +337,15 @@ object Dedup {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("__df"), col("s"))))
-      .filter(col("__rn") <= floor(col("n_sh") * (1.0 - threshold)) + 1)
+      // pigeonhole bound in INTEGER arithmetic, derived from the same
+      // micro-threshold the verify filter applies: a pair passes verify
+      // iff c*1e6 ≥ tMicro·m (m = probe n_sh), i.e. c ≥ minShared =
+      // ⌈tMicro·m / 1e6⌉, so ≤ m − minShared shingles sit outside the
+      // intersection and a prefix of m − minShared + 1 must hit a shared
+      // one. Floating (1−t) undercounts by 1 whenever (1−t)·m is exact
+      // (e.g. t=0.8, m≡0 mod 5: 1.0−0.8 = 0.19999…96) — silently lossy.
+      .filter(col("__rn") <=
+        col("n_sh") - expr(s"(n_sh * ${tMicro}L + 999999L) div 1000000L") + 1)
       .select(col("doc_id"), col("n_sh"), col("s"))
     val cand = pref.as("l")
       .join(
@@ -357,7 +366,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .withColumn("c_micro", expr("c * 1000000L div least(na, nb)"))
-      .filter(col("c_micro") >= (threshold * 1e6).toLong)
+      .filter(col("c_micro") >= tMicro)
       .select(col("a"), col("b"), col("c_micro"))
   }
 

@@ -161,12 +161,19 @@ object WindowAggs {
     val sizeUs = intervalMicros(size)
     val slideUs = intervalMicros(slide)
     if (sizeUs.zip(slideUs).exists { case (a, b) => b > 0 && a % b == 0 }) {
+      // same stable-name + backtick idiom as slidingCountPanes: a
+      // computed key's auto-generated name (e.g. get_json_object(...))
+      // contains dots, which a bare col() would parse as a nested field
+      val keyNames = if (keys.isEmpty) Nil else df.select(keys: _*).schema.fieldNames.toSeq
+      require(keyNames.distinct.size == keyNames.size,
+        s"key expressions must have distinct names, got $keyNames — alias the duplicates")
+      val namedKeys = keys.zip(keyNames).map { case (k, n) => k.as(n) }
+      def quoted(n: String): Column = col("`" + n.replace("`", "``") + "`")
       val pane = df
-        .select(window(ts, slide)("start").as("__ps") +: keys :+ distinctCol.as("__v"): _*)
+        .select(window(ts, slide)("start").as("__ps") +: namedKeys :+ distinctCol.as("__v"): _*)
         .distinct()
-      val keyCols = pane.columns.filter(c => c != "__ps" && c != "__v").toSeq.map(col)
       flatten(
-        pane.groupBy(window(col("__ps"), size, slide) +: keyCols: _*)
+        pane.groupBy(window(col("__ps"), size, slide) +: keyNames.map(quoted): _*)
           .agg(count_distinct(col("__v")).as(countName)))
     } else
       flatten(

@@ -101,6 +101,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("slidingCountDistinct accepts computed keys whose auto-names contain dots") {
+    // same quoting idiom as slidingCountPanes, on the aligned-geometry
+    // (pane pre-collapse) path where the keys get re-referenced by name
+    val df = Seq(
+      ("2020-01-01 10:02:00", """{"k": 7}""", 1L),
+      ("2020-01-01 10:03:00", """{"k": 7}""", 1L), // same user: distinct collapses
+      ("2020-01-01 10:07:00", """{"k": 3}""", 2L))
+      .toDF("t", "props", "u")
+      .withColumn("t", col("t").cast("timestamp"))
+    val got = WindowAggs
+      .slidingCountDistinct(df, col("t"), "10 minutes", "5 minutes", col("u"),
+        Seq(get_json_object(col("props"), "$.k")))
+      .collect()
+    assert(got.map(_.getAs[Long]("uv")).sum == 4) // each (key,user) in 2 windows
+    intercept[IllegalArgumentException] {
+      WindowAggs.slidingCountDistinct(df, col("t"), "10 minutes", "5 minutes", col("u"),
+        Seq(col("props"), col("props")))
+    }
+  }
+
   test("tumblingCountDistinct counts distinct users") {
     val df = Seq(
       ("2020-01-01 10:05:00", 1L),

@@ -176,6 +176,26 @@ class RobustStatsSpec extends SparkSpec {
     assert(blocked == raw)
   }
 
+  test("containmentPairsBlocked is lossless at the exact-threshold boundary (n_sh % 5 == 0)") {
+    // The float-prefix regression shape: probe has n_sh = 10 (divisible
+    // by 5), containment EXACTLY 0.8 (c = 8 of 10), and its 2
+    // outside-intersection shingles are its RAREST (df 1 vs df 2 for the
+    // shared ones), so they fill the front of the (df asc) prefix. A
+    // ⌊n_sh·(1−t)⌋+1 bound computed in floating point gives prefix 2
+    // (1.0−0.8 = 0.1999…96 ⇒ ⌊1.999…⌋ = 1) and misses the pair; the
+    // integer pigeonhole bound gives 3 and catches it.
+    val shared = (1 to 10).map(i => s"c$i").mkString(" ") // 10 words → 8 shingles at n=3
+    val probe = s"u1 u2 $shared"                          // 12 words → 10 shingles, 2 unique
+    val big = shared + " " + (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, probe), (2L, big)).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a"), col("b"), col("c_micro")).as[(Long, Long, Long)].collect().toSet
+    val raw = rows(Dedup.containmentPairs(docs, col("doc_id"), col("text"), 3, 0.8))
+    assert(raw == Set((1L, 2L, 800000L)), s"fixture must sit exactly at threshold: $raw")
+    val blocked = rows(Dedup.containmentPairsBlocked(docs, col("doc_id"), col("text"), 3, 0.8))
+    assert(blocked == raw)
+  }
+
   test("topMovers: largest |day-over-day| deltas, first day never ranks") {
     val df = Seq(
       ("a", "2020-01-01", 1.0), ("a", "2020-01-02", 10.0), // Δ +9M

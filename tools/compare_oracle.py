@@ -127,6 +127,9 @@ def main(sf_dir, out_dir, only=None):
             results[name] = f"VALUES {n_diff} multiset-diff rows of {n_got}"
         else:
             results[name] = f"OK ({n_got} rows)"
+    if not results:
+        print("no queries matched filter")
+        return 1
     width = max(len(n) for n in results)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     for name, v in sorted(results.items()):
