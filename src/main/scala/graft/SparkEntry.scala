@@ -1492,11 +1492,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
     }),
     "d_dedup_editdist" -> ((s, dir) => {
-      // typo-grade near-dup: all pairs at edit distance <= 8 via the
-      // LOSSLESS prefix-filtered positional q-gram join (rarest-gram
-      // prefixes keep the equi-join off common grams), exact levenshtein
-      // verify — the oracle is the definition itself (plain N2 + length
-      // window in DuckDB), equality proves the blocking lossless
+      // typo-grade near-dup: all pairs at edit distance <= 8. THE ANCHOR
+      // IS THE SCALE PLAN (round-10 swap, the d_cluster_sizes precedent):
+      // collapse byte-identical copies to representatives first, run the
+      // LOSSLESS prefix-filtered positional q-gram join + levenshtein
+      // verify over reps only, expand rep pairs by group membership and
+      // append within-group pairs at distance 0 — set-identical to the
+      // raw form (exact copies have distance 0 and identical distances
+      // to everything else), but the duplication blow-up lands on the
+      // true output pairs instead of the candidate join (raw form killed
+      // at 25 min on the duplication-heavy 10x corpus; docs/SCALE.md)
+      Dedup.editDistancePairsViaReps(
+        Tables(s, dir).documents, col("doc_id"), col("text"), t = 8, q = 4)
+    }),
+    "d_dedup_editdist_raw" -> ((s, dir) => {
+      // the non-composed form, kept ONLY as the small-scale oracle
+      // cross-check of the composed anchor above (the oracle is the
+      // definition itself: plain N2 + length window in DuckDB; equality
+      // proves the blocking lossless)
       Dedup.editDistancePairs(
         Tables(s, dir).documents, col("doc_id"), col("text"), t = 8, q = 4)
     }),
@@ -2632,6 +2645,20 @@ object SparkEntry {
       |  ELSE [array_to_string(w, ' ')] END""".stripMargin
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+
+  /** Shared edit-distance-pair oracle for d_dedup_editdist (the
+    * rep-collapsed anchor) and d_dedup_editdist_raw (the non-composed
+    * cross-check) — the definition itself: all pairs under the length
+    * window with exact levenshtein ≤ t; equality proves the blocking
+    * AND the collapse lossless. */
+  private lazy val editDistSql =
+    """SELECT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id
+      |  AND abs(len(a.text) - len(b.text)) <= 8
+      |  AND len(a.text) >= 36 AND len(b.text) >= 36
+      |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin
 
   /** Shared component-size-distribution oracle for d_cluster_sizes and
     * its composed (representative-collapsed) scale twin — both must
@@ -4093,14 +4120,8 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
          |  CAST(hits[1] AS BIGINT) AS first_pos
          |FROM h WHERE len(hits) >= 1""".stripMargin,
-    "d_dedup_editdist" ->
-      """SELECT a.doc_id AS a, b.doc_id AS b,
-        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-        |FROM documents a JOIN documents b
-        |  ON a.doc_id < b.doc_id
-        |  AND abs(len(a.text) - len(b.text)) <= 8
-        |  AND len(a.text) >= 36 AND len(b.text) >= 36
-        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
+    "d_dedup_editdist" -> editDistSql,
+    "d_dedup_editdist_raw" -> editDistSql,
     "q_corr_series" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

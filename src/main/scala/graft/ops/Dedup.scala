@@ -245,6 +245,61 @@ object Dedup {
       .select(col("a"), col("b"), col("dist"))
   }
 
+  /** [[editDistancePairs]] composed behind exact-duplicate collapse —
+    * the 100 TB anchor (round-10 swap, the d_cluster_sizes precedent).
+    * Byte-identical copies have edit distance 0 ≤ any threshold and
+    * identical distances to every other doc, so the pair relation
+    * factors exactly through content-fingerprint groups: run the q-gram
+    * blocking + levenshtein verify over the min-id REPRESENTATIVES only,
+    * then expand each rep pair to its members' cross product and append
+    * the within-group pairs at distance 0. LOSSLESS — output is
+    * set-identical to the raw form (the oracle is unchanged); what
+    * changes is where the duplication cost lands: the raw form pays it
+    * quadratically inside the prefix join's candidate explosion (killed
+    * at 25 min on the duplication-heavy 10× corpus), the composed form
+    * pays only the true output pairs in a final member equi-join
+    * (docs/SCALE.md).
+    *
+    * Shuffles: one fingerprint agg, the rep-only editDistancePairs
+    * (gram/doc/candidate grain over the collapsed corpus), and two
+    * member equi-joins on rep_id — never all-pairs on raw doc_ids.
+    */
+  def editDistancePairsViaReps(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      t: Int,
+      q: Int = 4): DataFrame = {
+    require(t >= 1 && q >= 2, "need t >= 1 and q >= 2")
+    val mem0 = df
+      .select(id.cast("long").as("doc_id"), text.as("__t"))
+      .filter(length(col("__t")) >= (t + 1) * q)
+      .withColumn("__fp", TextOps.fingerprint(col("__t")))
+    val groups = mem0.groupBy(col("__fp"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    // (doc_id, rep_id) membership feeds three joins: persist, or the
+    // fingerprint stage recomputes per consumer
+    val mem = mem0.join(groups, "__fp")
+      .select(col("doc_id"), col("rep_id"), col("__t"))
+      .persist()
+    val reps = mem.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("__t").as("__rt"))
+    val repPairs = editDistancePairs(reps, col("doc_id"), col("__rt"), t, q)
+    val m = mem.select(col("rep_id"), col("doc_id"))
+    val cross = repPairs
+      .join(m.as("ma"), col("a") === col("ma.rep_id"))
+      .join(m.as("mb"), col("b") === col("mb.rep_id"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("b"),
+        col("dist"))
+    val within = m.as("x")
+      .join(m.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), lit(0L).as("dist"))
+    cross.unionByName(within)
+  }
+
   /** Asymmetric CONTAINMENT pairs: (a < b) where the smaller shingle
     * set's containment `|A∩B| / min(|A|,|B|)` ≥ `threshold` — catches a
     * short document quoted/embedded inside a long one, which Jaccard

@@ -397,6 +397,31 @@ class RobustStatsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 4L || p._2 == 5L))
   }
 
+  test("editDistancePairsViaReps == editDistancePairs on a duplicate-heavy corpus") {
+    // the composed anchor's losslessness: byte-identical copies (the
+    // 10x-replica blow-up shape) collapse to reps, pair over reps,
+    // expand back — must be set-identical to the raw form, which here
+    // produces within-group dist-0 pairs, cross-group expanded pairs,
+    // and a rep whose min-id copy pairs through a NON-rep member's id
+    val base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    val typo = base.replace("quick", "quack")
+    val far = "a completely different sentence about spark shuffles and watermarks here"
+    val docs = Seq(
+      (1L, base), (4L, base), (7L, base),  // group of 3 exact copies
+      (2L, typo), (9L, typo),              // near group of 2
+      (3L, far), (5L, "tiny doc"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a"), col("b"), col("dist")).as[(Long, Long, Long)].collect().toSet
+    val raw = rows(Dedup.editDistancePairs(docs, col("doc_id"), col("text"), t = 8, q = 4))
+    val composed =
+      rows(Dedup.editDistancePairsViaReps(docs, col("doc_id"), col("text"), t = 8, q = 4))
+    // raw truth: 3 within-group-A + 1 within-group-B + 3x2 cross pairs
+    assert(raw.size == 10, s"fixture pair count: $raw")
+    assert(raw.contains((4L, 7L, 0L)) && raw.contains((2L, 9L, 0L)))
+    assert(composed == raw)
+  }
+
   test("seasonalResiduals: residual vs the key's own weekday mean, exact micro") {
     // two Mondays (2024-01-01, 2024-01-08) at 10 and 30 -> dow mean 20;
     // one Tuesday at 50 -> its own mean, residual 0
