@@ -745,12 +745,15 @@ object SparkEntry {
       // SemDeDup (arXiv:2303.09540): k-means cluster-blocked near-dup
       // pairs with exact cosine verify — the third scale path for
       // d_dedup_embed, best when embeddings are genuinely clustered (the
-      // pair space becomes within-cluster equi-joins). Probabilistic
-      // recall -> rows-only check (no oracle). Acceptance bar
-      // (ApproxGatesSpec, same params, sf0.01): output ⊆ brute pairs
-      // (exact verify ⇒ precision 1) and recall ≥ 0.9 at 16 clusters,
-      // nProbe=4 (multi-probe recovers boundary pairs; the near-uniform
-      // testdata needs 4 probes where clustered corpora need fewer).
+      // pair space becomes within-cluster equi-joins). ORACLE-CHECKED
+      // since round 10: the deterministic fitted centroids embed in the
+      // oracle SQL as literals and the multi-probe assignment + pair +
+      // verify pipeline replays relationally (dedupSemanticSql).
+      // Acceptance bar (ApproxGatesSpec, same params, sf0.01): output ⊆
+      // brute pairs (exact verify ⇒ precision 1) and recall ≥ 0.9 at 16
+      // clusters, nProbe=4 (multi-probe recovers boundary pairs; the
+      // near-uniform testdata needs 4 probes where clustered corpora
+      // need fewer).
       Similarity.semanticDedupPairs(
         embeddingsIdVec(Tables(s, dir)), 0.40, nClusters = 16, nProbe = 4)
     }),
@@ -1707,8 +1710,10 @@ object SparkEntry {
         nTables = 16)
     }),
     "s_knn_ivf" -> ((s, dir) => {
-      // IVF coarse-quantizer ANN (rows-only: k-means assignment is
-      // approximate); nProbe=4 of 16 lists ~ 4x scan reduction.
+      // IVF coarse-quantizer ANN — ORACLE-CHECKED since round 10 (the
+      // deterministic k-means centroids embed as oracle literals;
+      // quantized-cosine assignment + probe + exact re-rank replay in
+      // sKnnIvfSql); nProbe=4 of 16 lists ~ 4x scan reduction.
       // Acceptance bar (ApproxGatesSpec, same params, sf0.01): recall@5
       // >= 0.55 (measured 0.60; 0.66 at sf0.1). The near-uniform test
       // embeddings are IVF's worst case — nProbe=2 measured only 0.42,
@@ -1718,8 +1723,11 @@ object SparkEntry {
     }),
 
     "s_knn_pq" -> ((s, dir) => {
-      // product-quantization ANN (rows-only: candidate choice is
-      // approximate, emitted sims exact after refine re-rank).
+      // product-quantization ANN — ORACLE-CHECKED since round 10: the
+      // fitted sub-codebooks embed as oracle literals and encode → LUT →
+      // ADC → refine → exact re-rank replay end-to-end in sKnnPqSql
+      // (every float sum written in the Spark fold order, so ADC scores
+      // are bit-identical cross-engine).
       // Acceptance bar (ApproxGatesSpec, same params, sf0.01): recall@5
       // >= 0.9 (measured 0.92 at m=16 subspaces x 16 centroids,
       // refine*k=60 exact re-ranks; m=8/refine=4 measured 0.64). The
@@ -1764,10 +1772,12 @@ object SparkEntry {
     "e_pca" -> ((s, dir) => {
       // PCA compression of the embedding store to k=8: two treeAggregate
       // passes fit the basis (O(dim²) driver artifact, corpus never
-      // collected), projection is a pure per-row HOF. Eigendecomposition
-      // is not SQL-expressible ⇒ rows-only record row; PcaSpec gates
-      // orthonormality, planted-direction recovery, dense-projection
-      // equality, and digest stability.
+      // collected), projection is a pure per-row HOF. ORACLE-CHECKED
+      // since round 10: the deterministic basis (sign-pinned eigenvectors
+      // + means) embeds as oracle literals and the projection digest
+      // replays as explicit fold-order dot products (pcaSql); PcaSpec
+      // still gates orthonormality, planted-direction recovery,
+      // dense-projection equality, and digest stability.
       val e = Tables(s, dir).embeddings
       val b = Embeddings.pcaBasis(e, col("embedding"), k = 8)
       Embeddings.pcaProjectDigest(e, col("vec_id"), col("embedding"), b)
@@ -2645,6 +2655,123 @@ object SparkEntry {
       |  ELSE [array_to_string(w, ' ')] END""".stripMargin
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+
+  // ---- round-10: fitted-artifact oracle replays ----------------------
+  // The gate-scale (sf0.01) trained model artifacts — IVF/k-means
+  // centroids, PQ sub-codebooks, the PCA basis — are deterministic
+  // (md5-ordered bounded samples, sequential driver loops, no RNG;
+  // FittedArtifactsSpec pins refit == literal), so they embed in oracle
+  // SQL as literals (the round-9 LSH-sign-matrix precedent) and the
+  // whole assignment / ADC / projection pipeline replays relationally.
+  // Every float expression below is written in the EXACT accumulation
+  // order the Spark side uses (explicit left-associated term sums
+  // mirroring the sequential folds), so doubles are bit-identical
+  // cross-engine before the integer flooring.
+
+  private def sqlList(a: Array[Double]): String = a.mkString("[", ", ", "]")
+
+  private def cosQ(a: String, b: String): String =
+    s"CAST(floor(list_cosine_similarity($a, $b) * 10000) AS BIGINT)"
+
+  /** Shared centroid-assignment CTE prefix: every vector ranked against
+    * the 16 fitted centroids by quantized cosine (desc, list_id
+    * tie-break) — r = 1 is the IVF list assignment, r <= nProbe the
+    * multi-probe set. Mirrors ivfTopK.nearestLists exactly. */
+  private lazy val centAssignCte: String = {
+    val vals = FittedArtifacts.ivfCentroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlList(c)})" }.mkString(", ")
+    s"""cent(list_id, c) AS (VALUES $vals),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+rk AS (
+  SELECT vec_id, e, list_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY ${cosQ("e", "c")} DESC, list_id) AS r
+  FROM v, cent)"""
+  }
+
+  private lazy val sKnnIvfSql: String =
+    s"""WITH $centAssignCte,
+listed AS (SELECT vec_id AS nbr_id, e AS nbr_vec, list_id FROM rk WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, e AS q_vec, list_id
+  FROM rk WHERE r <= 4 AND vec_id < 10),
+scored AS (
+  SELECT query_id, nbr_id, ${cosQ("q_vec", "nbr_vec")} AS sim
+  FROM probes JOIN listed USING (list_id)
+  WHERE query_id <> nbr_id)
+SELECT query_id, rank, nbr_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+  FROM scored) ranked
+WHERE rank <= 5"""
+
+  private lazy val dedupSemanticSql: String =
+    s"""WITH $centAssignCte,
+asg AS (SELECT vec_id AS id, list_id FROM rk WHERE r <= 4),
+pairs AS (SELECT DISTINCT l.id AS a, r2.id AS b
+  FROM asg l JOIN asg r2 ON l.list_id = r2.list_id AND l.id < r2.id),
+scored AS (SELECT a, b, ${cosQ("va.e", "vb.e")} AS sim
+  FROM pairs JOIN v va ON va.vec_id = a JOIN v vb ON vb.vec_id = b)
+SELECT a, b, sim FROM scored WHERE sim >= 4000"""
+
+  private lazy val sKnnPqSql: String = {
+    val cbVals = (for {
+      (book, s) <- FittedArtifacts.pqCodebooks.zipWithIndex
+      (cent, ci) <- book.zipWithIndex
+    } yield s"($s, $ci, ${sqlList(cent.toArray)})").mkString(", ")
+    val normExpr = (1 to 64).map(i => s"e[$i]*e[$i]").mkString(" + ")
+    val dist4 = (1 to 4).map(j => s"(nv[4*s+$j]-c[$j])*(nv[4*s+$j]-c[$j])").mkString(" + ")
+    val dot4 = (1 to 4).map(j => s"qn[4*s+$j]*c[$j]").mkString(" + ")
+    val adc16 = (1 to 16).map(s => s"l.lut[$s][c2.codes[$s]+1]").mkString(" + ")
+    s"""WITH cb(s, ci, c) AS (VALUES $cbVals),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt($normExpr) AS nrm FROM v),
+u AS (SELECT vec_id,
+  CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS nv FROM n),
+enc AS (
+  SELECT vec_id, s, ci,
+    row_number() OVER (PARTITION BY vec_id, s ORDER BY $dist4 ASC, ci) AS r
+  FROM u, cb),
+codes AS (SELECT vec_id, list(ci ORDER BY s) AS codes FROM enc WHERE r = 1 GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, nv AS qn FROM u WHERE vec_id < 10),
+lut1 AS (SELECT query_id, s, list($dot4 ORDER BY ci) AS lut_s FROM q, cb GROUP BY query_id, s),
+lut AS (SELECT query_id, list(lut_s ORDER BY s) AS lut FROM lut1 GROUP BY query_id),
+adc AS (SELECT l.query_id, c2.vec_id AS nbr_id, ($adc16) AS score
+  FROM lut l, codes c2 WHERE c2.vec_id <> l.query_id),
+cand AS (SELECT query_id, nbr_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rn
+  FROM adc) t WHERE rn <= 60),
+scored AS (SELECT query_id, nbr_id, ${cosQ("qv.e", "nv2.e")} AS sim
+  FROM cand JOIN v qv ON qv.vec_id = query_id JOIN v nv2 ON nv2.vec_id = nbr_id)
+SELECT query_id, rank, nbr_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+  FROM scored) ranked
+WHERE rank <= 5"""
+  }
+
+  /** PCA projection digest replay: coords as explicit 64-term
+    * left-associated dot products against the embedded basis (the
+    * zip_with+fold order), whitened coords divided by the embedded
+    * sqrt-eigenvalue literals, then the md5-of-floored-micros digest. */
+  private def pcaSql(whiten: Boolean): String = {
+    val projs = (0 until 8).map { j =>
+      val terms = (1 to 64).map(i =>
+        s"(e[$i] - (${FittedArtifacts.pcaMean(i - 1)})) * (${FittedArtifacts.pcaComponents(j)(i - 1)})")
+        .mkString(" + ")
+      val body =
+        if (whiten) s"($terms) / (${FittedArtifacts.pcaWhitenDiv(j)})" else s"($terms)"
+      s"$body AS p${j + 1}"
+    }.mkString(",\n    ")
+    val md5cat = (1 to 8)
+      .map(j => s"CAST(CAST(floor(p$j * 1e6) AS BIGINT) AS VARCHAR)")
+      .mkString(" || ',' || ")
+    val sq = (1 to 8).map(j => s"p$j*p$j").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (SELECT vec_id,
+    $projs
+  FROM v)
+SELECT vec_id, md5($md5cat) AS proj_md5, CAST(8 AS BIGINT) AS k,
+  CAST(floor(($sq) * 1e6) AS BIGINT) AS sq_norm_micro
+FROM p"""
+  }
 
   /** Shared edit-distance-pair oracle for d_dedup_editdist (the
     * rep-collapsed anchor) and d_dedup_editdist_raw (the non-composed
@@ -4599,6 +4726,11 @@ object SparkEntry {
         |  FROM sims
         |) ranked WHERE rank <= 5""".stripMargin,
     "s_knn_lsh" -> sKnnLshSql,
+    "s_knn_ivf" -> sKnnIvfSql,
+    "s_knn_pq" -> sKnnPqSql,
+    "d_dedup_semantic" -> dedupSemanticSql,
+    "e_pca" -> pcaSql(whiten = false),
+    "e_whiten" -> pcaSql(whiten = true),
     "s_knn_binary" -> sKnnBinarySql,
     "s_mmr" -> sMmrSql,
     "d_dedup_embed_lsh" -> dedupEmbedLshSql,

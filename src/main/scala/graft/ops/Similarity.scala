@@ -160,25 +160,83 @@ object Similarity {
     * Assignment is cosine-argmax against the k-means anchors (spherical-
     * kmeans-style; the fit itself is euclidean — anchors only need to be
     * consistent between corpus and probes, which they are by construction).
+    * The argmax ranks on the QUANTIZED cosine (floor 1e-4, list_id
+    * tie-break) — the same integer the record carries — so assignment is
+    * replayable in oracle SQL against the fitted centroid literals
+    * (round 10; raw-double ranking was engine-private).
     *
     * Shuffle shape: one k-means fit (sampled), one pass assigning corpus
     * vectors to lists (broadcast centroids, native cosine argmax), then a
     * (list-id) equi-join of probes against lists — hash-partitioned, never
     * all-pairs. List sizes ~N/nLists; skewed lists are AQE's problem.
     */
-  /** K-means codebook as a broadcastable (list_id, cent) frame — the
-    * shared index build for [[ivfTopK]] and [[semanticDedupPairs]].
-    * spark.ml KMeans fits distributed (Euclidean); assignment downstream
-    * is by cosine, consistent on the unit-normalized testdata regime.
+  /** Deterministic driver-side Lloyd loop over a bounded sample — the
+    * SHARED index-build for [[ivfTopK]], [[semanticDedupPairs]] and
+    * [[pqTopK]]'s sub-codebooks. Init = the first `kC` sample points in
+    * md5 order, `iters` fixed sweeps, empty clusters keep their previous
+    * centroid, ties in the argmin go to the lowest centroid index. No
+    * RNG, no distributed float accumulation (the sample collects in a
+    * total md5 order and the loop is sequential) — the fitted model is
+    * bit-reproducible across runs and partitionings, which is what lets
+    * the gate-scale artifacts be embedded in oracle SQL as literals
+    * (round-10 swap from spark.ml KMeans, whose distributed float sums
+    * were run-stable only by accident of partitioning).
     */
+  private[graft] def lloydFit(
+      points: Array[Array[Double]], kC: Int, iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "lloydFit: empty sample")
+    val d = points.head.length
+    var cents = points.take(kC).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val cnts = new Array[Int](cents.length)
+      for (p <- points) {
+        var best = 0; var bd = Double.MaxValue
+        for (ci <- cents.indices) {
+          var s = 0.0; var j = 0
+          while (j < d) { val t = p(j) - cents(ci)(j); s += t * t; j += 1 }
+          if (s < bd) { bd = s; best = ci }
+        }
+        cnts(best) += 1
+        val su = sums(best); var j = 0
+        while (j < d) { su(j) += p(j); j += 1 }
+      }
+      cents = Array.tabulate(cents.length)(ci =>
+        if (cnts(ci) > 0) sums(ci).map(_ / cnts(ci)) else cents(ci))
+    }
+    cents
+  }
+
+  /** Bounded deterministic fit sample: the first `fitSample` vectors in
+    * (md5(id), id) order — a total order any engine can replay. The
+    * collect is O(fitSample·dim), constant in corpus size (the PQ
+    * index-build posture: a codebook is a model artifact, not data).
+    */
+  private[graft] def sampleVectors(
+      v: DataFrame, idCol: String, vecCol: String, fitSample: Int): Array[Array[Double]] =
+    v.select(
+        col(vecCol).cast("array<double>").as("__v"),
+        md5(col(idCol).cast("string")).as("__h"),
+        col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(fitSample)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+
+  /** The fitted full-dim centroids as an array — exposed so the oracle
+    * artifact dump ([[graft.FitDump]]) and the assignment path run the
+    * SAME deterministic fit. */
+  private[graft] def fitCentroidsArray(
+      v: DataFrame, idCol: String, vecCol: String, k: Int,
+      fitSample: Int = 2048, iters: Int = 10): Array[Array[Double]] =
+    lloydFit(sampleVectors(v, idCol, vecCol, fitSample), k, iters)
+
+  /** K-means codebook as a broadcastable (list_id, cent) frame — the
+    * shared index build for [[ivfTopK]] and [[semanticDedupPairs]],
+    * backed by the deterministic [[lloydFit]]. */
   private def fitCentroids(
-      v: DataFrame, vecCol: String, k: Int, seed: Long): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val km = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(10).setTol(1e-3).setFeaturesCol("feat")
-      .fit(v.select(array_to_vector(col(vecCol)).as("feat")))
-    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+      v: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cents = fitCentroidsArray(v, idCol, vecCol, k)
+      .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
     v.sparkSession.createDataFrame(cents).toDF("list_id", "cent")
   }
 
@@ -191,11 +249,11 @@ object Similarity {
       seed: Long = 42L,
       excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col("id").as("nbr_id"), col("vec").cast("array<double>").as("nbr_vec"))
-    val centDf = fitCentroids(c, "nbr_vec", nLists, seed)
+    val centDf = fitCentroids(c, "nbr_id", "nbr_vec", nLists)
 
     def nearestLists(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
       df.join(broadcast(centDf))
-        .withColumn("__sim", cosine(col(vecCol), col("cent")))
+        .withColumn("__sim", quantize(cosine(col(vecCol), col("cent"))))
         .withColumn(
           "__r",
           row_number().over(Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("list_id"))))
@@ -234,6 +292,31 @@ object Similarity {
     * Codebooks live in the plan as literals — no per-row shuffle at all
     * until the per-query top-k fold.
     */
+  /** Unit-normalize an array<double> column; zero vectors pass through
+    * (divide by 1). Exposed for the PQ fit + oracle artifact dump. */
+  private[graft] def unitNorm(v: Column): Column = {
+    val n = l2norm(v)
+    val safe = when(n > 0, n).otherwise(lit(1.0d)) // zero vectors stay zero
+    transform(v, x => x / safe)
+  }
+
+  /** The m fitted PQ sub-codebooks — exposed so [[graft.FitDump]] and
+    * [[pqTopK]] run the SAME deterministic fit ([[lloydFit]] per
+    * subspace over the shared md5-ordered sample of unit-normalized
+    * vectors). `c` needs (nbr_id, nv) columns. */
+  private[graft] def pqFitCodebooks(
+      c: DataFrame, m: Int, nCentroids: Int, fitSample: Int): Seq[Seq[Seq[Double]]] = {
+    val sample = sampleVectors(c, "nbr_id", "nv", fitSample)
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must be a multiple of m=$m")
+    val d = dim / m
+    (0 until m).map { s =>
+      lloydFit(sample.map(_.slice(s * d, s * d + d)), nCentroids, iters = 10)
+        .map(_.toSeq).toSeq
+    }
+  }
+
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -243,58 +326,21 @@ object Similarity {
       refine: Int = 4,
       fitSample: Int = 2048,
       excludeSelf: Boolean = true): DataFrame = {
-    def unit(v: Column): Column = {
-      val n = l2norm(v)
-      val safe = when(n > 0, n).otherwise(lit(1.0d)) // zero vectors stay zero
-      transform(v, x => x / safe)
-    }
+    def unit(v: Column): Column = unitNorm(v)
     val c = corpus.select(
       col("id").as("nbr_id"),
       col("vec").cast("array<double>").as("nbr_vec"),
       unit(col("vec").cast("array<double>")).as("nv"))
-    // Index build: train the m sub-codebooks with a driver-side Lloyd
-    // loop over a BOUNDED deterministic sample (md5-ordered, capped at
-    // `fitSample` rows) — PQ codebooks are a model artifact, and the
-    // collect is O(fitSample·dim), constant in corpus size. Distributed
-    // k-means here cost m full fits (measured 16×~6 s at sf0.1) for
-    // identical codebook quality; training on a sample is the standard
-    // PQ index build. Fully deterministic: hash-ordered sample, farthest-
-    // point-free init from the sample's hash order, no RNG.
-    val sample: Array[Array[Double]] = c
-      .select(col("nv"), md5(col("nbr_id").cast("string")).as("__h"))
-      .orderBy(col("__h"), col("nbr_id"))
-      .limit(fitSample)
-      .select("nv").collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "pqTopK: empty corpus")
-    val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim must be a multiple of m=$m")
-    val d = dim / m
-    def lloyd(points: Array[Array[Double]], kC: Int, iters: Int): Array[Array[Double]] = {
-      val init = points.distinct
-      var cents = (if (init.length >= kC) init.take(kC) else init).map(_.clone)
-      for (_ <- 0 until iters) {
-        val sums = Array.fill(cents.length)(new Array[Double](d))
-        val cnts = new Array[Int](cents.length)
-        for (p <- points) {
-          var best = 0; var bd = Double.MaxValue
-          for (ci <- cents.indices) {
-            var s = 0.0; var j = 0
-            while (j < d) { val t = p(j) - cents(ci)(j); s += t * t; j += 1 }
-            if (s < bd) { bd = s; best = ci }
-          }
-          cnts(best) += 1
-          val su = sums(best); var j = 0
-          while (j < d) { su(j) += p(j); j += 1 }
-        }
-        cents = Array.tabulate(cents.length)(ci =>
-          if (cnts(ci) > 0) sums(ci).map(_ / cnts(ci)) else cents(ci))
-      }
-      cents
-    }
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
-      lloyd(sample.map(_.slice(s * d, s * d + d)), nCentroids, iters = 10)
-        .map(_.toSeq).toSeq
-    }
+    // Index build: train the m sub-codebooks with the shared
+    // deterministic [[lloydFit]] over a BOUNDED md5-ordered sample — PQ
+    // codebooks are a model artifact, and the collect is
+    // O(fitSample·dim), constant in corpus size. Distributed k-means
+    // here cost m full fits (measured 16×~6 s at sf0.1) for identical
+    // codebook quality; training on a sample is the standard PQ index
+    // build. Fully deterministic: hash-ordered sample, init from the
+    // sample's hash order, no RNG — embeddable as oracle literals.
+    val codebooks: Seq[Seq[Seq[Double]]] = pqFitCodebooks(c, m, nCentroids, fitSample)
+    val d = codebooks.head.head.length
     // native codegen'd encode + ADC (org.apache.spark.sql.graft.{PqCodes,
     // AdcScore}); the HOF formulations they replaced are interpreted
     // (CodegenFallback) and were the whole scan cost — bit-equality of
@@ -588,11 +634,11 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val v = df.select(col("id"), col("vec").cast("array<double>").as("v"))
     val assigned =
-      if (nClusters == 1) v.select(col("id"), lit(0).as("list_id")) // spark.ml KMeans needs k >= 2
+      if (nClusters == 1) v.select(col("id"), lit(0).as("list_id"))
       else {
-        val centDf = fitCentroids(v, "v", nClusters, seed)
+        val centDf = fitCentroids(v, "id", "v", nClusters)
         v.join(broadcast(centDf))
-          .withColumn("__sim", cosine(col("v"), col("cent")))
+          .withColumn("__sim", quantize(cosine(col("v"), col("cent"))))
           .withColumn(
             "__r",
             row_number().over(
