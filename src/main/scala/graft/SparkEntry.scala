@@ -73,8 +73,19 @@ object SparkEntry {
       WindowAggs.tumblingCountDistinct(Tables(s, dir).events, col("ts"), "1 hour", col("user_id"))
     }),
     "q_uv_daily_approx" -> ((s, dir) => {
-      // A8: HLL++ approximate distinct (UniqueVisitorApp2's bloom filter)
-      WindowAggs.tumblingApproxDistinct(Tables(s, dir).events, col("ts"), "1 day", col("user_id"))
+      // A8 scale path: approximate daily distinct via the PORTABLE-
+      // REGISTER HLL (round 10) — ≤1024 register rows per window no
+      // matter the cardinality, and the whole sketch (md5 bucket/rho,
+      // max-merge, harmonic + linear-counting estimate) replays in
+      // oracle SQL, so the record is hash-checked. HLL++
+      // (tumblingApproxDistinct / approx_count_distinct) stays the
+      // engine-native alternative, gated <5% in ApproxGatesSpec.
+      val regs = Sketches.portableHllRegisters(
+        Tables(s, dir).events
+          .select(date_trunc("day", col("ts")).as("window_start"), col("user_id")),
+        Seq(col("window_start")), col("user_id"))
+      Sketches.portableHllEstimate(regs, Seq(col("window_start")))
+        .select(col("window_start"), col("uv_est"))
     }),
     "q_uv_daily_bloom" -> ((s, dir) => {
       // A8 parity path: the reference's own bloom-bitmap structure as a
@@ -1234,9 +1245,11 @@ object SparkEntry {
     "q_uv_sketch" -> ((s, dir) => {
       // mergeable HLL sketch store: daily per-type sketches unioned to a
       // per-type total estimate — the write-once/re-merge-forever rollup
-      // approx_count_distinct can't express. Estimate ⇒ rows-only record;
-      // ApproxGatesSpec bounds the error vs exact count_distinct (<5%)
-      Sketches.hllRollup(
+      // approx_count_distinct can't express. PORTABLE-REGISTER HLL since
+      // round 10 (register relations, max-merge, SQL-replayable estimate
+      // ⇒ hash-checked record); hll_sketch_agg ([[Sketches.hllRollup]])
+      // stays the engine-native store, gated <5% in ApproxGatesSpec.
+      Sketches.portableHllRollup(
         Tables(s, dir).events,
         col("event_type"), date_trunc("day", col("ts")), col("user_id"))
     }),
@@ -1265,18 +1278,24 @@ object SparkEntry {
       Embeddings.normStats(Tables(s, dir).embeddings, col("vec_id"), col("embedding"))
     }),
     "q_wau_sketch" -> ((s, dir) => {
-      // q_wau's sketch-store form: ONE daily HLL build answers every
-      // 7-day window by unioning 7 sketches — the pane merge an exact
-      // distinct cannot do. Estimates ⇒ rows-only record; ApproxGates
-      // bounds error vs exact q_wau (<5%) and pins the window set
-      val daily = Tables(s, dir).events
-        .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-      daily
-        .select(col("day"), col("sk"), explode(sequence(lit(0), lit(6))).as("i"))
+      // q_wau's sketch-store form: ONE daily register build answers
+      // every 7-day window by max-merging 7 sketches — the pane merge an
+      // exact distinct cannot do. PORTABLE-REGISTER HLL since round 10
+      // (hash-checked record; the hll_sketch_agg form remains in
+      // ApproxGatesSpec as the native twin). Expansion input is ≤1024
+      // register rows per day, NOT the event log — the 7× fan-out is on
+      // sketch state.
+      val daily = Sketches.portableHllRegisters(
+        Tables(s, dir).events
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id")),
+        Seq(col("day")), col("user_id"))
+      val merged = daily
+        .withColumn("i", explode(sequence(lit(0), lit(6))))
         .withColumn("window_start", col("day") - expr("make_interval(0, 0, 0, i)"))
-        .groupBy(col("window_start"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("uv_est"))
+        .groupBy(col("window_start"), col("bucket"))
+        .agg(max(col("register")).as("register"))
+      Sketches.portableHllEstimate(merged, Seq(col("window_start")))
+        .select(col("window_start"), col("uv_est"))
     }),
     "q_wau" -> ((s, dir) => {
       // rolling weekly actives per day (the DAU/WAU engagement family):
@@ -2287,35 +2306,48 @@ object SparkEntry {
         .limit(10)
     }),
     "q_uv_sketch_stream" -> ((s, dir) => {
-      // q_uv_sketch's streaming form: daily per-type HLL sketches built
-      // BY THE STREAM (watermark-finalized day windows), then merged to
-      // per-type totals post-replay — the ingest half of the sketch
+      // q_uv_sketch's streaming form: daily per-type register sketches
+      // built BY THE STREAM (watermark-finalized day windows, one
+      // streaming agg to (window, key, bucket) grain), then max-merged
+      // to per-type totals post-replay — the ingest half of the sketch
       // store running as a streaming job, the rollup half as the cheap
-      // batch merge it exists to enable. Deterministic (insertion- and
-      // merge-order independent), so the gate asserts EXACT equality
-      // with the batch q_uv_sketch estimates (rows-only on the driver
-      // record: estimates have no SQL oracle).
+      // batch merge it exists to enable. PORTABLE-REGISTER HLL since
+      // round 10: registers are insertion- and merge-order independent,
+      // so the stream twin SHARES q_uv_sketch's oracle and both are
+      // hash-checked. The user id hashes to (bucket, rho) BEFORE the
+      // stateful agg — state is ≤1024 registers per (window, key), not
+      // the id set.
       val input = Tables(s, dir).events
         .select(
           col("event_type").as("key"),
           col("ts"),
           col("event_type").as("kind"),
           col("user_id").cast("string").as("id"))
-      Replay
+      val streamed = Replay
         .keyedEvents(input) { stream =>
+          val h = when(col("kind") =!= Replay.Sentinel,
+            graft.ops.Sketches.md5h48(col("id")))
           stream.toDF()
             .withWatermark("ts", "0 seconds")
-            .groupBy(window(col("ts"), "1 day"), col("key"))
-            .agg(hll_sketch_agg(
-              when(col("kind") =!= Replay.Sentinel, col("id").cast("long")),
-              lit(12)).as("sk"))
-            .select(col("key"), col("sk"))
+            .groupBy(
+              window(col("ts"), "1 day"),
+              col("key"),
+              graft.ops.Sketches.hllBucket(h, 10).as("bucket"))
+            .agg(max(graft.ops.Sketches.hllRho(h, 10)).cast("long").as("register"))
+            .select(col("key"), col("window.start").as("day"),
+              col("bucket"), col("register"))
         }
-        .filter(col("key") =!= Replay.Sentinel)
-        .groupBy(col("key"))
-        .agg(
-          count(lit(1)).as("n_buckets"),
-          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("uv_est"))
+        .filter(col("key") =!= Replay.Sentinel && col("register").isNotNull)
+        // two consumers (merge + stored-sketch count) self-join below;
+        // cut the replayed lineage so the analyzer sees fresh refs
+        .localCheckpoint()
+      val merged = streamed.groupBy(col("key"), col("bucket"))
+        .agg(max(col("register")).as("register"))
+      val nb = streamed.select(col("key"), col("day")).distinct()
+        .groupBy(col("key")).agg(count(lit(1)).as("n_buckets"))
+      Sketches.portableHllEstimate(merged, Seq(col("key")))
+        .join(nb, "key")
+        .select(col("key"), col("n_buckets"), col("uv_est"))
     }),
     "q_ewma_stream" -> ((s, dir) => {
       // q_ewma_daily's streaming twin: the SAME dailyMovingStats machine
@@ -2772,6 +2804,83 @@ SELECT vec_id, md5($md5cat) AS proj_md5, CAST(8 AS BIGINT) AS k,
   CAST(floor(($sq) * 1e6) AS BIGINT) AS sq_norm_micro
 FROM p"""
   }
+
+  // ---- round-10: portable-register HLL oracles ------------------------
+  // DuckDB replay of graft.ops.Sketches.portableHll*: md5→48-bit hash
+  // (the established portable idiom), bucket = h % 1024, rho via binary
+  // string length (bin() does not zero-pad, matching Spark conv),
+  // registers max-merged, and the harmonic + linear-counting estimate in
+  // the same fixed evaluation order over exact integer sums.
+
+  private def hllH48Sql(v: String): String =
+    s"CAST(concat('0x', substring(md5(CAST($v AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+  /** rho given a column named h (p=10: 38 payload bits, max rho 39). */
+  private val hllRhoSql: String =
+    "CASE WHEN h // 1024 = 0 THEN 39 ELSE 39 - length(bin(h // 1024)) END"
+
+  /** Estimator CTE chain: expects a CTE named `r` with
+    * (keyCols…, register); defines `e` and `t`. Pair with
+    * [[hllEstimateSelect]]. */
+  private def hllEstimateCtes(keyCols: String): String =
+    s"""e AS (
+  SELECT $keyCols, sum(1::BIGINT << (39 - register)) AS s, count(*) AS nb
+  FROM r GROUP BY $keyCols
+), t AS (
+  SELECT $keyCols, s + (1024 - nb) * 549755813888 AS total, 1024 - nb AS v FROM e
+)"""
+
+  private def hllEstimateSelect(keyCols: String): String =
+    s"""SELECT $keyCols,
+  CAST(floor(CASE
+    WHEN 0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 549755813888.0 / total <= 2560.0 AND v > 0
+    THEN 1024.0 * ln(1024.0 / v)
+    ELSE 0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 549755813888.0 / total END) AS BIGINT)
+    AS uv_est
+FROM t"""
+
+  private lazy val uvDailyHllSql: String =
+    s"""WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+    ${hllH48Sql("user_id")} AS h
+  FROM events
+), r AS (
+  SELECT window_start, h % 1024 AS bucket, max($hllRhoSql) AS register
+  FROM h GROUP BY 1, 2
+), ${hllEstimateCtes("window_start")}
+${hllEstimateSelect("window_start")}"""
+
+  private lazy val uvSketchHllSql: String =
+    s"""WITH h AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS day,
+    ${hllH48Sql("user_id")} AS h
+  FROM events
+), r0 AS (
+  SELECT key, day, h % 1024 AS bucket, max($hllRhoSql) AS register
+  FROM h GROUP BY 1, 2, 3
+), nb AS (
+  SELECT key, count(DISTINCT day) AS n_buckets FROM r0 GROUP BY 1
+), r AS (
+  SELECT key, bucket, max(register) AS register FROM r0 GROUP BY 1, 2
+), ${hllEstimateCtes("key")}, est AS (
+${hllEstimateSelect("key")}
+)
+SELECT est.key, nb.n_buckets, est.uv_est FROM est JOIN nb ON est.key = nb.key"""
+
+  private lazy val wauSketchHllSql: String =
+    s"""WITH h AS (
+  SELECT epoch_us(ts) // 86400000000 AS d, ${hllH48Sql("user_id")} AS h
+  FROM events
+), r0 AS (
+  SELECT d, h % 1024 AS bucket, max($hllRhoSql) AS register
+  FROM h GROUP BY 1, 2
+), r AS (
+  SELECT make_timestamp((d - i) * 86400000000) AS window_start, bucket,
+    max(register) AS register
+  FROM r0, (SELECT unnest(range(0, 7)) AS i) s
+  GROUP BY 1, 2
+), ${hllEstimateCtes("window_start")}
+${hllEstimateSelect("window_start")}"""
 
   /** Shared edit-distance-pair oracle for d_dedup_editdist (the
     * rep-collapsed anchor) and d_dedup_editdist_raw (the non-composed
@@ -4765,6 +4874,10 @@ FROM p"""
          |SELECT pb.w, CAST(min(coalesce(grid.cnt, 0)) AS BIGINT) AS est
          |FROM pb LEFT JOIN grid ON grid.i = pb.i AND grid.b = pb.b
          |GROUP BY 1""".stripMargin,
+    "q_uv_daily_approx" -> uvDailyHllSql,
+    "q_uv_sketch" -> uvSketchHllSql,
+    "q_uv_sketch_stream" -> uvSketchHllSql,
+    "q_wau_sketch" -> wauSketchHllSql,
     "q_uv_daily_bloom" ->
       """WITH u AS (
         |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)

@@ -108,6 +108,116 @@ object Sketches {
         count(lit(1)).as("n_buckets"),
         hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false))).as("uv_est"))
 
+  // ---- portable-register HLL (round 10) -------------------------------
+  //
+  // A HyperLogLog whose sketch state is a plain RELATION of
+  // (bucket, max-rho) register rows in the md5→48-bit hash family — the
+  // same "the sketch is a dataframe" posture as the CMS grid above, and
+  // like it fully REPLAYABLE IN SQL: bucket = h48 mod 2^p, rho = count
+  // of leading zero bits of the remaining 48−p bits + 1 (an integer
+  // string-length computation both engines share), registers merge by
+  // MAX (associative, order-free — the write-once/re-merge-forever
+  // property), and the Flajolet harmonic estimate with the standard
+  // linear-counting small-range correction is one fixed-order float
+  // expression over exact integers. This is the ORACLE-ANCHOR twin of
+  // the `hll_sketch_agg` store ([[hllRollup]] stays the engine-native
+  // production path — Datasketches states are binary and engine-private,
+  // the register relation is engine-neutral and hash-checkable).
+  //
+  // Scale: identical to hllRollup's — one map-side-combined exchange to
+  // (keys, bucket) grain, ≤ 2^p register rows per group no matter the
+  // cardinality, merges are a max-groupBy.
+
+  /** Engine-portable 48-bit hash: first 12 hex digits of md5 (Spark
+    * `conv` == DuckDB `concat('0x',…)::BIGINT` — the established
+    * portable-bloom/CMS idiom). */
+  private[graft] def md5h48(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** HLL bucket index: low p bits of the 48-bit hash. */
+  private[graft] def hllBucket(h: Column, p: Int): Column = h % (1 << p)
+
+  /** HLL rank: leading-zero count of the top 48−p bits + 1, via binary
+    * string length (Spark `conv(…,10,2)` == DuckDB `bin(…)`, neither
+    * zero-pads). Range 1 .. 48−p+1. */
+  private[graft] def hllRho(h: Column, p: Int): Column = {
+    val maxRho = 48 - p + 1
+    val w = shiftright(h, p)
+    when(w === 0, lit(maxRho))
+      .otherwise(lit(maxRho) - length(conv(w.cast("string"), 10, 2)))
+  }
+
+  /** Register relation: one row per (keys…, bucket) with the max rho —
+    * THE mergeable sketch state (union = max-groupBy over bucket). */
+  def portableHllRegisters(
+      df: DataFrame,
+      keys: Seq[Column],
+      distinctCol: Column,
+      p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of [4,16]")
+    val keyed = df.select(keys :+ md5h48(distinctCol).as("__h"): _*)
+    val keyNames = keyed.columns.dropRight(1).toSeq
+    require(keyNames.distinct.size == keyNames.size,
+      s"key expressions must have distinct names, got $keyNames — alias the duplicates")
+    def quoted(n: String): Column = col("`" + n.replace("`", "``") + "`")
+    keyed
+      .groupBy(keyNames.map(quoted) :+ hllBucket(col("__h"), p).as("bucket"): _*)
+      .agg(max(hllRho(col("__h"), p)).cast("long").as("register"))
+  }
+
+  /** Estimate from a register relation: alpha_m·m²/Σ2^-rho with the
+    * standard linear-counting correction below 2.5m. All integer inputs
+    * are exact (2^(maxRho−rho) BIGINT sums, total ≤ 2^49 < 2^53), and
+    * the float expression is written in one fixed evaluation order, so
+    * the floored estimate replays bit-equal in oracle SQL (the ln branch
+    * sits ≥ 9.6e-5 from every floor boundary over the whole integer
+    * domain of V — a 1-ulp libm divergence cannot flip it). */
+  def portableHllEstimate(
+      regs: DataFrame,
+      keys: Seq[Column],
+      p: Int = 10,
+      estName: String = "uv_est"): DataFrame = {
+    val m = 1 << p
+    val maxRho = 48 - p + 1
+    val scale = 1L << maxRho
+    val alpha = s"0.7213 / (1.0 + 1.079 / $m.0)"
+    regs
+      .groupBy(keys: _*)
+      .agg(
+        sum(expr(s"shiftleft(1L, $maxRho - register)")).as("__s"),
+        count(lit(1)).as("__nb"))
+      .withColumn("__total", expr(s"__s + ($m - __nb) * ${scale}L"))
+      .withColumn("__v", expr(s"$m - __nb"))
+      .withColumn(estName, expr(
+        s"""CAST(floor(CASE
+           |  WHEN $alpha * ${m.toLong * m}.0 * $scale.0 / __total <= ${2.5 * m} AND __v > 0
+           |  THEN $m.0 * ln($m.0 / __v)
+           |  ELSE $alpha * ${m.toLong * m}.0 * $scale.0 / __total END) AS BIGINT)""".stripMargin))
+      .drop("__s", "__nb", "__total", "__v")
+  }
+
+  /** Portable twin of [[hllRollup]]: per-(key, bucketCol) register
+    * sketches unioned to a per-key estimate, with the stored-sketch
+    * count. Same shuffle shape; hash-checkable record. */
+  def portableHllRollup(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      distinctCol: Column,
+      p: Int = 10): DataFrame = {
+    val regs = portableHllRegisters(
+      df.select(key.as("key"), bucket.as("__day"), distinctCol.as("__v")),
+      Seq(col("key"), col("__day")), col("__v"), p)
+      .persist() // feeds the merge AND the stored-sketch count
+    val merged = regs.groupBy(col("key"), col("bucket"))
+      .agg(max(col("register")).as("register"))
+    val nb = regs.select(col("key"), col("__day")).distinct()
+      .groupBy(col("key")).agg(count(lit(1)).as("n_buckets"))
+    portableHllEstimate(merged, Seq(col("key")), p)
+      .join(nb, "key")
+      .select(col("key"), col("n_buckets"), col("uv_est"))
+  }
+
   /** Deterministic bounded probe set for the declared query: the distinct
     * tokens of the `nDocs` lowest-id documents (sorted). Bounded by those
     * docs' vocabulary — never corpus-sized.

@@ -115,6 +115,10 @@ class ApproxGatesSpec extends SparkSpec {
     gate("bloom", WindowAggs
       .tumblingBloomDistinct(t.events, col("ts"), "1 day", col("user_id"))
       .select(col("window_start"), col("uv_bloom")))
+    // the round-10 DECLARED path: portable-register HLL (oracle-checked
+    // for replay equality; this gate is the accuracy bar)
+    gate("portable-hll", graft.SparkEntry.queries("q_uv_daily_approx")(spark, dir)
+      .select(col("window_start"), col("uv_est")))
   }
 
   test("q_uv_sketch: per-type sketch-union estimate within 5% of exact distinct") {
