@@ -1070,18 +1070,20 @@ object SparkEntry {
       // REAL BPE tokenizer training (Sennrich merges), distributed: one
       // corpus-grain shuffle builds the (word, freq) table, then each of
       // the 24 merge rounds costs O(vocab) — at 100 TB the loop never
-      // re-reads the corpus. Iterative ⇒ not SQL-expressible ⇒ rows-only
-      // record row; exactness gate = BpeSpec (merge-by-merge equality
-      // with a sequential reference implementation, deterministic
-      // tie-break pinned).
+      // re-reads the corpus. ORACLE-CHECKED since round 10: the fixed
+      // merge count unrolls the whole Sennrich loop into 24 chained SQL
+      // rounds (bpeTrainSql), so the merge table is hash-checked;
+      // BpeSpec still pins merge-by-merge equality with a sequential
+      // reference implementation.
       Bpe.trainTable(Tables(s, dir).documents, col("text"), nMerges = 24)
     }),
     "t_bpe_encode" -> ((s, dir) => {
       // token counts under the trained merges: k fold passes over the
       // DISTINCT-WORD table, then one equi-join back to doc grain —
       // corpus is touched twice total (word-freq + final join), never
-      // per merge. Rows-only record row; BpeSpec gates exact equality
-      // with per-word sequential encoding.
+      // per merge. ORACLE-CHECKED since round 10 (bpeEncodeSql unrolls
+      // train(16) + encode end-to-end); BpeSpec still gates exact
+      // equality with per-word sequential encoding.
       val docs = Tables(s, dir).documents
       val merges = Bpe.train(docs, col("text"), nMerges = 16)
       Bpe.encodeTokenCounts(docs, col("doc_id"), col("text"), merges)
@@ -2881,6 +2883,66 @@ SELECT est.key, nb.n_buckets, est.uv_est FROM est JOIN nb ON est.key = nb.key"""
   GROUP BY 1, 2
 ), ${hllEstimateCtes("window_start")}
 ${hllEstimateSelect("window_start")}"""
+
+  // ---- round-10: BPE bounded-unroll oracles ---------------------------
+  // The merge loop is genuinely iterative, but the declared queries fix
+  // the merge count (k=24 train / k=16 encode), so the whole Sennrich
+  // loop unrolls into k chained CTE rounds (the s_mmr greedy-unroll
+  // precedent): pair-count -> argmax (cnt DESC, left, right — the
+  // trainDriver tie-break) -> greedy left-to-right merge application as
+  // a list_reduce fold (bit-equal to Bpe.applyMerge's aggregate fold;
+  // the LEFT JOIN ON TRUE keeps rounds after an early stop as identity
+  // passes, matching the Scala loop's break). CTEs are MATERIALIZED:
+  // each round references its predecessor twice, and DuckDB's default
+  // inlining would make the chain exponential.
+
+  private def bpeRoundSql(i: Int): String = {
+    val n = i + 1
+    s"""p$i AS MATERIALIZED (
+  SELECT p.l AS l, p.r AS r, sum(freq) AS cnt FROM (
+    SELECT unnest([{'l': syms[j], 'r': syms[j+1]} for j in range(1, len(syms))]) AS p, freq
+    FROM w$i) GROUP BY 1, 2 HAVING sum(freq) >= 2
+), b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1
+), w$n AS MATERIALIZED (
+  SELECT word, freq,
+    list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+      CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+        THEN list_slice(acc, 1, len(acc) - 1) || [acc[-1] || x[1]]
+        ELSE acc || x END) AS syms
+  FROM w$i LEFT JOIN b$i b ON TRUE
+)"""
+  }
+
+  private val bpeBaseSql: String =
+    """WITH wf AS MATERIALIZED (
+  SELECT w AS word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+), w0 AS MATERIALIZED (
+  SELECT word, freq,
+    list_append(list_filter(string_split(word, ''), s -> s <> ''), '</w>') AS syms
+  FROM wf
+)"""
+
+  private lazy val bpeTrainSql: String = {
+    val rounds = (0 until 24).map(bpeRoundSql).mkString(",\n")
+    val sel = (0 until 24)
+      .map(i => s"""SELECT $i AS rank, l AS "left", r AS "right", l || r AS merged FROM b$i""")
+      .mkString("\nUNION ALL ")
+    s"$bpeBaseSql,\n$rounds\n$sel"
+  }
+
+  private lazy val bpeEncodeSql: String = {
+    val rounds = (0 until 16).map(bpeRoundSql).mkString(",\n")
+    s"""$bpeBaseSql,
+$rounds,
+enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM w16),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
+  }
 
   /** Shared edit-distance-pair oracle for d_dedup_editdist (the
     * rep-collapsed anchor) and d_dedup_editdist_raw (the non-composed
@@ -4874,6 +4936,8 @@ ${hllEstimateSelect("window_start")}"""
          |SELECT pb.w, CAST(min(coalesce(grid.cnt, 0)) AS BIGINT) AS est
          |FROM pb LEFT JOIN grid ON grid.i = pb.i AND grid.b = pb.b
          |GROUP BY 1""".stripMargin,
+    "t_bpe_train" -> bpeTrainSql,
+    "t_bpe_encode" -> bpeEncodeSql,
     "q_uv_daily_approx" -> uvDailyHllSql,
     "q_uv_sketch" -> uvSketchHllSql,
     "q_uv_sketch_stream" -> uvSketchHllSql,
