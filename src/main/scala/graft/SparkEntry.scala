@@ -31,6 +31,21 @@ object SparkEntry {
   private def embeddingsIdVec(t: Tables): DataFrame =
     t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
 
+  /** Run `body` with the RocksDB state-store provider set (required by
+    * `transformWithState`), restoring the previous provider after — the
+    * replay inside is eager, so the conf scope is correct. */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** events in the [[graft.streaming.KeyedEvent]] shape the streaming
     * state machines consume (key = user, kind = event_type). */
   private def keyedEventsFrame(t: Tables): DataFrame =
@@ -279,6 +294,53 @@ object SparkEntry {
           when(col("tag") === "matched", "matched")
             .when(col("tag") === "left_only", "pay_no_signup")
             .otherwise("signup_no_pay").as("status"))
+      }
+    }),
+
+    "q_reconcile_tws_stream" -> ((s, dir) => {
+      // q_reconcile_stream's machine carried onto transformWithState
+      // (round 10): named list states for the two open-side buffers +
+      // one re-armed named deadline timer, RocksDB-backed — the API the
+      // largest-state machines should run on at 100 TB. Same rows, same
+      // oracle; TwsSpec pins row parity with the fGWS machine.
+      withRocksDb(s) {
+        val t = Tables(s, dir)
+        val input = firstPerUser(t, "purchase").unionByName(firstPerUser(t, "signup"))
+        Replay.keyedEvents(input) { stream =>
+          val out = graft.streaming.Tws
+            .reconcile(stream, "purchase", "signup", toleranceSec = 86400L)
+            .toDF()
+          val part = split(col("info"), "\\|")
+          out.select(
+            col("key").cast("long").as("user_id"),
+            when(col("tag") === "matched", part.getItem(0))
+              .when(col("tag") === "left_only", col("info"))
+              .cast("long").as("p_id"),
+            when(col("tag") === "matched", part.getItem(1))
+              .when(col("tag") === "right_only", col("info"))
+              .cast("long").as("s_id"),
+            when(col("tag") === "matched", "matched")
+              .when(col("tag") === "left_only", "pay_no_signup")
+              .otherwise("signup_no_pay").as("status"))
+        }
+      }
+    }),
+
+    "q_cep_login_fail3_tws_stream" -> ((s, dir) => {
+      // the generic CEP combinator compiled onto transformWithState
+      // (round 10): the NFA's open partials as a named list state, the
+      // horizon as one re-armed named timer. Same pattern, same oracle
+      // as q_login_fail3; TwsSpec pins NFA row parity on both pattern
+      // families.
+      import graft.streaming.Cep
+      withRocksDb(s) {
+        Replay.keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          graft.streaming.Tws.cepRun(stream,
+            Cep.Pattern.begin("fail")(_.kind == "error").times(3).within(21600L))
+            .toDF()
+            .select(col("key").cast("long").as("user_id"),
+              col("first_ts"), col("last_ts"))
+        }
       }
     }),
 
@@ -2944,6 +3006,28 @@ SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
 FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
   }
 
+  /** Shared two-stream-reconcile oracle for q_reconcile_stream and its
+    * transformWithState twin (round 10) — first purchase/signup per user
+    * full-outer-joined within the ±24h tolerance. */
+  private lazy val reconcileStreamSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type = 'purchase'
+      |), p1 AS (SELECT user_id, event_id, ts FROM p WHERE rn = 1),
+      |sg AS (
+      |  SELECT user_id, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type = 'signup'
+      |), s1 AS (SELECT user_id, event_id, ts FROM sg WHERE rn = 1)
+      |SELECT coalesce(p1.user_id, s1.user_id) AS user_id,
+      |       p1.event_id AS p_id, s1.event_id AS s_id,
+      |       CASE WHEN p1.ts IS NOT NULL AND s1.ts IS NOT NULL THEN 'matched'
+      |            WHEN p1.ts IS NOT NULL THEN 'pay_no_signup'
+      |            ELSE 'signup_no_pay' END AS status
+      |FROM p1 FULL JOIN s1 ON p1.user_id = s1.user_id
+      |  AND abs(epoch_us(s1.ts) - epoch_us(p1.ts)) <= 86400000000""".stripMargin
+
   /** Shared edit-distance-pair oracle for d_dedup_editdist (the
     * rep-collapsed anchor) and d_dedup_editdist_raw (the non-composed
     * cross-check) — the definition itself: all pairs under the length
@@ -3606,24 +3690,8 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
         |SELECT user_id, req_id, req_ts, resp_ts,
         |  CASE WHEN resp_ts IS NOT NULL THEN 'matched' ELSE 'timeout' END AS status
         |FROM matched""".stripMargin,
-    "q_reconcile_stream" ->
-      """WITH p AS (
-        |  SELECT user_id, event_id, ts,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events WHERE event_type = 'purchase'
-        |), p1 AS (SELECT user_id, event_id, ts FROM p WHERE rn = 1),
-        |sg AS (
-        |  SELECT user_id, event_id, ts,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events WHERE event_type = 'signup'
-        |), s1 AS (SELECT user_id, event_id, ts FROM sg WHERE rn = 1)
-        |SELECT coalesce(p1.user_id, s1.user_id) AS user_id,
-        |       p1.event_id AS p_id, s1.event_id AS s_id,
-        |       CASE WHEN p1.ts IS NOT NULL AND s1.ts IS NOT NULL THEN 'matched'
-        |            WHEN p1.ts IS NOT NULL THEN 'pay_no_signup'
-        |            ELSE 'signup_no_pay' END AS status
-        |FROM p1 FULL JOIN s1 ON p1.user_id = s1.user_id
-        |  AND abs(epoch_us(s1.ts) - epoch_us(p1.ts)) <= 86400000000""".stripMargin,
+    "q_reconcile_stream" -> reconcileStreamSql,
+    "q_reconcile_tws_stream" -> reconcileStreamSql,
     "q_uv_hourly" -> uvHourlySql,
     "q_uv_pane_stream" -> uvHourlySql,
     "q_pv_lateness_stream" -> pvHourlySql,
@@ -3650,6 +3718,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     "q_login_fail" -> loginFailSql,
     "q_login_fail3" -> loginFail3Sql,
     "q_cep_login_fail3_stream" -> loginFail3Sql,
+    "q_cep_login_fail3_tws_stream" -> loginFail3Sql,
     "q_order_timeout" -> orderTimeoutSql,
     "q_cep_order_timeout_stream" -> orderTimeoutSql,
     "q_asof_join" -> asOfSql,

@@ -124,4 +124,222 @@ object Tws {
         TimeMode.EventTime(),
         OutputMode.Append())
   }
+
+  /** Two-stream reconcile on the StatefulProcessor API — same rows as
+    * [[StateMachines.reconcile]] (round-10 migration; this machine
+    * carries the largest steady state of the fGWS family: TWO open-side
+    * buffers per key, exactly what named list states + RocksDB + the
+    * single re-armed deadline timer are for). `leftKind`/`rightKind`
+    * match within ±`toleranceSec`; unmatched sides emit
+    * `left_only`/`right_only` once the watermark passes their deadline.
+    */
+  class ReconcileProcessor(leftKind: String, rightKind: String, toleranceSec: Long)
+      extends StatefulProcessor[String, KeyedEvent, TaggedRow] {
+    import StateMachines.{sorted, tsOf, usOf}
+
+    private val tolUs = toleranceSec * 1000000L
+
+    @transient private var leftOpen: ListState[(String, Long)] = _
+    @transient private var rightOpen: ListState[(String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      leftOpen = getHandle.getListState[(String, Long)](
+        "leftOpen", Encoders.product[(String, Long)], TTLConfig.NONE)
+      rightOpen = getHandle.getListState[(String, Long)](
+        "rightOpen", Encoders.product[(String, Long)], TTLConfig.NONE)
+    }
+
+    private def load(s: ListState[(String, Long)]): List[(String, Long)] =
+      if (s.exists()) s.get().toList else Nil
+
+    private def flushAndArm(
+        key: String,
+        l0: List[(String, Long)],
+        r0: List[(String, Long)],
+        wmUs: Long,
+        out: scala.collection.mutable.Builder[TaggedRow, Seq[TaggedRow]]): Unit = {
+      val (lExp, lOpen) = l0.partition { case (_, us) => us + tolUs <= wmUs }
+      val (rExp, rOpen) = r0.partition { case (_, us) => us + tolUs <= wmUs }
+      for ((id, us) <- lExp) out += TaggedRow(key, "left_only", tsOf(us), tsOf(us), id)
+      for ((id, us) <- rExp) out += TaggedRow(key, "right_only", tsOf(us), tsOf(us), id)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (lOpen.isEmpty) leftOpen.clear() else leftOpen.put(lOpen.toArray)
+      if (rOpen.isEmpty) rightOpen.clear() else rightOpen.put(rOpen.toArray)
+      if (lOpen.nonEmpty || rOpen.nonEmpty)
+        getHandle.registerTimer(((lOpen ++ rOpen).map(_._2).min + tolUs + 999L) / 1000L)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[TaggedRow] = {
+      var left = load(leftOpen)
+      var right = load(rightOpen)
+      val out = Seq.newBuilder[TaggedRow]
+      def tryMatch(
+          ts: Long,
+          other: List[(String, Long)]): (Option[(String, Long)], List[(String, Long)]) =
+        other.find { case (_, o) => Math.abs(o - ts) <= tolUs } match {
+          case Some(hit) => (Some(hit), other.filterNot(_ == hit))
+          case None      => (None, other)
+        }
+      for (e <- sorted(rows)) {
+        if (e.kind == leftKind) {
+          val (hit, rest) = tryMatch(usOf(e.ts), right)
+          hit match {
+            case Some((rid, rus)) =>
+              out += TaggedRow(key, "matched", e.ts, tsOf(rus), s"${e.id}|$rid")
+              right = rest
+            case None => left = left :+ (e.id, usOf(e.ts))
+          }
+        } else if (e.kind == rightKind) {
+          val (hit, rest) = tryMatch(usOf(e.ts), left)
+          hit match {
+            case Some((lid, lus)) =>
+              out += TaggedRow(key, "matched", tsOf(lus), e.ts, s"$lid|${e.id}")
+              left = rest
+            case None => right = right :+ (e.id, usOf(e.ts))
+          }
+        }
+      }
+      flushAndArm(key, left, right, timerValues.getCurrentWatermarkInMs() * 1000L, out)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TaggedRow] = {
+      val out = Seq.newBuilder[TaggedRow]
+      flushAndArm(key, load(leftOpen), load(rightOpen),
+        timerValues.getCurrentWatermarkInMs() * 1000L, out)
+      out.result().iterator
+    }
+  }
+
+  def reconcile(
+      events: Dataset[KeyedEvent],
+      leftKind: String,
+      rightKind: String,
+      toleranceSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(
+        new ReconcileProcessor(leftKind, rightKind, toleranceSec),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[Cep]] NFA on the StatefulProcessor API — same rows as
+    * [[Cep.run]] for any [[Cep.Pattern]] (round-10 migration; open
+    * partials become a named list state, the horizon deadline a single
+    * re-armed named timer). The NFA transition logic is shared verbatim
+    * via the same fold over (ts, id)-sorted events.
+    */
+  class CepProcessor(
+      steps: Vector[Cep.Step],
+      withinUs: Option[Long],
+      emitTimeouts: Boolean)
+      extends StatefulProcessor[String, KeyedEvent, Cep.CepMatch] {
+    import StateMachines.{sorted, tsOf, usOf}
+
+    private val nSteps = steps.size
+
+    @transient private var partialsState: ListState[Cep.CepPartial] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      partialsState = getHandle.getListState[Cep.CepPartial](
+        "partials", Encoders.product[Cep.CepPartial], TTLConfig.NONE)
+
+    private def load(): List[Cep.CepPartial] =
+      if (partialsState.exists()) partialsState.get().toList else Nil
+
+    /** Horizon reaping + state/timer update — the tail of each batch and
+      * of each expired timer, shared with the fGWS machine's logic. */
+    private def reapAndArm(
+        key: String,
+        partials0: List[Cep.CepPartial],
+        wmUs: Long,
+        out: scala.collection.mutable.Builder[Cep.CepMatch, Seq[Cep.CepMatch]]): Unit =
+      withinUs match {
+        case Some(w) =>
+          val (expired, open) = partials0.partition(p => p.anchorUs + w <= wmUs)
+          if (emitTimeouts)
+            for (p <- expired)
+              out += Cep.CepMatch(key, "timeout", tsOf(p.anchorUs), tsOf(p.anchorUs + w),
+                p.firstId)
+          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+          if (open.isEmpty) partialsState.clear()
+          else {
+            partialsState.put(open.toArray)
+            getHandle.registerTimer((open.map(_.anchorUs).min + w + 999L) / 1000L)
+          }
+        case None =>
+          if (partials0.isEmpty) partialsState.clear()
+          else partialsState.put(partials0.toArray)
+      }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[Cep.CepMatch] = {
+      var partials = load()
+      val out = Seq.newBuilder[Cep.CepMatch]
+      for (e <- sorted(rows); if e.kind != Replay.Sentinel) {
+        val us = usOf(e.ts)
+        val inHorizon = (p: Cep.CepPartial) => withinUs.forall(w => us - p.anchorUs <= w)
+        partials = partials.flatMap { p =>
+          val step = steps(p.step)
+          val timeOk = (!step.strict && us > p.lastUs) || step.strict
+          if (step.pred(e) && timeOk && inHorizon(p)) {
+            if (p.step + 1 == nSteps) {
+              out += Cep.CepMatch(key, "matched", tsOf(p.anchorUs), e.ts, p.firstId)
+              Nil
+            } else Some(p.copy(step = p.step + 1, lastUs = us))
+          } else if (step.strict) Nil
+          else Some(p)
+        }
+        if (steps.head.pred(e)) {
+          if (nSteps == 1) out += Cep.CepMatch(key, "matched", e.ts, e.ts, e.id)
+          else partials = Cep.CepPartial(1, us, e.id, us) :: partials
+        }
+      }
+      reapAndArm(key, partials, timerValues.getCurrentWatermarkInMs() * 1000L, out)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Cep.CepMatch] = {
+      val out = Seq.newBuilder[Cep.CepMatch]
+      reapAndArm(key, load(), timerValues.getCurrentWatermarkInMs() * 1000L, out)
+      out.result().iterator
+    }
+  }
+
+  /** Compile a [[Cep.Pattern]] onto `transformWithState` — the
+    * API-migrated twin of [[Cep.run]]. */
+  def cepRun(
+      events: Dataset[KeyedEvent],
+      pattern: Cep.Pattern,
+      emitTimeouts: Boolean = false,
+      watermarkDelay: String = "0 seconds"): Dataset[Cep.CepMatch] = {
+    require(pattern.steps.size >= 1, "empty pattern")
+    require(!emitTimeouts || pattern.withinSec.isDefined,
+      "emitTimeouts needs within(sec) — the horizon defines the timeout")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(
+        new CepProcessor(pattern.steps, pattern.withinSec.map(_ * 1000000L), emitTimeouts),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

@@ -78,4 +78,62 @@ class TwsSpec extends SparkSpec {
       assert(tws == fmgws)
     } finally spark.conf.unset(ProviderConf)
   }
+
+  test("Tws.reconcile == StateMachines.reconcile on replayed real events") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val events = graft.io.Tables(spark, dir).events
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Timestamp, Timestamp, String)] =
+        df.as[TaggedRow].collect().map(r => (r.key, r.tag, r.first_ts, r.last_ts, r.info)).toSet
+      val tws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        Tws.reconcile(s, "purchase", "signup", toleranceSec = 86400L).toDF()
+      })
+      val fmgws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        StateMachines.reconcile(s, "purchase", "signup", toleranceSec = 86400L).toDF()
+      })
+      assert(tws.nonEmpty, "gate is vacuous: no purchase/signup traffic")
+      assert(Set("matched", "left_only", "right_only").subsetOf(tws.map(_._2)),
+        s"fixture must exercise all three paths: ${tws.map(_._2)}")
+      assert(tws == fmgws)
+    } finally spark.conf.unset(ProviderConf)
+  }
+
+  test("Tws.cepRun == Cep.run on replayed real events (times(3).within + followedBy patterns)") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val events = graft.io.Tables(spark, dir).events
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Timestamp, Timestamp, String)] =
+        df.as[Cep.CepMatch].collect()
+          .map(r => (r.key, r.status, r.first_ts, r.last_ts, r.first_id)).toSet
+      // times(2) rather than the declared times(3): sf0.001 has no
+      // 3-consecutive-error run, and a vacuous parity gate proves nothing
+      val fail2 = Cep.Pattern.begin("fail")(_.kind == "error").times(2).within(21600L)
+      val order = Cep.Pattern.begin("create")(_.kind == "signup")
+        .followedBy("pay")(_.kind == "purchase").within(86400L)
+      for ((pat, timeouts, label) <- Seq(
+          (fail2, false, "times(2).consecutive.within"),
+          (order, true, "followedBy.within + timeout side output"))) {
+        val tws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+          Tws.cepRun(s, pat, emitTimeouts = timeouts).toDF()
+        })
+        val fmgws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+          Cep.run(s, pat, emitTimeouts = timeouts).toDF()
+        })
+        assert(tws.nonEmpty, s"$label: gate is vacuous")
+        assert(tws == fmgws, s"$label: tws != fGWS NFA")
+      }
+    } finally spark.conf.unset(ProviderConf)
+  }
 }
