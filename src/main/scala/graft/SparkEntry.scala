@@ -1047,6 +1047,17 @@ object SparkEntry {
       Chunking.packByBudget(
         d, col("doc_id"), TextOps.tokenCount(col("text")), 512L, nShards = 8)
     }),
+    "p_pack_greedy" -> ((s, dir) => {
+      // atomic-doc first-fit packing (SFT posture: docs never straddle a
+      // pack): per-shard sequential fold via flatMapSortedGroups; the
+      // oracle replays the fold as a DuckDB recursive CTE
+      val d = Tables(s, dir).documents
+      Chunking.packGreedy(
+          d, col("doc_id"), TextOps.tokenCount(col("text")), 512L, nShards = 8)
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          col("shard"), col("pack_id"), col("offset_tokens"))
+    }),
     "p_shuffle" -> ((s, dir) => {
       // deterministic epoch ordering: md5-keyed sharded permutation —
       // (shard, pos) is the reproducible global training order; one hash
@@ -2487,6 +2498,32 @@ object SparkEntry {
             col("rank"))
       }
     }),
+    "q_hot_items_tws_stream" -> ((s, dir) => {
+      // q_hot_items_stream's collector carried onto transformWithState
+      // (round 10): the per-window counter map becomes a NAMED MapState —
+      // per-item point updates instead of the fGWS whole-map rewrite,
+      // the decisive state-traffic win for this machine at 100 TB. Same
+      // rows, same oracle; TwsSpec pins row parity with the fGWS machine.
+      withRocksDb(s) {
+        val input = Tables(s, dir).events
+          .filter(col("event_type") === "click")
+          .select(
+            lpad(col("user_id").cast("string"), 12, "0").as("key"),
+            col("ts"),
+            col("event_type").as("kind"),
+            col("event_id").cast("string").as("id"))
+        Replay.keyedEvents(input) { stream =>
+          graft.streaming.Tws
+            .windowTopN(stream, sizeUs = 3600000000L, slideUs = 300000000L, n = 5)
+            .toDF()
+            .select(
+              col("window_start"),
+              col("item").cast("long").as("user_id"),
+              col("cnt"),
+              col("rank"))
+        }
+      }
+    }),
     "q_hot_pages_stream" -> ((s, dir) => {
       // T2 streaming: same collector as q_hot_items_stream over 30m/10m
       // windows keyed by event_type (URL stand-in), top-3 — the HotUrl
@@ -3707,6 +3744,8 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
     "q_hot_items_stream" -> slidingOracle(
       "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
+    "q_hot_items_tws_stream" -> slidingOracle(
+      "WHERE event_type = 'click'", "user_id", "user_id", 300000000L, 12, 5, "DESC"),
     "q_hot_pages" -> slidingOracle(
       "", "event_type", "event_type", 600000000L, 3, 3, "DESC"),
     "q_hot_pages_stream" -> slidingOracle(
@@ -4135,6 +4174,27 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |SELECT doc_id, shard, CAST(cum // 512 AS BIGINT) AS pack_id,
          |  CAST(cum % 512 AS BIGINT) AS offset_tokens
          |FROM c""".stripMargin,
+    "p_pack_greedy" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(len($tokensExpr) AS BIGINT) AS tok,
+         |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, tok, h % 8 AS shard,
+         |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+         |  FROM d
+         |), r AS (
+         |  SELECT shard, rn, doc_id, tok,
+         |    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS offset_tokens, tok AS fill
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id, o.tok,
+         |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 512 THEN r.pack_id + 1 ELSE r.pack_id END,
+         |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 512 THEN CAST(0 AS BIGINT) ELSE r.fill END,
+         |    CASE WHEN r.fill > 0 AND r.fill + o.tok > 512 THEN o.tok ELSE r.fill + o.tok END
+         |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+         |)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, shard, pack_id, offset_tokens FROM r""".stripMargin,
     "d_chunk_cdc" ->
       s"""WITH t AS (
          |  SELECT doc_id, $tokensExpr AS w FROM documents

@@ -96,6 +96,60 @@ object Chunking {
         (col("__cum") % lit(budgetTokens)).as("offset_tokens"))
   }
 
+  /** Output row of [[packGreedy]] — `doc_id` as string (callers restore
+    * the source type); `offset_tokens` is the doc's start inside its
+    * pack. */
+  case class GreedyPacked(doc_id: String, shard: Long, pack_id: Long, offset_tokens: Long)
+
+  /** ATOMIC-document greedy packing: like [[packByBudget]] but a document
+    * never straddles a pack boundary — the SFT/instruction-tuning posture,
+    * where each training sequence holds whole samples and a doc that
+    * would overflow the current pack opens the next one (first-fit on the
+    * per-shard stream; an oversize doc occupies a pack alone).
+    *
+    * Same deterministic layout as [[packByBudget]]: md5-derived shard,
+    * docs consumed in (hash, id) order within the shard. The fold is
+    * genuinely sequential per shard (each doc's pack depends on every
+    * predecessor's), so it runs as `flatMapSortedGroups` — Spark sorts
+    * each shard's rows for us and the fold streams the iterator, O(1)
+    * state, never materializing the group.
+    *
+    * Scale: ONE hash exchange on `shard`, parallelism = `nShards` (size
+    * it to a small multiple of the cluster's cores, exactly like
+    * [[packByBudget]]); the sequential scan per shard is the price of
+    * exact first-fit semantics — the relaxation that removes it is
+    * [[packByBudget]]'s block packing.
+    */
+  def packGreedy(
+      df: DataFrame,
+      id: Column,
+      tokenCount: Column,
+      budgetTokens: Long,
+      nShards: Int = 64): DataFrame = {
+    require(budgetTokens > 0 && nShards > 0, "need positive budget and shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long")
+    df.select(
+        pmod(h, lit(nShards.toLong)).as("shard"),
+        h.as("__h"),
+        id.cast("string").as("doc_id"),
+        tokenCount.cast("long").as("__tok"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__h"), col("doc_id")) { (shard, it) =>
+        var fill = 0L
+        var pack = 0L
+        it.map { case (_, _, docId, tok) =>
+          if (fill > 0L && fill + tok > budgetTokens) { pack += 1L; fill = 0L }
+          val off = fill
+          fill += tok
+          GreedyPacked(docId, shard, pack, off)
+        }
+      }
+      .toDF()
+  }
+
   /** Content-defined chunking (rsync/CDC family: boundaries from a
     * rolling hash, not fixed offsets): cut after token `i` whenever the
     * polynomial hash of the `window` tokens ending at `i` lands in the

@@ -1,8 +1,11 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{
-  ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+  ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig}
 
 /** The modern arbitrary-state API (`transformWithState`, Spark 4.x
   * `StatefulProcessor`) carrying the same operator semantics as the
@@ -320,6 +323,95 @@ object Tws {
       reapAndArm(key, load(), timerValues.getCurrentWatermarkInMs() * 1000L, out)
       out.result().iterator
     }
+  }
+
+  /** Per-window top-N collector on the StatefulProcessor API — same rows
+    * as [[StateMachines.windowTopN]] (reference T1/C1,
+    * `HotItemApp.java:62,116-190`). This machine is where the API gap is
+    * widest: the fGWS form rewrites one monolithic `Map[String, Long]`
+    * case-class blob per batch, while a NAMED `MapState` gives per-item
+    * POINT updates — at 100 TB a hot window's counter map is millions of
+    * items, and RocksDB merges `(window, item) → +1` deltas instead of
+    * re-serializing the whole map every micro-batch. Timer discipline is
+    * the shared delete-then-re-arm: one live timer per window at
+    * `windowEnd + 1 ms`, clamped above the watermark so late-but-in-margin
+    * rows re-arm an already-passed deadline.
+    */
+  class WindowTopNProcessor(sizeUs: Long, n: Int)
+      extends StatefulProcessor[Long, (Long, String, Timestamp), StateMachines.WindowTopRow] {
+    import StateMachines.tsOf
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        winStartUs: Long,
+        rows: Iterator[(Long, String, Timestamp)],
+        timerValues: TimerValues): Iterator[StateMachines.WindowTopRow] = {
+      // pre-combine the batch locally so state traffic is one point
+      // read + one point write per DISTINCT item, not per row
+      val batch = scala.collection.mutable.Map.empty[String, Long]
+      for ((_, item, _) <- rows)
+        batch.update(item, batch.getOrElse(item, 0L) + 1L)
+      for ((item, c) <- batch) {
+        val prev = if (counts.containsKey(item)) counts.getValue(item) else 0L
+        counts.updateValue(item, prev + c)
+      }
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(math.max(
+        (winStartUs + sizeUs) / 1000L + 1L,
+        timerValues.getCurrentWatermarkInMs() + 1L))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        winStartUs: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StateMachines.WindowTopRow] = {
+      val top = counts.iterator().toSeq
+        .sortBy { case (item, cnt) => (-cnt, item) }
+        .take(n)
+      counts.clear()
+      top.iterator.zipWithIndex.map { case ((item, cnt), i) =>
+        StateMachines.WindowTopRow(tsOf(winStartUs), item, cnt, i + 1)
+      }
+    }
+  }
+
+  /** [[StateMachines.windowTopN]] on `transformWithState` — identical
+    * window explode and keying; only the state backend changes. */
+  def windowTopN(
+      events: Dataset[KeyedEvent],
+      sizeUs: Long,
+      slideUs: Long,
+      n: Int,
+      watermarkDelay: String = "2 seconds"): Dataset[StateMachines.WindowTopRow] = {
+    require(sizeUs % slideUs == 0, "window size must be a multiple of slide")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nW = (sizeUs / slideUs).toInt
+    // Column-based explode, not a typed flatMap: a typed map re-serializes
+    // and strips the watermark metadata the event-time op needs (same
+    // constraint as the fGWS twin)
+    val winStarts = {
+      val tUs = unix_micros(col("ts"))
+      val aligned = tUs - pmod(tUs, lit(slideUs))
+      array((0 until nW).map(i => aligned - lit(i.toLong * slideUs)): _*)
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(_.kind != Replay.Sentinel)
+      .select(explode(winStarts).as("win"), col("key").as("item"), col("ts"))
+      .as[(Long, String, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new WindowTopNProcessor(sizeUs, n),
+        TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Compile a [[Cep.Pattern]] onto `transformWithState` — the

@@ -83,6 +83,51 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("packGreedy: equals a driver-side first-fit fold over the md5 stream order") {
+    val sizes = (1 to 200).map(i => s"doc$i" -> ((i * 37) % 300 + 1).toLong).toMap
+    val df = sizes.toSeq.toDF("doc_id", "tok")
+    val out = Chunking.packGreedy(df, col("doc_id"), col("tok"), 256L, nShards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def h(id: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = sizes.keys.toSeq
+      .groupBy(id => ((h(id) % 4) + 4) % 4)
+      .flatMap { case (shard, ids) =>
+        var fill = 0L; var pack = 0L
+        ids.sortBy(id => (h(id), id)).map { id =>
+          val tok = sizes(id)
+          if (fill > 0 && fill + tok > 256L) { pack += 1; fill = 0L }
+          val off = fill; fill += tok
+          (id, shard, pack, off)
+        }
+      }.toSet
+    assert(out.toSet == want)
+    // atomicity: no doc's span crosses its pack boundary (oversize docs
+    // excepted — they sit alone at offset 0)
+    out.foreach { case (id, _, _, off) =>
+      assert(off + sizes(id) <= 256L || off == 0L, s"$id straddles")
+    }
+  }
+
+  test("packGreedy: oversize doc sits alone; successors open a fresh pack") {
+    val df = Seq(("big", 1000L), ("a", 10L), ("b", 250L), ("c", 10L)).toDF("doc_id", "tok")
+    val out = Chunking.packGreedy(df, col("doc_id"), col("tok"), 256L, nShards = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    // stream order is md5 order; whatever it is, the invariants hold:
+    val byPack = out.groupBy(_._2)
+    byPack.values.foreach { docs =>
+      val toks = docs.map(d => Map("big" -> 1000L, "a" -> 10L, "b" -> 250L, "c" -> 10L)(d._1))
+      if (docs.exists(_._1 == "big")) assert(docs.length == 1) // oversize alone
+      else assert(toks.sum <= 256L)
+    }
+    // packs are contiguous from 0
+    assert(byPack.keySet == (0L until byPack.size).toSet)
+  }
+
   test("sampleStratified: fraction 0 removes a stratum, fraction 1 keeps it whole") {
     val df = (1 to 100).map(i => (s"d$i", if (i % 2 == 0) "en" else "und"))
       .toDF("doc_id", "lang")

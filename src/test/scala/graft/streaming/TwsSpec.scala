@@ -104,6 +104,31 @@ class TwsSpec extends SparkSpec {
     } finally spark.conf.unset(ProviderConf)
   }
 
+  test("Tws.windowTopN == StateMachines.windowTopN on replayed real events") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val events = graft.io.Tables(spark, dir).events
+        .select(
+          col("event_type").as("key"),
+          col("ts"),
+          lit("page").as("kind"),
+          col("event_id").cast("string").as("id"))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Timestamp, String, Long, Int)] =
+        df.as[StateMachines.WindowTopRow].collect()
+          .map(r => (r.window_start, r.item, r.cnt, r.rank)).toSet
+      val tws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        Tws.windowTopN(s, sizeUs = 1800000000L, slideUs = 600000000L, n = 3).toDF()
+      })
+      val fmgws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        StateMachines.windowTopN(s, sizeUs = 1800000000L, slideUs = 600000000L, n = 3).toDF()
+      })
+      assert(tws.nonEmpty, "gate is vacuous: no windows emitted")
+      assert(tws.exists(_._4 > 1), s"fixture must rank >1 item per window")
+      assert(tws == fmgws)
+    } finally spark.conf.unset(ProviderConf)
+  }
+
   test("Tws.cepRun == Cep.run on replayed real events (times(3).within + followedBy patterns)") {
     spark.conf.set(ProviderConf, RocksDb)
     try {
