@@ -778,6 +778,41 @@ object SparkEntry {
       Dedup.minhashDedup(Tables(s, dir).documents, col("doc_id"), col("text"),
         shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
     }),
+    "d_dedup_lsh_stream" -> ((s, dir) => {
+      // streaming admission-time near-dup: an accumulating MinHash-LSH
+      // index in keyed state (transformWithState, RocksDB), sharded by
+      // LSH bucket. Docs "arrive" in doc_id order (ts = epoch + doc_id
+      // s); each is checked against every previously indexed doc via the
+      // integer signature-estimate and appended. Same portable md5
+      // family and banding as d_dedup_minhash, so the oracle replays
+      // signatures → bands → prefix pairs → agreement verify exactly.
+      withRocksDb(s) {
+        val sigs = Dedup.minhashSignatures(
+          Tables(s, dir).documents, col("doc_id"), col("text"),
+          shingleLen = 3, k = 64, portableHash = true)
+        def bandKey(j: Int): Column = concat_ws("|", lit(j),
+          md5(concat_ws("|",
+            (4 * j until 4 * j + 4).map(i => col(s"m$i").cast("string")): _*)))
+        val events = sigs.select(
+          col("doc_id"),
+          explode(array((0 until 16).map(bandKey): _*)).as("key"),
+          array((0 until 64).map(i => col(s"m$i")): _*).as("sig"))
+          .select(
+            col("key"),
+            timestamp_seconds(col("doc_id")).as("ts"),
+            col("doc_id").cast("string").as("id"),
+            col("sig"))
+        Replay.bandEvents(events) { stream =>
+          graft.streaming.StreamingDedup
+            .lshIndex(stream, k = 64, thresholdNumer = 3, thresholdDenom = 5)
+            .toDF()
+        }.select(
+          col("band"),
+          col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"),
+          col("n_agree"))
+      }
+    }),
     "d_dedup_clusters" -> ((s, dir) => {
       // near-dup clustering: connected components over the (lossless)
       // ngram pair list; cluster_id = min doc id in the component
@@ -3556,7 +3591,11 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     * verify. One IEEE division of exact ints = the d_dedup_ngram record
     * discipline.
     */
-  private lazy val minhashSql: String = {
+  /** Shared oracle prefix: portable MinHash signatures (CTEs `hs` =
+    * per-doc 32-bit shingle-hash sets, `sig` = (doc_id, i, m) minima,
+    * `band` = 16×4 banded md5 keys) — read by [[minhashSql]] (at-rest
+    * pair dedup) and [[lshStreamSql]] (the streaming index twin). */
+  private lazy val minhashSigCtes: String = {
     val params = graft.ops.Dedup.hashParams(64, 42L)
       .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(",\n    ")
     s"""WITH d AS (
@@ -3578,7 +3617,11 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
        |  SELECT doc_id, i // 4 AS band,
        |    md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS bh
        |  FROM sig GROUP BY 1, 2
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  private lazy val minhashSql: String = {
+    s"""$minhashSigCtes, cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
        |    AND l.doc_id < r.doc_id
@@ -3591,6 +3634,28 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
        |SELECT a, b, CAST(cnt AS DOUBLE) / (na + nb - cnt) AS jaccard
        |FROM v
        |WHERE cnt > 0 AND CAST(cnt AS DOUBLE) / (na + nb - cnt) >= 0.6""".stripMargin
+  }
+
+  /** d_dedup_lsh_stream oracle: the streaming index is a pure function
+    * of the portable hash family and the arrival order (= doc_id order),
+    * so its prefix semantics replay relationally — band collisions with
+    * a < b (a indexed first), one row per colliding band, verified by
+    * the INTEGER signature-agreement estimate (n_agree·5 ≥ 64·3 ⇔
+    * est ≥ 0.6; no float compare on either engine). */
+  private lazy val lshStreamSql: String = {
+    s"""$minhashSigCtes, cand AS (
+       |  SELECT l.band, l.doc_id AS a, r.doc_id AS b
+       |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+       |    AND l.doc_id < r.doc_id
+       |), agree AS (
+       |  SELECT c.band, c.a, c.b, count(*) AS n_agree
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT CAST(band AS INT) AS band, a, b, CAST(n_agree AS INT) AS n_agree
+       |FROM agree WHERE n_agree * 5 >= 192""".stripMargin
   }
 
   /** d_dedup_bow_lsh oracle (round 9): the whole pipeline was already
@@ -4464,6 +4529,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     "d_containment" -> containmentSql,
     "d_containment_blocked" -> containmentSql,
     "d_dedup_minhash" -> minhashSql,
+    "d_dedup_lsh_stream" -> lshStreamSql,
     "d_dedup_simhash" -> simhashSql,
     "d_dedup_bow_lsh" -> bowLshSql,
     "q_movers" ->

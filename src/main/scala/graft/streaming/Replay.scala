@@ -102,6 +102,29 @@ object Replay {
       df => pipeline(df.as[KeyedValueEvent]))
   }
 
+  /** [[keyedEvents]] for banded-signature document streams
+    * ([[BandEvent]]: key = LSH bucket, sig = the doc's full MinHash
+    * signature). Sentinels carry an empty signature and the sentinel
+    * key; [[StreamingDedup.lshIndex]] filters them before the keyed op
+    * (it runs TimeMode.None — no watermark semantics to preserve).
+    */
+  def bandEvents(
+      events: DataFrame,
+      nChunks: Int = 10,
+      orderJitterSec: Long = 0L)(
+      pipeline: Dataset[BandEvent] => DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(
+      col("key").cast("string").as("key"),
+      col("ts"),
+      col("id").cast("string").as("id"),
+      col("sig"))
+    replayCore(src, nChunks, orderJitterSec,
+      (sTs, j) => Seq(BandEvent(Sentinel, sTs, s"s$j", Array.empty[Long])).toDF())(
+      df => pipeline(df.as[BandEvent]))
+  }
+
   /** Shared replay machinery: chunked chronological write-out, two
     * sentinel batches, memory-sink collection. `src` must already carry
     * (ts, id) columns; `sentinel(ts, j)` builds the j-th sentinel frame
