@@ -139,9 +139,22 @@ object Bench {
           s""""$name":{"rows":$nRows,"sec":-1,"rows_per_sec":-1}"""
       }
     }
+    def oneRocksDb(name: String)(
+        pipeline: org.apache.spark.sql.Dataset[KeyedEvent] => DataFrame): String = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try one(name)(pipeline) finally spark.conf.unset(key)
+    }
     Seq(
       one("windowTopN")(s =>
         StateMachines.windowTopN(s, sizeUs = 3600000000L, slideUs = 300000000L, n = 5).toDF()),
+      // the same machine on transformWithState + RocksDB (MapState point
+      // updates): the head-to-head for the API migration's state-traffic
+      // claim — compare against the fGWS row above
+      oneRocksDb("windowTopN_tws")(s =>
+        graft.streaming.Tws
+          .windowTopN(s, sizeUs = 3600000000L, slideUs = 300000000L, n = 5).toDF()),
       one("matchWithTimeout")(s =>
         StateMachines.matchWithTimeout(s, "signup", "purchase", timeoutSec = 86400L).toDF()),
       one("asOf")(s =>

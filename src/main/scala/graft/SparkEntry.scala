@@ -849,6 +849,37 @@ object SparkEntry {
       Similarity.cosineNearDupPairsLSH(embeddingsIdVec(Tables(s, dir)), 0.40, dim = 64,
         nPlanes = 4, nTables = 16)
     }),
+    "d_dedup_embed_lsh_stream" -> ((s, dir) => {
+      // the embedding sibling of d_dedup_lsh_stream: admission-time
+      // near-dup over an accumulating SIGN-LSH index (same 4-plane ×
+      // 16-table bucketing as the batch op), exact quantized-cosine
+      // verify in-bucket (state holds the vectors; the fold replicates
+      // CosineSim bit-for-bit). Vectors "arrive" in vec_id order; one
+      // row per colliding table. Oracle replays buckets from the
+      // embedded sign literals + list_cosine_similarity.
+      withRocksDb(s) {
+        val v = embeddingsIdVec(Tables(s, dir))
+          .select(col("id"), col("vec").cast("array<double>").as("v"))
+        val events = v.select(
+          col("id"),
+          col("v"),
+          posexplode(array((0 until 16).map(t =>
+            Similarity.lshBucket(col("v"), dim = 64, nPlanes = 4, seed = 42L + t * 7919L)): _*))
+            .as(Seq("tbl", "bucket")))
+          .select(
+            concat_ws("|", col("tbl"), col("bucket")).as("key"),
+            timestamp_seconds(col("id")).as("ts"),
+            col("id").cast("string").as("id"),
+            col("v").as("vec"))
+        Replay.vecEvents(events) { stream =>
+          graft.streaming.StreamingDedup.vecIndex(stream, simThresholdQ = 4000L).toDF()
+        }.select(
+          col("tbl"),
+          col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"),
+          col("sim"))
+      }
+    }),
     "d_dedup_semantic" -> ((s, dir) => {
       // SemDeDup (arXiv:2303.09540): k-means cluster-blocked near-dup
       // pairs with exact cosine verify — the third scale path for
@@ -3448,6 +3479,23 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
       |WHERE CAST(floor(list_cosine_similarity(va.e, vb.e) * 10000) AS BIGINT)
       |  >= 4000""".stripMargin
 
+  /** d_dedup_embed_lsh_stream oracle: per-TABLE prefix pairs (a < b =
+    * arrival order), exact quantized cosine — dedupEmbedLshSql minus the
+    * cross-table DISTINCT, since the streaming index emits one row per
+    * colliding table by contract. */
+  private lazy val embedLshStreamSql: String =
+    lshBucketCte + """
+      |, cand AS (
+      |  SELECT l.tbl, l.vec_id AS a, r.vec_id AS b
+      |  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bucket = r.bucket
+      |    AND l.vec_id < r.vec_id
+      |)
+      |SELECT CAST(c.tbl AS INT) AS tbl, c.a, c.b,
+      |  CAST(floor(list_cosine_similarity(va.e, vb.e) * 10000) AS BIGINT) AS sim
+      |FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b
+      |WHERE CAST(floor(list_cosine_similarity(va.e, vb.e) * 10000) AS BIGINT)
+      |  >= 4000""".stripMargin
+
   /** s_knn_binary oracle: the sign-bit code is replayed as a 64-term sum
     * whose i=63 term is Long.MinValue (bit 63 participates like any other
     * because no carry ever reaches it — [[graft.ops.Similarity.signBitCode]]);
@@ -4530,6 +4578,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     "d_containment_blocked" -> containmentSql,
     "d_dedup_minhash" -> minhashSql,
     "d_dedup_lsh_stream" -> lshStreamSql,
+    "d_dedup_embed_lsh_stream" -> embedLshStreamSql,
     "d_dedup_simhash" -> simhashSql,
     "d_dedup_bow_lsh" -> bowLshSql,
     "q_movers" ->

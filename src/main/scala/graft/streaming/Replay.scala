@@ -125,6 +125,26 @@ object Replay {
       df => pipeline(df.as[BandEvent]))
   }
 
+  /** [[bandEvents]] for sign-bucketed embedding streams ([[VecEvent]]:
+    * key = LSH table|bucket, vec = the full embedding for the in-bucket
+    * exact-cosine verify). */
+  def vecEvents(
+      events: DataFrame,
+      nChunks: Int = 10,
+      orderJitterSec: Long = 0L)(
+      pipeline: Dataset[VecEvent] => DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(
+      col("key").cast("string").as("key"),
+      col("ts"),
+      col("id").cast("string").as("id"),
+      col("vec"))
+    replayCore(src, nChunks, orderJitterSec,
+      (sTs, j) => Seq(VecEvent(Sentinel, sTs, s"s$j", Array.empty[Double])).toDF())(
+      df => pipeline(df.as[VecEvent]))
+  }
+
   /** Shared replay machinery: chunked chronological write-out, two
     * sentinel batches, memory-sink collection. `src` must already carry
     * (ts, id) columns; `sentinel(ts, j)` builds the j-th sentinel frame

@@ -19,6 +19,16 @@ case class BandEvent(key: String, ts: Timestamp, id: String, sig: Array[Long])
   * dedup stage is needed downstream). */
 case class LshDupRow(band: Int, a: String, b: String, n_agree: Int)
 
+/** One sign-bucketed embedding row: `key` is the index shard
+  * (`"<table>|<bucket>"` from the sign-hyperplane hash), `vec` the full
+  * embedding (carried for the exact-cosine in-bucket verify). */
+case class VecEvent(key: String, ts: Timestamp, id: String, vec: Array[Double])
+
+/** Embedding near-dup hit: vector `b` arrived while `a` was indexed in
+  * sign-LSH table `tbl`; `sim` is the exact quantized cosine
+  * (floor(cos·1e4), the repo's cross-engine similarity basis). */
+case class VecDupRow(tbl: Int, a: String, b: String, sim: Long)
+
 /** Streaming near-duplicate detection: an accumulating MinHash-LSH index
   * kept in keyed state — the ingest-time twin of the at-rest batch op
   * ([[graft.ops.Dedup.minhashDedup]]). Each arriving document is checked
@@ -93,6 +103,79 @@ object StreamingDedup {
         key: String,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[LshDupRow] = Iterator.empty
+  }
+
+  /** [[LshIndexProcessor]]'s embedding sibling: the bucket key comes from
+    * the sign-hyperplane hash ([[graft.ops.Similarity.lshBucket]]) and the
+    * in-bucket verify is EXACT cosine — state holds the full vectors, and
+    * the accumulation replicates
+    * [[org.apache.spark.sql.graft.CosineSim]]'s i=0..n fold exactly, so
+    * the quantized similarity (floor(cos·1e4)) is bit-identical to the
+    * batch op's and to the DuckDB oracle's `list_cosine_similarity`. */
+  class VecIndexProcessor(simThresholdQ: Long, ttl: TTLConfig)
+      extends StatefulProcessor[String, VecEvent, VecDupRow] {
+
+    @transient private var seen: ListState[(String, Array[Double])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[(String, Array[Double])](
+        "seen", Encoders.product[(String, Array[Double])], ttl)
+
+    private def cosineQ(a: Array[Double], b: Array[Double]): Long = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = a(i); val yi = b(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      math.floor(sim * 10000).toLong
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[VecEvent],
+        timerValues: TimerValues): Iterator[VecDupRow] = {
+      val tbl = key.substring(0, key.indexOf('|')).toInt
+      val stored = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Double])]
+      if (seen.exists()) stored ++= seen.get()
+      val out = Seq.newBuilder[VecDupRow]
+      val batch = rows.toSeq.sortBy(e => (StateMachines.usOf(e.ts), e.id))
+      for (e <- batch) {
+        for ((aId, aVec) <- stored) {
+          val q = cosineQ(aVec, e.vec)
+          if (q >= simThresholdQ) out += VecDupRow(tbl, aId, e.id, q)
+        }
+        stored += ((e.id, e.vec))
+        seen.appendValue((e.id, e.vec))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[VecDupRow] = Iterator.empty
+  }
+
+  /** Run the embedding index over a sign-bucketed vector stream (see the
+    * `d_dedup_embed_lsh_stream` declaration). `simThresholdQ` is the
+    * quantized cosine floor (e.g. 4000 ⇔ 0.40). */
+  def vecIndex(
+      events: Dataset[VecEvent],
+      simThresholdQ: Long,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[VecDupRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(_.key != Replay.Sentinel)
+      .groupByKey(_.key)
+      .transformWithState(
+        new VecIndexProcessor(simThresholdQ, ttl),
+        TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Run the streaming index over a banded signature stream (build one

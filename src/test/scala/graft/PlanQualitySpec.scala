@@ -243,6 +243,12 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("hashpartitioning(shard"), s"window not partitioned by shard:\n$p")
   }
 
+  test("greedy packing is one hash exchange, never a global sort") {
+    val p = plan("p_pack_greedy")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked in:\n$p")
+  }
+
   test("stratified sampling stays a scan + filter (no shuffle)") {
     val p = plan("p_sample_stratified")
     assert(!p.contains("Exchange"), p)

@@ -129,6 +129,42 @@ class TwsSpec extends SparkSpec {
     } finally spark.conf.unset(ProviderConf)
   }
 
+  test("Tws.windowTopN under 1s order jitter: still the exact batch answer") {
+    // the ReplaySoakSpec windowTopN soak, on the new API: watermark delay
+    // 4s > 2×jitter keeps every displaced row ahead of its window's
+    // timer, so the MapState collector emits exactly the batch top-N
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val clicks = graft.io.Tables(spark, dir).events
+        .filter(col("event_type") === "click")
+      val input = clicks.select(
+        lpad(col("user_id").cast("string"), 12, "0").as("key"),
+        col("ts"),
+        col("event_type").as("kind"),
+        col("event_id").cast("string").as("id"))
+      val streamed = Replay
+        .keyedEvents(input, orderJitterSec = 1) { stream =>
+          Tws.windowTopN(stream, sizeUs = 3600000000L, slideUs = 300000000L, n = 5,
+              watermarkDelay = "4 seconds")
+            .toDF()
+            .select(
+              col("window_start"), col("item").cast("long").as("user_id"),
+              col("cnt"), col("rank").cast("long").as("rank"))
+        }
+        .as[(Timestamp, Long, Long, Long)].collect().toSet
+      val counts = graft.ops.WindowAggs
+        .slidingCountPanes(clicks, col("ts"), "1 hour", "5 minutes", Seq(col("user_id")))
+      val batch = graft.ops.TopN
+        .perPartition(counts, Seq(col("window_start")),
+          Seq(col("cnt").desc, col("user_id").asc), 5)
+        .select(col("window_start"), col("user_id"), col("cnt"),
+          col("rank").cast("long").as("rank"))
+        .as[(Timestamp, Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally spark.conf.unset(ProviderConf)
+  }
+
   test("Tws.cepRun == Cep.run on replayed real events (times(3).within + followedBy patterns)") {
     spark.conf.set(ProviderConf, RocksDb)
     try {
