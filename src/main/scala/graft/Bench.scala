@@ -157,10 +157,17 @@ object Bench {
           .windowTopN(s, sizeUs = 3600000000L, slideUs = 300000000L, n = 5).toDF()),
       one("matchWithTimeout")(s =>
         StateMachines.matchWithTimeout(s, "signup", "purchase", timeoutSec = 86400L).toDF()),
+      oneRocksDb("matchWithTimeout_tws")(s =>
+        graft.streaming.Tws
+          .matchWithTimeout(s, "signup", "purchase", timeoutSec = 86400L).toDF()),
       one("asOf")(s =>
         StateMachines.asOf(s, buildKind = "purchase", probeKind = "click").toDF()),
+      oneRocksDb("asOf_tws")(s =>
+        graft.streaming.Tws.asOf(s, buildKind = "purchase", probeKind = "click").toDF()),
       one("funnel")(s =>
-        StateMachines.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()))
+        StateMachines.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()),
+      oneRocksDb("funnel_tws")(s =>
+        graft.streaming.Tws.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()))
       .mkString("{", ",", "}")
   } catch {
     // Round-7 lesson: an AnalysisException in the events load / count()

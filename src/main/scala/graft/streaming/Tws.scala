@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{
   ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues,
-  TTLConfig}
+  TTLConfig, ValueState}
 
 /** The modern arbitrary-state API (`transformWithState`, Spark 4.x
   * `StatefulProcessor`) carrying the same operator semantics as the
@@ -431,6 +431,198 @@ object Tws {
       .groupByKey(_.key)
       .transformWithState(
         new CepProcessor(pattern.steps, pattern.withinSec.map(_ * 1000000L), emitTimeouts),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** As-of join on the StatefulProcessor API — same rows as
+    * [[StateMachines.asOf]]: each ripe probe (watermark-passed) matches
+    * the latest build at-or-before it, or emits `no_build`; builds the
+    * watermark has passed compact down to the single latest survivor
+    * (the only one a future probe can still pick). The two sides become
+    * two NAMED list states, the earliest pending probe a single re-armed
+    * deadline timer.
+    */
+  class AsOfProcessor(buildKind: String, probeKind: String)
+      extends StatefulProcessor[String, KeyedEvent, TaggedRow] {
+    import StateMachines.{sorted, tsOf, usOf}
+
+    @transient private var builds: ListState[(String, Long)] = _
+    @transient private var probes: ListState[(String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      builds = getHandle.getListState[(String, Long)](
+        "builds", Encoders.product[(String, Long)], TTLConfig.NONE)
+      probes = getHandle.getListState[(String, Long)](
+        "probes", Encoders.product[(String, Long)], TTLConfig.NONE)
+    }
+
+    private def load(s: ListState[(String, Long)]): List[(String, Long)] =
+      if (s.exists()) s.get().toList else Nil
+
+    private def flushAndArm(
+        key: String,
+        b0: List[(String, Long)],
+        p0: List[(String, Long)],
+        wmUs: Long,
+        out: scala.collection.mutable.Builder[TaggedRow, Seq[TaggedRow]]): Unit = {
+      val (ripe, pending) = p0.partition { case (_, us) => us <= wmUs }
+      for ((pid, pus) <- ripe.sortBy { case (id, us) => (us, id) }) {
+        val cands = b0.filter { case (_, bus) => bus <= pus }
+        if (cands.isEmpty) out += TaggedRow(key, "no_build", tsOf(pus), tsOf(pus), pid)
+        else {
+          val (bid, bus) = cands.maxBy { case (id, us) => (us, id) }
+          out += TaggedRow(key, "matched", tsOf(pus), tsOf(bus), s"$pid|$bid")
+        }
+      }
+      // builds the watermark has passed: only the latest can ever win
+      val (stale, fresh) = b0.partition { case (_, us) => us <= wmUs }
+      val kept = if (stale.isEmpty) fresh
+        else stale.maxBy { case (id, us) => (us, id) } :: fresh
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (kept.isEmpty) builds.clear() else builds.put(kept.toArray)
+      if (pending.isEmpty) probes.clear() else probes.put(pending.toArray)
+      if (pending.nonEmpty)
+        getHandle.registerTimer((pending.map(_._2).min + 999L) / 1000L + 1L)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[TaggedRow] = {
+      var b = load(builds)
+      var p = load(probes)
+      for (e <- sorted(rows)) {
+        if (e.kind == buildKind) b = b :+ (e.id, usOf(e.ts))
+        else if (e.kind == probeKind) p = p :+ (e.id, usOf(e.ts))
+      }
+      val out = Seq.newBuilder[TaggedRow]
+      flushAndArm(key, b, p, timerValues.getCurrentWatermarkInMs() * 1000L, out)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TaggedRow] = {
+      val out = Seq.newBuilder[TaggedRow]
+      flushAndArm(key, load(builds), load(probes),
+        timerValues.getCurrentWatermarkInMs() * 1000L, out)
+      out.result().iterator
+    }
+  }
+
+  def asOf(
+      events: Dataset[KeyedEvent],
+      buildKind: String,
+      probeKind: String,
+      watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(
+        new AsOfProcessor(buildKind, probeKind),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Funnel progression on the StatefulProcessor API — same rows as
+    * [[StateMachines.funnel]]: the in-order step chain is a NAMED list
+    * state of step timestamps, the (horizon, tombstone) pair a named
+    * value state, the window deadline a single re-armed timer. One FINAL
+    * row per key once the window closes; the tombstone pins at-most-once
+    * emission exactly like the fGWS twin's `done` flag.
+    */
+  class FunnelProcessor(steps: Seq[String], windowUs: Long)
+      extends StatefulProcessor[String, KeyedEvent, StateMachines.FunnelRow] {
+    import StateMachines.{sorted, tsOf, usOf}
+
+    @transient private var chainState: ListState[Long] = _
+    // (lastUs, done) — the horizon of the newest event seen and the
+    // emitted-already tombstone
+    @transient private var meta: ValueState[(Long, Boolean)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      chainState = getHandle.getListState[Long](
+        "chain", Encoders.scalaLong, TTLConfig.NONE)
+      meta = getHandle.getValueState[(Long, Boolean)](
+        "meta", Encoders.product[(Long, Boolean)], TTLConfig.NONE)
+    }
+
+    private def flush(
+        key: String,
+        chain: List[Long],
+        lastUs: Long,
+        wmUs: Long): Iterator[StateMachines.FunnelRow] = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (chain.nonEmpty && chain.head + windowUs <= wmUs) {
+        // horizon closed: the chain is final; tombstone the key
+        chainState.clear()
+        meta.update((lastUs, true))
+        Iterator.single(
+          StateMachines.FunnelRow(key, chain.size, tsOf(chain.head), tsOf(chain.last)))
+      } else if (chain.isEmpty && lastUs + windowUs <= wmUs) {
+        // no chain started and none can retroactively include events this
+        // old — drop all state, nothing to emit
+        chainState.clear()
+        meta.clear()
+        Iterator.empty
+      } else {
+        if (chain.isEmpty) chainState.clear() else chainState.put(chain.toArray)
+        meta.update((lastUs, false))
+        val deadline = if (chain.nonEmpty) chain.head + windowUs else lastUs + windowUs
+        getHandle.registerTimer((deadline + 999L) / 1000L)
+        Iterator.empty
+      }
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[StateMachines.FunnelRow] = {
+      val (lastUs0, done) =
+        if (meta.exists()) meta.get() else (Long.MinValue, false)
+      var chain: List[Long] = if (chainState.exists()) chainState.get().toList else Nil
+      var lastUs = lastUs0
+      if (!done) for (e <- sorted(rows); if e.kind != Replay.Sentinel) {
+        val us = usOf(e.ts)
+        lastUs = math.max(lastUs, us)
+        val idx = chain.size
+        if (idx < steps.size && e.kind == steps(idx) &&
+          (chain.isEmpty || (us > chain.last && us <= chain.head + windowUs)))
+          chain = chain :+ us
+      }
+      if (done) Iterator.empty
+      else flush(key, chain, lastUs, timerValues.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StateMachines.FunnelRow] = {
+      val (lastUs, done) =
+        if (meta.exists()) meta.get() else (Long.MinValue, false)
+      val chain: List[Long] = if (chainState.exists()) chainState.get().toList else Nil
+      if (done) Iterator.empty
+      else flush(key, chain, lastUs, timerValues.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  def funnel(
+      events: Dataset[KeyedEvent],
+      steps: Seq[String],
+      windowSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[StateMachines.FunnelRow] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(
+        new FunnelProcessor(steps, windowSec * 1000000L),
         TimeMode.EventTime(),
         OutputMode.Append())
   }

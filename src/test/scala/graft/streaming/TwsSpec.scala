@@ -129,6 +129,58 @@ class TwsSpec extends SparkSpec {
     } finally spark.conf.unset(ProviderConf)
   }
 
+  test("Tws.asOf == StateMachines.asOf on replayed real events") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val events = graft.io.Tables(spark, dir).events
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Timestamp, Timestamp, String)] =
+        df.as[TaggedRow].collect().map(r => (r.key, r.tag, r.first_ts, r.last_ts, r.info)).toSet
+      val tws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        Tws.asOf(s, "view", "click").toDF()
+      })
+      val fmgws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        StateMachines.asOf(s, "view", "click").toDF()
+      })
+      assert(tws.nonEmpty, "gate is vacuous: no view/click traffic")
+      assert(tws.exists(_._2 == "matched") && tws.exists(_._2 == "no_build"),
+        s"fixture must exercise both paths: ${tws.map(_._2)}")
+      assert(tws == fmgws)
+    } finally spark.conf.unset(ProviderConf)
+  }
+
+  test("Tws.funnel == StateMachines.funnel on replayed real events") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val events = graft.io.Tables(spark, dir).events
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      val steps = Seq("view", "click", "purchase")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Int, Timestamp, Timestamp)] =
+        df.as[StateMachines.FunnelRow].collect()
+          .map(r => (r.key, r.n_reached, r.ts_first, r.ts_reached)).toSet
+      val tws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        Tws.funnel(s, steps, windowSec = 7L * 86400L).toDF()
+      })
+      val fmgws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        StateMachines.funnel(s, steps, windowSec = 7L * 86400L).toDF()
+      })
+      assert(tws.nonEmpty, "gate is vacuous: no funnels emitted")
+      assert(tws.map(_._2).size >= 2 && tws.exists(_._2 >= 2),
+        s"fixture must exercise distinct chain depths: ${tws.map(_._2)}")
+      assert(tws == fmgws)
+    } finally spark.conf.unset(ProviderConf)
+  }
+
   test("Tws.windowTopN under 1s order jitter: still the exact batch answer") {
     // the ReplaySoakSpec windowTopN soak, on the new API: watermark delay
     // 4s > 2×jitter keeps every displaced row ahead of its window's
