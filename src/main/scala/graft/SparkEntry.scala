@@ -476,6 +476,36 @@ object SparkEntry {
           when(col("tag") === "matched", col("last_ts")).as("c_ts"))
       }
     }),
+    "q_asof_tws_stream" -> ((s, dir) => {
+      // q_asof_stream's machine carried onto transformWithState
+      // (round 10): builds/probes as two named list states, the earliest
+      // pending probe as one re-armed named deadline timer,
+      // RocksDB-backed. Same rows, same oracle; TwsSpec pins row parity
+      // with the fGWS machine.
+      withRocksDb(s) {
+        val input = Tables(s, dir).events
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(
+            col("user_id").cast("string").as("key"),
+            col("ts"),
+            col("event_type").as("kind"),
+            lpad(col("event_id").cast("string"), 12, "0").as("id"))
+        Replay.keyedEvents(input) { stream =>
+          val out = graft.streaming.Tws
+            .asOf(stream, buildKind = "click", probeKind = "purchase",
+              watermarkDelay = "2 seconds")
+            .toDF()
+          val part = split(col("info"), "\\|")
+          out.select(
+            col("key").cast("long").as("user_id"),
+            when(col("tag") === "matched", part.getItem(0))
+              .otherwise(col("info")).cast("long").as("p_id"),
+            col("first_ts").as("p_ts"),
+            when(col("tag") === "matched", part.getItem(1)).cast("long").as("c_id"),
+            when(col("tag") === "matched", col("last_ts")).as("c_ts"))
+        }
+      }
+    }),
     "q_reconcile" -> ((s, dir) => {
       // J2: two-stream reconciliation (PayReceiptWithConnectApp): purchases
       // vs signups within ±24h; side outputs become the status column
@@ -2682,6 +2712,25 @@ object SparkEntry {
           col("ts_first"),
           col("ts_reached"))
     }),
+    "q_funnel_tws_stream" -> ((s, dir) => {
+      // q_funnel_stream's machine carried onto transformWithState
+      // (round 10): the step chain as a named list state, the
+      // (horizon, tombstone) pair as a named value state, the window
+      // deadline as one re-armed named timer, RocksDB-backed. Same rows,
+      // same oracle; TwsSpec pins row parity with the fGWS machine.
+      withRocksDb(s) {
+        Replay
+          .keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+            graft.streaming.Tws
+              .funnel(stream, Seq("view", "click", "purchase"), 86400L).toDF()
+          }
+          .select(
+            col("key").cast("long").as("user_id"),
+            col("n_reached"),
+            col("ts_first"),
+            col("ts_reached"))
+      }
+    }),
     "q_retention_stream" -> ((s, dir) => {
       // streaming twin of q_retention: the state machine emits one FINAL
       // (key, cohort, day) row per active day once the watermark proves
@@ -3191,6 +3240,17 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
       |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
       |    AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1
       |)""".stripMargin
+
+  /** Shared by q_funnel_stream and its transformWithState twin: only keys
+    * whose chain STARTED (s1 rows) emit — emission is anchored at
+    * t1 + horizon, so keys without a step-1 event stay silent. */
+  private lazy val funnelStreamSql: String =
+    s"""$funnelChainSql
+       |SELECT s1.user_id,
+       |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       |       ELSE 1 END AS n_reached,
+       |  t1 AS ts_first, coalesce(t3, t2, t1) AS ts_reached
+       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
 
   // Shared between a batch query and its q_*_stream twin: the streaming
   // replay must hash-match the SAME oracle.
@@ -3875,6 +3935,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     "q_cep_order_timeout_stream" -> orderTimeoutSql,
     "q_asof_join" -> asOfSql,
     "q_asof_stream" -> asOfSql,
+    "q_asof_tws_stream" -> asOfSql,
     "q_interval_join" -> intervalJoinSql,
     "q_interval_stream" -> intervalJoinSql,
     "q_dedup_stream" -> "SELECT DISTINCT user_id, event_type FROM events",
@@ -3936,13 +3997,8 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     // the streaming twin emits only keys whose chain STARTED (s1 rows):
     // emission is anchored at t1 + horizon, so keys without a step-1
     // event have nothing to anchor to and stay silent by design
-    "q_funnel_stream" ->
-      s"""$funnelChainSql
-         |SELECT s1.user_id,
-         |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
-         |       ELSE 1 END AS n_reached,
-         |  t1 AS ts_first, coalesce(t3, t2, t1) AS ts_reached
-         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q_funnel_stream" -> funnelStreamSql,
+    "q_funnel_tws_stream" -> funnelStreamSql,
     "t_user_sequences" ->
       """WITH r AS (
         |  SELECT user_id, event_type,
