@@ -174,7 +174,9 @@ object StreamingDedup {
       .groupByKey(_.key)
       .transformWithState(
         new VecIndexProcessor(simThresholdQ, ttl),
-        TimeMode.None(),
+        // state TTL is only legal under processing-time mode; the
+        // declared (replay-pure) posture stays TimeMode.None
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
         OutputMode.Append())
   }
 
@@ -197,7 +199,9 @@ object StreamingDedup {
       .groupByKey(_.key)
       .transformWithState(
         new LshIndexProcessor(k, thresholdNumer, thresholdDenom, ttl),
-        TimeMode.None(),
+        // state TTL is only legal under processing-time mode; the
+        // declared (replay-pure) posture stays TimeMode.None
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
         OutputMode.Append())
   }
 }

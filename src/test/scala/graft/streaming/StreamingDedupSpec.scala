@@ -58,6 +58,107 @@ class StreamingDedupSpec extends SparkSpec {
     } finally spark.conf.unset(ProviderConf)
   }
 
+  test("the ttl knob bounds index state: expired entries stop matching, long ttl matches NONE") {
+    // the production state-bounding posture SCALE.md documents
+    // (dedup-within-horizon): an entry older than the TTL is filtered on
+    // read, so a later arrival no longer pairs with it. A TTL puts the
+    // operator in TimeMode.ProcessingTime, where transformWithState
+    // always reports more work (wall-clock timers/TTL can fire any time)
+    // — so processAllAvailable / Trigger.AvailableNow never drain, and
+    // the harness must POLL a continuously-running query instead.
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      implicit val ctx = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val sig = Array.fill(64)(7L)
+      def ev(id: String, sec: Long) =
+        BandEvent("0|bucket", new java.sql.Timestamp(sec * 1000L), id, sig)
+      def await(deadlineMs: Long = 60000L)(done: => Boolean): Boolean = {
+        val t0 = System.currentTimeMillis()
+        while (!done && System.currentTimeMillis() - t0 < deadlineMs) Thread.sleep(50L)
+        done
+      }
+      val hits = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String)]()
+      def run(name: String, ttl: org.apache.spark.sql.streaming.TTLConfig)(
+          drive: (MemoryStream[BandEvent], org.apache.spark.sql.streaming.StreamingQuery) => Unit)
+          : Set[(String, String)] = {
+        val input = MemoryStream[BandEvent]
+        val q = StreamingDedup
+          .lshIndex(input.toDS(), k = 64, thresholdNumer = 3, thresholdDenom = 5, ttl = ttl)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[LshDupRow], _: Long) =>
+            batch.collect().foreach(r => hits.add((name, r.a, r.b)))
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"graft-ttl-$name").toString)
+          .outputMode("append").start()
+        try drive(input, q) finally q.stop()
+        import scala.jdk.CollectionConverters._
+        hits.asScala.collect { case (`name`, a, b) => (a, b) }.toSet
+      }
+
+      // control: TTL NONE keeps TimeMode.None, so processAllAvailable works
+      val unbounded = run("ttl_none", org.apache.spark.sql.streaming.TTLConfig.NONE) { (in, q) =>
+        in.addData(Seq(ev("a", 0L))); q.processAllAvailable()
+        in.addData(Seq(ev("b", 1L))); q.processAllAvailable()
+      }
+      assert(unbounded == Set(("a", "b")), s"unbounded index must pair: $unbounded")
+
+      // ttl >> horizon: entry survives, the pair must appear
+      val longTtl = run("ttl_long",
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1))) { (in, q) =>
+        in.addData(Seq(ev("a", 0L), ev("b", 1L)))
+        assert(await() { hits.contains(("ttl_long", "a", "b")) },
+          "pair never emitted under a 1h ttl")
+      }
+      assert(longTtl == Set(("a", "b")), s"ttl >> horizon must behave like NONE: $longTtl")
+
+      // ttl << gap: a's entry is expired by the time b arrives. Batches
+      // self-trigger in processing-time mode, so batchId advance proves
+      // each arrival was consumed and at least one batch ran after it.
+      def batchId(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val shortTtl = run("ttl_short",
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(1))) { (in, q) =>
+        in.addData(Seq(ev("a", 0L)))
+        val b0 = batchId(q)
+        assert(await() { batchId(q) >= b0 + 2 }, "stream stopped self-triggering")
+        Thread.sleep(250L)
+        in.addData(Seq(ev("b", 1L)))
+        val b1 = batchId(q)
+        assert(await() { batchId(q) >= b1 + 3 }, "stream stopped self-triggering")
+      }
+      assert(shortTtl.isEmpty, s"expired entry must stop matching: $shortTtl")
+
+      // the embedding index shares the TimeMode plumbing: same expiry
+      // check through vecIndex's ProcessingTime path
+      val vecHits = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+      val vin = MemoryStream[VecEvent]
+      val vq = StreamingDedup
+        .vecIndex(vin.toDS(), simThresholdQ = 4000L,
+          ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(1)))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[VecDupRow], _: Long) =>
+          batch.collect().foreach(r => vecHits.add((r.a, r.b)))
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ttl-vec").toString)
+        .outputMode("append").start()
+      try {
+        val v = Array(1.0, 2.0, 3.0)
+        vin.addData(Seq(VecEvent("0|bucket", new java.sql.Timestamp(0L), "a", v)))
+        val b0 = batchId(vq)
+        assert(await() { batchId(vq) >= b0 + 2 }, "vec stream stopped self-triggering")
+        Thread.sleep(250L)
+        vin.addData(Seq(VecEvent("0|bucket", new java.sql.Timestamp(1000L), "b", v)))
+        val b1 = batchId(vq)
+        assert(await() { batchId(vq) >= b1 + 3 }, "vec stream stopped self-triggering")
+      } finally vq.stop()
+      import scala.jdk.CollectionConverters._
+      assert(vecHits.asScala.isEmpty, s"expired vector must stop matching: $vecHits")
+    } finally spark.conf.unset(ProviderConf)
+  }
+
   test("index state carries across micro-batches: chunking never changes the output") {
     spark.conf.set(ProviderConf, RocksDb)
     try {
