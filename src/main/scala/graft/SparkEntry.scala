@@ -1176,6 +1176,29 @@ object SparkEntry {
           pmod(col("user_id"), lit(1024L)),
           pmod(expr("unix_micros(ts) div 3600000000"), lit(1024L))).as("z"))
     }),
+    "p_ingest_stream" -> ((s, dir) => {
+      // the batch flagship's ADMISSION-TIME twin: quality gate → exact
+      // dedup (deterministic first-per-fingerprint) → accumulating
+      // MinHash-LSH index, as ONE streaming query with two chained keyed
+      // state machines (fingerprint grouping, then band-bucket grouping).
+      // The streamed hit rows label the near-dups; the batch side below
+      // only ASSEMBLES verdict labels from stateless exprs + the hit set
+      // — every stateful decision happened in-stream. Oracle replays the
+      // whole chain (gates, min-per-fp keeper, signatures, banding,
+      // agreement ≥ 39/64).
+      withRocksDb(s) {
+        val docs = Tables(s, dir).documents
+        val hits = Replay.docEvents(
+          docs.select(
+            lit("").as("key"),
+            timestamp_seconds(col("doc_id")).as("ts"),
+            col("doc_id").cast("string").as("id"),
+            col("text"))) { stream =>
+          graft.streaming.StreamingDedup.ingestGate(stream.toDF()).toDF()
+        }
+        TrainingPipeline.ingestVerdicts(docs, hits)
+      }
+    }),
     "p_corpus_e2e" -> ((s, dir) => {
       // the flagship composition: raw documents → exact dedup → quality +
       // language gate → 90/10 split → eval-leakage decontamination →
@@ -3703,11 +3726,16 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     * per-doc 32-bit shingle-hash sets, `sig` = (doc_id, i, m) minima,
     * `band` = 16×4 banded md5 keys) — read by [[minhashSql]] (at-rest
     * pair dedup) and [[lshStreamSql]] (the streaming index twin). */
-  private lazy val minhashSigCtes: String = {
+  private def minhashSigCtes(rel: String = "documents"): String =
+    "WITH " + minhashSigBody(rel)
+
+  /** [[minhashSigCtes]] without the leading WITH, for embedding the
+    * signature/band CTEs mid-chain (the ingest-gate oracle). */
+  private def minhashSigBody(rel: String): String = {
     val params = graft.ops.Dedup.hashParams(64, 42L)
       .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(",\n    ")
-    s"""WITH d AS (
-       |  SELECT doc_id, $tokensExpr AS w FROM documents
+    s"""d AS (
+       |  SELECT doc_id, $tokensExpr AS w FROM $rel
        |), g AS (
        |  SELECT doc_id, $shinglesExpr AS sh FROM d
        |), hs AS (
@@ -3729,7 +3757,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
   }
 
   private lazy val minhashSql: String = {
-    s"""$minhashSigCtes, cand AS (
+    s"""${minhashSigCtes()}, cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
        |    AND l.doc_id < r.doc_id
@@ -3750,8 +3778,42 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     * a < b (a indexed first), one row per colliding band, verified by
     * the INTEGER signature-agreement estimate (n_agree·5 ≥ 64·3 ⇔
     * est ≥ 0.6; no float compare on either engine). */
+  /** p_ingest_stream oracle: the whole admission chain replayed —
+    * quality gate (token count + stopword language id), deterministic
+    * first-per-fingerprint keeper (arrival order = doc_id order), then
+    * the portable MinHash/banding CTEs over the kept set with the
+    * integer agreement verify (n·5 ≥ 192 ⇔ est ≥ 0.6); a doc that
+    * collides with ANY earlier kept doc is a near-dup. */
+  private lazy val ingestStreamSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text, $fpExpr AS fp,
+       |    (len($tokensExpr) >= 5 AND $stopCntExpr >= 2) AS ok
+       |  FROM documents
+       |), keep AS (
+       |  SELECT *, min(CASE WHEN ok THEN doc_id END) OVER (PARTITION BY fp) AS keeper
+       |  FROM base
+       |), idx AS (
+       |  SELECT doc_id, text FROM keep WHERE ok AND doc_id = keeper
+       |), ${minhashSigBody("idx")}, cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+       |    AND l.doc_id < r.doc_id
+       |), agree AS (
+       |  SELECT c.a, c.b, count(*) AS n
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m
+       |  GROUP BY 1, 2
+       |), near AS (SELECT DISTINCT b FROM agree WHERE n * 5 >= 192)
+       |SELECT doc_id, source,
+       |  CASE WHEN NOT ok THEN 'low_quality'
+       |       WHEN doc_id <> keeper THEN 'dup_exact'
+       |       WHEN doc_id IN (SELECT b FROM near) THEN 'near_dup'
+       |       ELSE 'admitted' END AS verdict
+       |FROM keep""".stripMargin
+
   private lazy val lshStreamSql: String = {
-    s"""$minhashSigCtes, cand AS (
+    s"""${minhashSigCtes()}, cand AS (
        |  SELECT l.band, l.doc_id AS a, r.doc_id AS b
        |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
        |    AND l.doc_id < r.doc_id
@@ -4634,6 +4696,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     "d_containment_blocked" -> containmentSql,
     "d_dedup_minhash" -> minhashSql,
     "d_dedup_lsh_stream" -> lshStreamSql,
+    "p_ingest_stream" -> ingestStreamSql,
     "d_dedup_embed_lsh_stream" -> embedLshStreamSql,
     "d_dedup_simhash" -> simhashSql,
     "d_dedup_bow_lsh" -> bowLshSql,

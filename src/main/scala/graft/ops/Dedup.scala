@@ -428,7 +428,50 @@ object Dedup {
   // ---- MinHash + LSH ----
 
   /** Prime modulus > 2^32 for the universal-hash family. */
-  private val MinhashPrime = 4294967311L
+  private[graft] val MinhashPrime = 4294967311L
+
+  /** The portable MinHash signature as ONE pure-projection column
+    * (array<long> of the k permutation minima) — the STREAM-SAFE form:
+    * no explode, no window, no aggregation, so it can sit inside a
+    * streaming query between stateful operators (the admission-gate
+    * composition, [[graft.streaming.StreamingDedup.ingestGate]]).
+    *
+    * Math is identical to `minhashSignatures(portableHash = true)`:
+    * same whitespace tokens → trigram (whole-text under 3 tokens) →
+    * md5-32 shingle hash → splitmix (a,b) universal family mod
+    * [[MinhashPrime]] — so signatures, band keys and the SQL oracle all
+    * agree bit-for-bit. Cost shape differs: the batch explode+groupBy
+    * hashes each shingle once and takes k mins in one hash aggregate
+    * (measured ~6× cheaper per corpus pass — see the note above
+    * [[minhashSignatures]]); this HOF form re-walks the per-doc hash
+    * array k times, the right trade only at admission grain.
+    */
+  def portableMinhashSignature(
+      text: Column, shingleLen: Int = 3, k: Int = 64, seed: Long = 42L): Column = {
+    require(shingleLen == 3, "portable signature column is pinned to the trigram family")
+    val w = TextOps.tokens(text)
+    val sh = when(
+      size(w) >= shingleLen,
+      transform(
+        sequence(lit(0), size(w) - shingleLen),
+        i => concat_ws(" ",
+          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array(array_join(w, " ")))
+    val hh = transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    array(hashParams(k, seed).map { case (a, b) =>
+      array_min(transform(hh, h => pmod(h * a + b, lit(MinhashPrime))))
+    }: _*)
+  }
+
+  /** The portable LSH band key over a [[portableMinhashSignature]]
+    * column: md5 of the '|'-joined decimal minima of band `j` — the same
+    * key `minhashDedup(portableHash = true)` buckets on, prefixed with
+    * the band index so it doubles as the streaming index's shard key. */
+  def portableBandKey(sig: Column, j: Int, rowsPerBand: Int): Column =
+    concat_ws("|", lit(j),
+      md5(concat_ws("|",
+        (j * rowsPerBand until (j + 1) * rowsPerBand)
+          .map(i => element_at(sig, i + 1).cast("string")): _*)))
 
   /** Deterministic (a, b) parameters for the k minhash permutations —
     * splitmix64-expanded from a fixed seed so results are reproducible

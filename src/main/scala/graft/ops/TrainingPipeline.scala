@@ -62,4 +62,35 @@ object TrainingPipeline {
     val mixed = Sampling.sampleSqrtSmoothed(clean, id, source, mixtureC)
     Sampling.shardedShuffle(mixed, id, nShards).drop("split")
   }
+
+  /** Per-document admission verdicts for the STREAMING gate
+    * ([[graft.streaming.StreamingDedup.ingestGate]] — [[buildCorpus]]'s
+    * ingest-time front half): label every input doc `low_quality` /
+    * `dup_exact` / `near_dup` / `admitted` given the hit rows the
+    * streaming index emitted. Only the labeling is batch-side — the
+    * stateful decisions (first-per-fingerprint, index collisions) are
+    * `hits`'s; the stateless gates here are the same exprs the stream
+    * evaluated.
+    */
+  def ingestVerdicts(
+      docs: DataFrame, // doc_id, source, text
+      hits: DataFrame, // the ingestGate output (b = near-dup arrivals)
+      minTokens: Int = 5,
+      langMinStopwords: Int = 2): DataFrame = {
+    val near = hits.select(col("b").cast("long").as("doc_id")).distinct()
+      .withColumn("__near", lit(true))
+    val ok = TextOps.tokenCount(col("text")) >= minTokens &&
+      TextOps.langId(col("text"), langMinStopwords) === "en"
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    docs
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.fingerprint(col("text")).as("fp"), ok.as("ok"))
+      .withColumn("keeper", min(when(col("ok"), col("doc_id"))).over(w))
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(!col("ok"), "low_quality")
+          .when(col("doc_id") =!= col("keeper"), "dup_exact")
+          .when(col("__near"), "near_dup")
+          .otherwise("admitted").as("verdict"))
+  }
 }

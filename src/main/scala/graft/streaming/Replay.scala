@@ -145,6 +145,27 @@ object Replay {
       df => pipeline(df.as[VecEvent]))
   }
 
+  /** [[keyedEvents]] for raw-document streams ([[DocEvent]]: `key` is
+    * ignored on input — the admission pipeline re-derives its own keys
+    * from `text` — so callers pass any placeholder; sentinels carry
+    * empty text and fall to the quality gate). */
+  def docEvents(
+      events: DataFrame,
+      nChunks: Int = 10,
+      orderJitterSec: Long = 0L)(
+      pipeline: Dataset[DocEvent] => DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(
+      col("key").cast("string").as("key"),
+      col("ts"),
+      col("id").cast("string").as("id"),
+      col("text").cast("string").as("text"))
+    replayCore(src, nChunks, orderJitterSec,
+      (sTs, j) => Seq(DocEvent(Sentinel, sTs, s"s$j", "")).toDF())(
+      df => pipeline(df.as[DocEvent]))
+  }
+
   /** Shared replay machinery: chunked chronological write-out, two
     * sentinel batches, memory-sink collection. `src` must already carry
     * (ts, id) columns; `sentinel(ts, j)` builds the j-th sentinel frame

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.streaming.{
   ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
@@ -23,6 +23,11 @@ case class LshDupRow(band: Int, a: String, b: String, n_agree: Int)
   * (`"<table>|<bucket>"` from the sign-hyperplane hash), `vec` the full
   * embedding (carried for the exact-cosine in-bucket verify). */
 case class VecEvent(key: String, ts: Timestamp, id: String, vec: Array[Double])
+
+/** One raw document arrival for the admission gate: `key` is the exact
+  * fingerprint (the stage-1 dedup key), `text` the payload the later
+  * stages re-derive everything from. */
+case class DocEvent(key: String, ts: Timestamp, id: String, text: String)
 
 /** Embedding near-dup hit: vector `b` arrived while `a` was indexed in
   * sign-LSH table `tbl`; `sim` is the exact quantized cosine
@@ -185,6 +190,107 @@ object StreamingDedup {
     * see the `d_dedup_lsh_stream` declaration). `threshold` is
     * `numer/denom` of the k signature positions — pass it as a rational
     * so the compare stays integer-exact. */
+  /** Admission-time exact dedup with a DETERMINISTIC winner: per key,
+    * emit only the first arrival by (ts, id) — intra-batch rows are
+    * sorted before the state check, so unlike `dropDuplicates` (which
+    * keeps an arbitrary same-batch row per key) the kept row is a pure
+    * function of the input order. State is one boolean per key
+    * (`ValueState`), the cheapest admission ledger; bound it with `ttl`
+    * when keys only recur within a horizon. */
+  class FirstPerKeyProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, DocEvent, DocEvent] {
+
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, ttl)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[DocEvent],
+        timerValues: TimerValues): Iterator[DocEvent] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        val first = rows.minBy(e => (StateMachines.usOf(e.ts), e.id))
+        seen.update(true)
+        Iterator.single(first)
+      }
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[DocEvent] = Iterator.empty
+  }
+
+  def firstPerKey(
+      events: Dataset[DocEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[DocEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(_.key != Replay.Sentinel)
+      .groupByKey(_.key)
+      .transformWithState(
+        new FirstPerKeyProcessor(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** The admission gate as ONE streaming dataflow — the ingest-time twin
+    * of the batch flagship (`TrainingPipeline.buildCorpus`'s front half):
+    *
+    *   quality gate (stateless: ≥ `minTokens` whitespace tokens and the
+    *   stopword language id says "en") →
+    *   exact dedup ([[firstPerKey]] on the md5 fingerprint — first
+    *   arrival wins, deterministically) →
+    *   portable MinHash signature + band keys (stateless HOF projection,
+    *   [[graft.ops.Dedup.portableMinhashSignature]] — no explode/agg, so
+    *   it legally sits BETWEEN the two stateful operators) →
+    *   accumulating LSH index ([[lshIndex]]) emitting a hit row per
+    *   band where the arrival matches an earlier admitted-candidate.
+    *
+    * Two chained keyed state machines in one query: Spark reshuffles
+    * from the fingerprint grouping to the (band, band-hash) grouping
+    * between them — on a cluster each index shard lives where its keys
+    * hash, the same distribution story as the standalone index. Output
+    * is the hit stream; a doc with ≥ 1 hit is a near-duplicate of the
+    * corpus-so-far, everything else that survived both gates is
+    * admitted (the `p_ingest_stream` declaration assembles the
+    * per-document verdicts and the oracle replays the whole chain). */
+  def ingestGate(
+      docs: DataFrame, // ts, id, text columns
+      minTokens: Int = 5,
+      langMinStopwords: Int = 2,
+      k: Int = 64,
+      bands: Int = 16,
+      thresholdNumer: Int = 3,
+      thresholdDenom: Int = 5,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[LshDupRow] = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextOps}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gated = docs
+      .filter(
+        TextOps.tokenCount(col("text")) >= minTokens &&
+          TextOps.langId(col("text"), langMinStopwords) === "en")
+      .select(
+        TextOps.fingerprint(col("text")).as("key"),
+        col("ts"), col("id").cast("string").as("id"), col("text"))
+      .as[DocEvent]
+    val first = firstPerKey(gated, ttl).toDF()
+    val sig = first.withColumn("__sig", Dedup.portableMinhashSignature(col("text"), k = k))
+    val events = sig
+      .select(
+        col("ts"), col("id"), col("__sig").as("sig"),
+        explode(array((0 until bands).map(j =>
+          Dedup.portableBandKey(col("__sig"), j, k / bands)): _*)).as("key"))
+      .select(col("key"), col("ts"), col("id"), col("sig"))
+      .as[BandEvent]
+    lshIndex(events, k, thresholdNumer, thresholdDenom, ttl)
+  }
+
   def lshIndex(
       events: Dataset[BandEvent],
       k: Int,
