@@ -167,7 +167,8 @@ object Bench {
       one("funnel")(s =>
         StateMachines.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()),
       oneRocksDb("funnel_tws")(s =>
-        graft.streaming.Tws.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()))
+        graft.streaming.Tws.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()),
+      ingestRow(spark, sfDir))
       .mkString("{", ",", "}")
   } catch {
     // Round-7 lesson: an AnalysisException in the events load / count()
@@ -176,5 +177,36 @@ object Bench {
     case e: Throwable =>
       System.err.println(s"[bench] streamThroughput preamble failed: $e")
       "{\"error\":\"preamble_failed\"}"
+  }
+
+  /** docs/sec of the one-query admission pipeline (gate → exact dedup →
+    * LSH index) over the documents table — the ingest-service number the
+    * event machines above don't cover. RocksDB-backed like its
+    * correctness twin. */
+  private def ingestRow(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir).documents
+    val nRows = docs.count()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = System.nanoTime()
+    try {
+      Replay.docEvents(
+        docs.select(
+          lit("").as("key"),
+          timestamp_seconds(col("doc_id")).as("ts"),
+          col("doc_id").cast("string").as("id"),
+          col("text")),
+        nChunks = 4) { stream =>
+        graft.streaming.StreamingDedup.ingestGate(stream.toDF()).toDF()
+      }.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      f""""ingestGate":{"rows":$nRows,"sec":$sec%.2f,"rows_per_sec":${(nRows / sec).toLong}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] stream ingestGate failed: $e")
+        s""""ingestGate":{"rows":$nRows,"sec":-1,"rows_per_sec":-1}"""
+    } finally spark.conf.unset(key)
   }
 }

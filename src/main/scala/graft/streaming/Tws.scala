@@ -534,6 +534,12 @@ object Tws {
     * value state, the window deadline a single re-armed timer. One FINAL
     * row per key once the window closes; the tombstone pins at-most-once
     * emission exactly like the fGWS twin's `done` flag.
+    *
+    * State posture: the tombstone is one boolean per EMITTED key and is
+    * never dropped (re-emission on a late revisit would double-count) —
+    * at 100 TB key cardinality, bound it with a state TTL ≥ the replay /
+    * late-data horizon: past that horizon no event for the key can
+    * arrive, so expiring the tombstone is safe.
     */
   class FunnelProcessor(steps: Seq[String], windowUs: Long)
       extends StatefulProcessor[String, KeyedEvent, StateMachines.FunnelRow] {
