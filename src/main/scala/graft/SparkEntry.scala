@@ -249,6 +249,33 @@ object SparkEntry {
           .select(col("key").cast("long").as("user_id"), col("first_ts").as("day"))
       }
     }),
+    "q_ad_blacklist_tws_stream" -> ((s, dir) => {
+      // q_ad_blacklist_stream's machine on transformWithState (round 10
+      // — with this and the login-fail twin, EVERY reference state
+      // machine runs on both state APIs). Same rows, same oracle.
+      withRocksDb(s) {
+        Replay.keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          graft.streaming.Tws
+            .dailyThreshold(stream, "click", threshold = 2L)
+            .toDF()
+            .filter(col("tag") === "warn")
+            .select(col("key").cast("long").as("user_id"), col("first_ts").as("day"))
+        }
+      }
+    }),
+    "q_login_fail_tws_stream" -> ((s, dir) => {
+      // q_login_fail_stream's run-detection machine on transformWithState
+      // (reference C3's state-machine flavor; the CEP flavor already has
+      // its Tws twin). Same rows, same oracle.
+      withRocksDb(s) {
+        Replay.keyedEvents(keyedEventsFrame(Tables(s, dir))) { stream =>
+          graft.streaming.Tws
+            .consecutiveMatches(stream, "error", n = 2, maxGapSec = 7200L)
+            .toDF()
+            .select(col("key").cast("long").as("user_id"), col("first_ts"), col("last_ts"))
+        }
+      }
+    }),
     "q_order_timeout_stream" -> ((s, dir) => {
       // C6/C7 streaming: request→response with EventTimeTimeout timers.
       // Requests restricted to the first signup per user so the streaming
@@ -3726,6 +3753,12 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     * per-doc 32-bit shingle-hash sets, `sig` = (doc_id, i, m) minima,
     * `band` = 16×4 banded md5 keys) — read by [[minhashSql]] (at-rest
     * pair dedup) and [[lshStreamSql]] (the streaming index twin). */
+  /** Shared by q_ad_blacklist_stream and its transformWithState twin. */
+  private lazy val adBlacklistStreamSql: String =
+    """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   private def minhashSigCtes(rel: String = "documents"): String =
     "WITH " + minhashSigBody(rel)
 
@@ -3939,10 +3972,9 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     "q_pv_hourly_stream" -> pvHourlySql,
     "q_sessions_stream" -> sessionsSql,
     "q_login_fail_stream" -> loginFailSql,
-    "q_ad_blacklist_stream" ->
-      """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
-        |FROM events WHERE event_type = 'click'
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q_login_fail_tws_stream" -> loginFailSql,
+    "q_ad_blacklist_stream" -> adBlacklistStreamSql,
+    "q_ad_blacklist_tws_stream" -> adBlacklistStreamSql,
     "q_order_timeout_stream" ->
       """WITH req AS (
         |  SELECT user_id, event_id AS req_id, ts AS req_ts,

@@ -632,4 +632,122 @@ object Tws {
         TimeMode.EventTime(),
         OutputMode.Append())
   }
+
+  /** Consecutive-run detection on the StatefulProcessor API — same rows
+    * as [[StateMachines.consecutiveMatches]] (reference C3, the
+    * state-machine flavor of login-fail; the CEP flavor is [[cepRun]]).
+    * Timer-free: the whole state is one named value — the last n−1 match
+    * times plus the run's first id — reset by any non-matching event. */
+  class ConsecutiveMatchesProcessor(matchKind: String, n: Int, maxGapUs: Long)
+      extends StatefulProcessor[String, KeyedEvent, TaggedRow] {
+    import StateMachines.{sorted, tsOf, usOf, RunState}
+
+    @transient private var run: ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      run = getHandle.getValueState[RunState](
+        "run", Encoders.product[RunState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[TaggedRow] = {
+      var st = if (run.exists()) run.get() else RunState(Nil, "")
+      val out = Seq.newBuilder[TaggedRow]
+      for (e <- sorted(rows)) {
+        if (e.kind == matchKind) {
+          val times = (st.matchTimes :+ usOf(e.ts)).takeRight(n)
+          val firstId = if (st.matchTimes.isEmpty) e.id else st.firstId
+          if (times.length == n && usOf(e.ts) - times.head <= maxGapUs)
+            out += TaggedRow(key, "warn", tsOf(times.head), e.ts, firstId)
+          st = RunState(times.takeRight(n - 1), firstId)
+        } else if (e.kind != Replay.Sentinel) st = RunState(Nil, "")
+      }
+      run.update(st)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TaggedRow] = Iterator.empty
+  }
+
+  def consecutiveMatches(
+      events: Dataset[KeyedEvent],
+      matchKind: String,
+      n: Int,
+      maxGapSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
+    require(n >= 2, "a run needs at least 2 events")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(
+        new ConsecutiveMatchesProcessor(matchKind, n, maxGapSec * 1000000L),
+        TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Daily-threshold blacklist on the StatefulProcessor API — same rows
+    * as [[StateMachines.dailyThreshold]] (reference C2/W8: count per UTC
+    * day, pass under the threshold, one warn at the crossing, suppress
+    * after). Timer-free: the day rollover is event-time arithmetic, the
+    * state one named (day, count, warned) value. */
+  class DailyThresholdProcessor(matchKind: String, threshold: Long)
+      extends StatefulProcessor[String, KeyedEvent, TaggedRow] {
+    import StateMachines.{sorted, tsOf, usOf, DayCountState}
+
+    private val dayUs = 86400000000L
+
+    @transient private var day: ValueState[DayCountState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      day = getHandle.getValueState[DayCountState](
+        "day", Encoders.product[DayCountState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[TaggedRow] = {
+      var st = if (day.exists()) day.get() else DayCountState(-1L, 0L, warned = false)
+      val out = Seq.newBuilder[TaggedRow]
+      for (e <- sorted(rows) if e.kind == matchKind) {
+        val d = Math.floorDiv(usOf(e.ts), dayUs) * dayUs
+        if (d != st.dayStartUs) st = DayCountState(d, 0L, warned = false)
+        st = st.copy(cnt = st.cnt + 1)
+        if (st.cnt < threshold)
+          out += TaggedRow(key, "pass", e.ts, e.ts, e.id)
+        else if (!st.warned) {
+          out += TaggedRow(key, "warn", tsOf(st.dayStartUs), e.ts, s"count=${st.cnt}")
+          st = st.copy(warned = true)
+        }
+      }
+      day.update(st)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TaggedRow] = Iterator.empty
+  }
+
+  def dailyThreshold(
+      events: Dataset[KeyedEvent],
+      matchKind: String,
+      threshold: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TaggedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(
+        new DailyThresholdProcessor(matchKind, threshold),
+        TimeMode.None(),
+        OutputMode.Append())
+  }
 }

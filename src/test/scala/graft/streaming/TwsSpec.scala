@@ -181,6 +181,39 @@ class TwsSpec extends SparkSpec {
     } finally spark.conf.unset(ProviderConf)
   }
 
+  test("Tws.consecutiveMatches and Tws.dailyThreshold == their fGWS twins on replayed real events") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val events = graft.io.Tables(spark, dir).events
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Timestamp, Timestamp, String)] =
+        df.as[TaggedRow].collect().map(r => (r.key, r.tag, r.first_ts, r.last_ts, r.info)).toSet
+
+      val runTws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        Tws.consecutiveMatches(s, "error", n = 2, maxGapSec = 7200L).toDF()
+      })
+      val runF = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        StateMachines.consecutiveMatches(s, "error", n = 2, maxGapSec = 7200L).toDF()
+      })
+      assert(runTws.nonEmpty && runTws == runF, s"run machine diverged (${runTws.size} vs ${runF.size})")
+
+      val dayTws = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        Tws.dailyThreshold(s, "click", threshold = 2L).toDF()
+      })
+      val dayF = rows(Replay.keyedEvents(events, nChunks = 6) { s =>
+        StateMachines.dailyThreshold(s, "click", threshold = 2L).toDF()
+      })
+      assert(dayTws.exists(_._2 == "warn") && dayTws.exists(_._2 == "pass"),
+        s"fixture must exercise pass and warn: ${dayTws.map(_._2)}")
+      assert(dayTws == dayF, s"day machine diverged (${dayTws.size} vs ${dayF.size})")
+    } finally spark.conf.unset(ProviderConf)
+  }
+
   test("Tws.windowTopN under 1s order jitter: still the exact batch answer") {
     // the ReplaySoakSpec windowTopN soak, on the new API: watermark delay
     // 4s > 2×jitter keeps every displaced row ahead of its window's
