@@ -644,6 +644,87 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
           col("min_price"))
     }),
+    "q6_banded_revenue" -> ((s, dir) => {
+      // TPC-H Q6 shape: revenue delta from a year/discount-band/quantity
+      // slice — zero joins, the purest scan-efficiency probe in the set.
+      // Every predicate pushes to the parquet scan (PushedFilters carries
+      // shipdate bounds, the discount band and the quantity cap; pinned in
+      // PlanQualitySpec), so at 100 TB this is row-group pruning + one
+      // partial-agg tree with a single 1-row exchange. Money math stays
+      // decimal until the final cast (q1 discipline).
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(18, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "q14_promo_share" -> ((s, dir) => {
+      // TPC-H Q14 shape: share of revenue from promo parts in one ship
+      // month. part broadcasts into the fact scan; both sums are exact
+      // decimals and the percentage is ONE IEEE double division at the
+      // edge, so the record hashes cross-engine (the q1/q5 discipline
+      // extended to a ratio).
+      val t = Tables(s, dir)
+      val month = t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+      month
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double") * 100.0 /
+            sum(discPrice).cast("double")).as("promo_pct"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: top-100 largest-volume orders. The HAVING on
+      // sum(l_quantity) runs at fact grain FIRST (partial aggregation
+      // collapses lineitem to order grain before any join), so the
+      // orders/customer joins only see the qualifying ~0.2 % of orders;
+      // the final top-100 plans as TakeOrderedAndProject on the exact
+      // double sum (quantities are small integers — double-exact).
+      val t = Tables(s, dir)
+      val big = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      big
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+    }),
+    "q19_bracket_revenue" -> ((s, dir) => {
+      // TPC-H Q19 shape: disjunctive join-dependent predicate (three
+      // brand/size/quantity brackets OR-ed together). The part side
+      // filters to the UNION of the brackets before broadcasting — the
+      // disjunction's part-only half prunes the build side — and the
+      // residual cross-table OR evaluates post-join inside the same
+      // codegen stage; no fact shuffle anywhere.
+      val t = Tables(s, dir)
+      val parts = broadcast(t.part
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)))
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      t.lineitem
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
     "q_nation_flows" -> ((s, dir) => {
       // TPC-H Q7 shape: yearly trade volume between (supplier nation →
       // customer nation) pairs, cross-border only. One fact-fact shuffle
@@ -4190,6 +4271,45 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE rn = 1""".stripMargin,
+    "q6_banded_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
+         |           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100.0
+         |    / CAST(sum($discPriceSql) AS DOUBLE) AS promo_pct,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_bracket_revenue" ->
+      s"""SELECT CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_nation_flows" ->
       s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          |  year(o_orderdate) AS l_year,

@@ -398,6 +398,60 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q6: every predicate pushed to the scan, 4-column read, no exchange but the 1-row agg") {
+    val df = SparkEntry.queries("q6_banded_revenue")(spark, dir)
+    val exec = df.queryExecution.executedPlan
+    // plan.toString truncates long PushedFilters lists — read the scan
+    // node's metadata directly so every pushed predicate is visible
+    val pushed = collectLeaves(exec).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString("\n")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(pushed.contains(f), s"$f must push to the scan:\n$pushed")
+    val p = exec.toString
+    assert(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp".r
+        .findFirstIn(p).isDefined,
+      s"scan must prune to the 4 needed columns:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q14: part broadcasts into the fact scan; ship-month bounds pushed") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      s"ship-month bounds must reach the fact scan:\n$p")
+    assert(
+      "ReadSchema: struct<p_partkey:bigint,p_type:string>".r.findFirstIn(p).isDefined,
+      s"part side must prune to (p_partkey, p_type):\n$p")
+  }
+
+  test("q18: HAVING collapses fact grain before any join; top-100 take-ordered") {
+    val p = plan("q18_large_orders")
+    // the quantity rollup must partial-aggregate (map-side combine) —
+    // at 100 TB the order-grain collapse is what keeps the join small
+    assert(p.contains("partial_sum(l_quantity"),
+      s"per-order quantity sum must have a partial phase:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+    // lineitem reads exactly its 2 needed columns
+    assert(
+      "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>".r.findFirstIn(p).isDefined,
+      s"fact scan must prune to (l_orderkey, l_quantity):\n$p")
+  }
+
+  test("q19: bracket union prunes the part build side; disjunction stays in one codegen stage") {
+    val p = plan("q19_bracket_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"bracket parts must broadcast:\n$p")
+    // the part-side union-of-brackets must reach the part scan as an Or
+    // pushdown (brand/size only — the quantity half is join-dependent)
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#12)"),
+      s"part bracket disjunction must push to the part scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("CMS grid hashes the vocabulary, not the occurrences") {
     val p = plan("t_cms_counts")
     // the d-row explode must ride ON the token-count aggregate (cells sum
