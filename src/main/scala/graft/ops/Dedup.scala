@@ -217,6 +217,10 @@ object Dedup {
       .agg(count(lit(1)).as("__c"))
       .select(col("doc_id"), col("__len"), col("g"),
         explode(expr("sequence(1L, __c)")).as("oi"))
+      // two consumers (the global gram-frequency table and the ranked
+      // prefix) — persist or the explode+agg runs twice (round-11 probe:
+      // the double compute was ~half the prefix-stage cost)
+      .persist()
     val gramDf = occ.groupBy(col("g")).agg(count(lit(1)).as("__df"))
     val pref = occ
       .join(gramDf, "g")
@@ -225,15 +229,31 @@ object Dedup {
           .partitionBy(col("doc_id"))
           .orderBy(col("__df"), col("g"), col("oi"))))
       .filter(col("__rn") <= prefixLen)
-      .select(col("doc_id"), col("__len"), col("g"), col("oi"))
-    val cand = pref.as("l")
+      // length band of width t+1: any pair with |len_a − len_b| ≤ t has
+      // band distance ≤ 1, so banding the join key is LOSSLESS when the
+      // probe side fans to {band−1, band, band+1}. This pushes the
+      // length-window prune INTO the equi-join key: on low-diversity
+      // (template/synthetic) corpora even each doc's rarest grams are
+      // corpus-common, and the (g, oi) buckets alone fan out ~20×
+      // beyond the length-compatible pairs (round-11 probe at sf0.1:
+      // 18.1M joined rows → 0.9M after the length filter; banding keeps
+      // the incompatible 17M out of the join entirely)
+      .withColumn("__band", floor(col("__len") / (t + 1)))
+      .select(col("doc_id"), col("__len"), col("g"), col("oi"), col("__band"))
+    val probes = pref.withColumn(
+      "__pb", explode(array(col("__band") - 1, col("__band"), col("__band") + 1)))
+    val cand = probes.as("l")
       .join(pref.as("r"),
         col("l.g") === col("r.g") && col("l.oi") === col("r.oi")
+          && col("l.__pb") === col("r.__band")
           && col("l.doc_id") < col("r.doc_id")
           && abs(col("l.__len") - col("r.__len")) <= t)
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
     cand
+      // no broadcast hint on the text joins: at corpus scale the text
+      // table is as unbroadcastable as the pair stream — AQE converts to
+      // broadcast at runtime when the corpus actually is small
       .join(docs.select(col("doc_id").as("a"), col("__t").as("__ta")), "a")
       .join(docs.select(col("doc_id").as("b"), col("__t").as("__tb")), "b")
       // threshold form: banded DP early-exits in O(t·n) instead of the
