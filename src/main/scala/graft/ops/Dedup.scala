@@ -466,21 +466,37 @@ object Dedup {
     * [[minhashSignatures]]); this HOF form re-walks the per-doc hash
     * array k times, the right trade only at admission grain.
     */
+  /** Let-binding for Column trees: evaluate `e` ONCE, expose it to `f`
+    * as a lambda variable. Column expressions have no native let, so an
+    * expensive subtree referenced n times is INLINED n times — and
+    * inside higher-order-function lambdas (interpreted, no whole-stage
+    * codegen, no common-subexpression elimination across lambda
+    * boundaries) that inlining multiplies: the round-11 probe caught the
+    * un-bound signature below re-tokenizing + re-md5-ing every doc once
+    * PER PERMUTATION × PER SHINGLE (k·|sh| full re-evaluations — 5 k
+    * docs did not finish in 5 min; bound form: ~6 s cold in the same
+    * probe, session startup included).
+    */
+  private def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), v => f(v)), 1)
+
   def portableMinhashSignature(
       text: Column, shingleLen: Int = 3, k: Int = 64, seed: Long = 42L): Column = {
     require(shingleLen == 3, "portable signature column is pinned to the trigram family")
-    val w = TextOps.tokens(text)
-    val sh = when(
-      size(w) >= shingleLen,
-      transform(
-        sequence(lit(0), size(w) - shingleLen),
-        i => concat_ws(" ",
-          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-      .otherwise(array(array_join(w, " ")))
-    val hh = transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
-    array(hashParams(k, seed).map { case (a, b) =>
-      array_min(transform(hh, h => pmod(h * a + b, lit(MinhashPrime))))
-    }: _*)
+    bindOnce(TextOps.tokens(text)) { w =>
+      val sh = when(
+        size(w) >= shingleLen,
+        transform(
+          sequence(lit(0), size(w) - shingleLen),
+          i => concat_ws(" ",
+            element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+        .otherwise(array(array_join(w, " ")))
+      bindOnce(transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))) { hh =>
+        array(hashParams(k, seed).map { case (a, b) =>
+          array_min(transform(hh, h => pmod(h * a + b, lit(MinhashPrime))))
+        }: _*)
+      }
+    }
   }
 
   /** The portable LSH band key over a [[portableMinhashSignature]]
