@@ -466,19 +466,12 @@ object Dedup {
     * [[minhashSignatures]]); this HOF form re-walks the per-doc hash
     * array k times, the right trade only at admission grain.
     */
-  /** Let-binding for Column trees: evaluate `e` ONCE, expose it to `f`
-    * as a lambda variable. Column expressions have no native let, so an
-    * expensive subtree referenced n times is INLINED n times — and
-    * inside higher-order-function lambdas (interpreted, no whole-stage
-    * codegen, no common-subexpression elimination across lambda
-    * boundaries) that inlining multiplies: the round-11 probe caught the
-    * un-bound signature below re-tokenizing + re-md5-ing every doc once
-    * PER PERMUTATION × PER SHINGLE (k·|sh| full re-evaluations — 5 k
-    * docs did not finish in 5 min; bound form: ~6 s cold in the same
-    * probe, session startup included).
-    */
+  // let-binding for the HOF subtrees below — see [[Cols.bindOnce]] for
+  // why (interpreted lambdas get no cross-lambda CSE; the un-bound
+  // signature re-tokenized + re-md5'd every doc per permutation × per
+  // shingle and 5k docs did not finish in 5 min)
   private def bindOnce(e: Column)(f: Column => Column): Column =
-    element_at(transform(array(e), v => f(v)), 1)
+    Cols.bindOnce(e)(f)
 
   def portableMinhashSignature(
       text: Column, shingleLen: Int = 3, k: Int = 64, seed: Long = 42L): Column = {

@@ -35,8 +35,12 @@ object Embeddings {
     val scale = when(m > 0d, lit(127.0) / m).otherwise(lit(1.0))
     df.select(
       id.as("id"),
-      transform(v, x =>
-        greatest(lit(-127L), least(lit(127L), floor(x * scale + lit(0.5))))).as("q"),
+      // bind the scale scalar once per row: referenced bare inside the
+      // interpreted lambda it re-runs its array_max pass PER ELEMENT
+      // (dim× redundant work — the Cols.bindOnce pathology at dim grain)
+      Cols.bindOnce(scale)(sc =>
+        transform(v, x =>
+          greatest(lit(-127L), least(lit(127L), floor(x * sc + lit(0.5)))))).as("q"),
       scale.as("scale"))
   }
 
