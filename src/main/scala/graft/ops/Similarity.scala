@@ -297,7 +297,10 @@ object Similarity {
   private[graft] def unitNorm(v: Column): Column = {
     val n = l2norm(v)
     val safe = when(n > 0, n).otherwise(lit(1.0d)) // zero vectors stay zero
-    transform(v, x => x / safe)
+    // bind the norm once per row: referenced bare inside the interpreted
+    // lambda it re-runs its aggregate pass PER ELEMENT (dim× redundant —
+    // the Cols.bindOnce pathology). Same divide, same bits.
+    Cols.bindOnce(safe)(s => transform(v, x => x / s))
   }
 
   /** The m fitted PQ sub-codebooks — exposed so [[graft.FitDump]] and
