@@ -220,7 +220,10 @@ object Embeddings {
     val norm = sqrt(aggregate(t, lit(0.0), (acc, x) => acc + x * x))
     df.select(
       id.as("id"),
-      when(norm > 0d, transform(t, x => x / norm)).otherwise(t).as("proj"))
+      // bind the norm once per row (the Cols.bindOnce pathology: a bare
+      // reference inside the lambda re-folds the norm per element)
+      Cols.bindOnce(norm)(n =>
+        when(n > 0d, transform(t, x => x / n)).otherwise(t)).as("proj"))
   }
 
   /** [[truncateRenorm]] flattened to engine-portable scalars (the
