@@ -1249,6 +1249,32 @@ class OpsSpec extends SparkSpec {
     assert(viaRows == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("Cols.bindOnce: value parity with the inlined form, nulls pass through") {
+    val df = Seq(
+      (1L, Seq(3.0, 4.0)),
+      (2L, Seq(0.0, 0.0)),
+      (3L, null.asInstanceOf[Seq[Double]])).toDF("id", "v")
+    // inlined: the norm subtree referenced per element (the pathology);
+    // zero-guarded like unitNorm (ANSI mode makes 0/0 an error, not NaN)
+    val raw = sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+    val normExpr = when(raw > 0d, raw).otherwise(lit(1.0))
+    val inlined = transform(col("v"), x => x / normExpr)
+    val bound = Cols.bindOnce(normExpr)(n => transform(col("v"), x => x / n))
+    val got = df.select(col("id"), inlined.as("a"), bound.as("b"))
+      .as[(Long, Seq[Double], Seq[Double])].collect().sortBy(_._1)
+    // same values element-for-element, and a null array stays null
+    got.foreach { case (_, a, b) => assert(a == b) }
+    assert(got(0)._2 == Seq(3.0 / 5.0, 4.0 / 5.0))
+    assert(got(2)._2 == null && got(2)._3 == null)
+    // a null SCALAR binds as a null lambda variable (null-propagating
+    // arithmetic, same as the inlined form), not a crash
+    val nullScalar = df
+      .select(Cols.bindOnce(when(lit(false), lit(1.0)))(s =>
+        transform(col("v"), x => x + s)).as("r"))
+      .collect()
+    assert(nullScalar.length == 3) // evaluates without error on every row
+  }
+
   private implicit class TripleOps[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
