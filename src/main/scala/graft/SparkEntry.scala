@@ -725,6 +725,103 @@ object SparkEntry {
         .agg(sum(discPrice).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
+    "q4_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: orders in a quarter-window with at least one
+      // lineitem shipped >30 days after the order date — the correlated
+      // EXISTS, decorrelated to a LEFT SEMI join whose condition spans
+      // both sides (key equality + the cross-table date comparison).
+      // The order-date window pushes to the orders scan; the semi join
+      // emits each qualifying order once regardless of how many late
+      // lines it has (no post-join distinct needed).
+      val t = Tables(s, dir)
+      t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      // TPC-H Q17 shape: revenue from small-quantity lines of one brand,
+      // where "small" is relative to EACH PART's own average quantity —
+      // the self-aggregation threshold pattern (scalar subquery per
+      // group), decorrelated to a per-part pre-aggregate joined back at
+      // fact grain. Quantities are small integers stored as double, so
+      // sum/count/avg are exact in ANY accumulation order and the
+      // 0.5·avg threshold compares identically cross-engine; money stays
+      // decimal to the edge (q1 discipline).
+      val t = Tables(s, dir)
+      val perPart = t.lineitem
+        .groupBy(col("l_partkey").as("p_key"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(
+          (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / 7.0)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+      // multi-supplier order — the double-correlation (EXISTS another
+      // supplier / NOT EXISTS another late supplier) decorrelated into
+      // ONE order-grain aggregate (distinct suppliers, distinct late
+      // suppliers) joined back to the late lines. One fact-fact shuffle
+      // builds the (order, supplier, late) view; the aggregate and the
+      // culprit-distinct REUSE its l_orderkey exchange; supplier
+      // broadcasts onto the result. Top-50 plans as
+      // TakeOrderedAndProject on (n_waits desc, s_suppkey).
+      val t = Tables(s, dir)
+      val lo = t.lineitem
+        .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      val perOrder = lo.groupBy(col("l_orderkey"))
+        .agg(
+          count_distinct(col("l_suppkey")).as("n_supp"),
+          count_distinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      lo.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct()
+        .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1), "l_orderkey")
+        .join(broadcast(Tables(s, dir).supplier), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_waits"))
+        .orderBy(col("n_waits").desc, col("s_suppkey"))
+        .limit(50)
+    }),
+    "q22_idle_customers" -> ((s, dir) => {
+      // TPC-H Q22 shape: above-average-balance customers with no recent
+      // orders, rolled up by nation — the scalar-subquery (global
+      // average) broadcast through a 1-row cross join plus an anti-join
+      // against the recent-order keys. The average derives from an EXACT
+      // decimal sum and one IEEE division, so the threshold compare is
+      // bit-identical cross-engine (the float-boundary discipline);
+      // whole-table doubles never sum directly.
+      val t = Tables(s, dir)
+      val avgBal = t.customer.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("__avg"))
+      val recent = t.orders
+        .filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select(col("o_custkey")).distinct()
+      t.customer
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_bal"))
+    }),
     "q_nation_flows" -> ((s, dir) => {
       // TPC-H Q7 shape: yearly trade volume between (supplier nation →
       // customer nation) pairs, cross-border only. One fact-fact shuffle
@@ -4310,6 +4407,62 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |       AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS p_key, sum(l_quantity) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pp ON l_partkey = p_key
+        |WHERE p_brand = 'Brand#23' AND l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), per_order AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM lo GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, count(*) AS n_waits
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) c
+        |JOIN per_order USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1, 2
+        |ORDER BY n_waits DESC, s_suppkey LIMIT 50""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH avgbal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS a
+        |  FROM customer WHERE c_acctbal > 0
+        |), recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |)
+        |SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, avgbal
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > a
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY 1""".stripMargin,
     "q_nation_flows" ->
       s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          |  year(o_orderdate) AS l_year,

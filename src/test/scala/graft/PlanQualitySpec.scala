@@ -452,6 +452,39 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q4: correlated EXISTS plans as one left-semi join; order window pushed; 2-column fact read") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must decorrelate to a semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate"),
+      s"order-date window must reach the orders scan:\n$p")
+    assert(
+      "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp".r.findFirstIn(p).isDefined,
+      s"lineitem must prune to (l_orderkey, l_shipdate):\n$p")
+  }
+
+  test("q17: per-part average pre-aggregates (partial phase); brand slice broadcasts") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("partial_sum(l_quantity") || p.contains("partial_avg"),
+      s"per-part average must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"brand slice must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q21: double correlation decorrelates to one order-grain aggregate; top-50 take-ordered") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the supplier dim broadcasts onto the culprit aggregate
+    assert(p.contains("BroadcastHashJoin"), s"supplier must broadcast:\n$p")
+  }
+
+  test("q22: scalar average broadcasts through a 1-row cross join; recent orders anti-join") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      s"the 1-row average must broadcast-cross onto customers:\n$p")
+    assert(p.contains("LeftAnti"), s"recent-order exclusion must plan as an anti join:\n$p")
+  }
+
   test("CMS grid hashes the vocabulary, not the occurrences") {
     val p = plan("t_cms_counts")
     // the d-row explode must ride ON the token-count aggregate (cells sum
