@@ -14,6 +14,35 @@ import org.apache.spark.sql.SparkSession
   * physical type) — see docs/SCALE.md "Method".
   */
 object ScaleProbe {
+
+  /** Probe-only formulations that are deliberately NOT declared queries —
+    * deprecated plans kept runnable so SCALE.md rows comparing them to the
+    * declared shape stay reproducible. */
+  val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // the single-machine per-window top-N (raw events keyed by window
+    // start): the round-12 two-stage q_hot_items_stream replaced it as
+    // the declared plan; this row is its event-volume-scaling foil
+    "probe_hot_items_stream_eventgrain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val input = graft.io.Tables(s, dir).events
+        .filter(col("event_type") === "click")
+        .select(
+          lpad(col("user_id").cast("string"), 12, "0").as("key"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id").cast("string").as("id"))
+      graft.streaming.Replay.keyedEvents(input) { stream =>
+        graft.streaming.StateMachines
+          .windowTopNEventGrain(stream, sizeUs = 3600000000L, slideUs = 300000000L, n = 5)
+          .toDF()
+          .select(
+            col("window_start"),
+            col("item").cast("long").as("user_id"),
+            col("cnt"),
+            col("rank"))
+      }
+    }))
+
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
     val dirs = args.drop(1).toSeq
@@ -28,7 +57,8 @@ object ScaleProbe {
     for (d <- dirs; n <- names) {
       def pass(): Double = {
         val t0 = System.nanoTime
-        SparkEntry.queries(n)(spark, d).write.format("noop").mode("overwrite").save()
+        SparkEntry.queries.getOrElse(n, extras(n))(spark, d)
+          .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime - t0) / 1e9
         // round-9 lesson: without this, a query's internal persist()
         // survives into the timed pass (plan-identical → cache hit) and
@@ -38,7 +68,12 @@ object ScaleProbe {
         sec
       }
       pass() // warm: plan + shuffle files + JIT (caches cleared)
-      println(f"SCALE $n%-24s $d%-24s ${pass()}%.2f s")
+      // min of 3 timed passes: contention inflates, never deflates — a
+      // single contended pass would poison SCALE.md silently (the same
+      // protocol as Bench's min-across-passes headline, round 12)
+      val times = Seq.fill(3)(pass())
+      val all = times.map(t => f"$t%.2f").mkString(",")
+      println(f"SCALE $n%-24s $d%-24s ${times.min}%.2f s  passes=[$all]")
     }
     spark.stop()
   }

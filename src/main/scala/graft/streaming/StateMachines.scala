@@ -292,26 +292,104 @@ object StateMachines {
   case class WindowTopNState(counts: Map[String, Long])
   case class WindowTopRow(window_start: Timestamp, item: String, cnt: Long, rank: Int)
 
-  /** Streaming per-window top-N — reference T1/C1 (`HotItemApp.java:62,116-190`):
-    * count per (sliding window, item), buffer per window, event-time timer
-    * at windowEnd + 1 ms, emit the N largest (count desc, item asc) and
-    * clear state — the `ListState` + `registerEventTimeTimer` collector,
-    * re-expressed as one `flatMapGroupsWithState` keyed by window start.
+  /** Streaming per-window top-N, TWO-STAGE — the reference's own shape
+    * (`HotItemApp.java:62` pre-aggregates per (itemId, window) with an
+    * incremental `AggregateFunction` BEFORE `:64`'s `keyBy(windowEnd)`
+    * collector sees anything): a watermark-final built-in sliding-window
+    * aggregation produces per-(window, item) counts, and only those
+    * FINALS flow into the window-keyed top-N collector.
+    *
+    * Why two stages at 100 TB: the single-machine form
+    * ([[windowTopNEventGrain]]) keys raw events by window start, so every
+    * event of the hottest hour crosses the exchange at event grain and
+    * lands on ONE state partition whose state row is the whole counter
+    * map. Here stage 1 is a native streaming aggregation — partial
+    * (map-side) combine BEFORE its shuffle, state distributed across all
+    * (window, item) keys — and stage 2's exchange carries one row per
+    * DISTINCT item per window. Per-window event volume stops being a
+    * shuffle or state hot-spot; only per-window CARDINALITY reaches the
+    * collector, exactly like the reference.
+    *
+    * Collector contract: an Append-mode streaming aggregation emits a
+    * window's finals exactly once, all in the micro-batch where the
+    * eviction watermark first passes windowEnd — so the collector's group
+    * iterator IS the complete window and it emits immediately. A
+    * `ValueState` marker + GC timer guard exactly-once emission against
+    * beyond-contract stragglers (rows later than the watermark delay),
+    * which are dropped like any other too-late data.
+    *
+    * Sentinel rows must flow INTO the aggregate and be excluded there
+    * (conditional count + cnt>0 filter): a plain filter would be pushed
+    * below the watermark node and the last window would never finalize
+    * (same rule as every aggregation pipeline over [[Replay]]).
+    */
+  def windowTopN(
+      events: Dataset[KeyedEvent],
+      sizeUs: Long,
+      slideUs: Long,
+      n: Int,
+      watermarkDelay: String = "2 seconds"): Dataset[WindowTopRow] = {
+    require(sizeUs % slideUs == 0, "window size must be a multiple of slide")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val finals = events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(
+        window(col("ts"), s"$sizeUs microseconds", s"$slideUs microseconds"),
+        col("key").as("item"))
+      .agg(count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"))
+      .filter(col("cnt") > 0)
+      // window_time (= window.end − 1 µs) keeps a watermark-tagged
+      // event-time attribute in the collector's input — EventTimeTimeout
+      // requires one to be visible on the stateful op's child
+      .select(
+        unix_micros(col("window.start")).as("win"), col("item"), col("cnt"),
+        window_time(col("window")).as("wt"))
+      .as[(Long, String, Long, Timestamp)]
+    finals
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, WindowTopRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)((winStartUs, it, state) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else if (state.exists) Iterator.empty // beyond-contract straggler: too late
+        else {
+          state.update(true) // emitted marker; GC'd one window-length later
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + sizeUs / 1000L + 1L)
+          it.toSeq
+            .sortBy { case (_, item, cnt, _) => (-cnt, item) }
+            .take(n)
+            .iterator
+            .zipWithIndex
+            .map { case ((_, item, cnt, _), i) => WindowTopRow(tsOf(winStartUs), item, cnt, i + 1) }
+        }
+      })
+  }
+
+  /** Streaming per-window top-N as ONE machine — reference T1/C1
+    * (`HotItemApp.java:116-190`): count per (sliding window, item), buffer
+    * per window, event-time timer at windowEnd + 1 ms, emit the N largest
+    * (count desc, item asc) and clear state — the `ListState` +
+    * `registerEventTimeTimer` collector, re-expressed as one
+    * `flatMapGroupsWithState` keyed by window start.
     *
     * Each event is exploded into its size/slide containing windows BEFORE
     * the keyed state op (a stateless projection after the watermark node),
-    * so the machine sees (windowStart, item) rows — the same keying as the
-    * reference's `keyBy(windowEnd)`. Watermark-advancing sentinel rows are
-    * dropped pre-explode; timers still fire because timeout processing is
-    * input-independent.
+    * so the machine sees (windowStart, item) rows — the keying of the
+    * reference's FINAL `keyBy(windowEnd)` stage only. Watermark-advancing
+    * sentinel rows are dropped pre-explode; timers still fire because
+    * timeout processing is input-independent.
     *
-    * Scale posture: state per window is O(distinct items), and every event
-    * crosses the exchange size/slide times — this is the FIDELITY path
-    * (exact reference semantics, timers and all). The batch pane
+    * Scale posture: this is the TIMER-FIDELITY form (per-event state fold,
+    * windowEnd+1ms deadline — the exact `onTimer` discipline), kept for
+    * the timer specs. It concentrates a window's raw events onto one state
+    * group, so [[windowTopN]] (two-stage, pre-aggregated — the reference's
+    * actual dataflow) is the declared streaming plan, and the batch pane
     * formulation (`WindowAggs.slidingCountPanes` + `TopN.perPartition`)
-    * is the 100 TB path; both hash-match the same oracle.
+    * the at-rest path; all hash-match the same oracle.
     */
-  def windowTopN(
+  def windowTopNEventGrain(
       events: Dataset[KeyedEvent],
       sizeUs: Long,
       slideUs: Long,

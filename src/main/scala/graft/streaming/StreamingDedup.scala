@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.streaming.{
-  ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+  ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig}
 
 /** One banded-signature row of the document stream: `key` is the LSH
   * index shard (`"<band>|<band-hash>"`), `id` the doc id, `sig` the full
@@ -59,7 +60,10 @@ case class VecDupRow(tbl: Int, a: String, b: String, sim: Long)
   * Scale posture: state per bucket is the docs that ever hashed there —
   * bounded in production with the `ttl` knob (dedup-within-horizon, the
   * same posture as `dropDuplicatesWithinWatermark`) or by periodically
-  * rebasing the index from the at-rest batch job. The declared
+  * rebasing the index from the at-rest batch job ([[indexState]] →
+  * [[lshIndexResumed]]: the daily job re-derives compacted buckets, a
+  * fresh query resumes admission on them via Spark's initial-state
+  * channel). The declared
   * correctness query runs TTL-free so the replay is a pure function of
   * the input. Requires the RocksDB provider (`transformWithState`);
   * `appendValue` gives point-appends into the bucket's list — the new
@@ -68,10 +72,40 @@ case class VecDupRow(tbl: Int, a: String, b: String, sim: Long)
   */
 object StreamingDedup {
 
-  /** In-bucket matcher: compare each arriving signature against the
-    * bucket's stored docs (emit on estimate ≥ numer/denom), then append
-    * it. Arrival order inside a batch is (ts, id); cross-batch order is
-    * the replay/ingest order. */
+  /** Shared in-bucket match-then-append fold: compare each arriving
+    * signature against the bucket's stored docs (emit on estimate ≥
+    * numer/denom), then append it — the one matching discipline both the
+    * fresh-index and the rebased-index processors run. Arrival order
+    * inside a batch is (ts, id); cross-batch order is the replay/ingest
+    * order. */
+  private def matchAndAppend(
+      seen: ListState[(String, Array[Long])],
+      key: String,
+      rows: Iterator[BandEvent],
+      k: Int,
+      numer: Int,
+      denom: Int): Iterator[LshDupRow] = {
+    val band = key.substring(0, key.indexOf('|')).toInt
+    // the bucket's index so far; newly arrived docs join it in order
+    val stored = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Long])]
+    if (seen.exists()) stored ++= seen.get()
+    val out = Seq.newBuilder[LshDupRow]
+    val batch = rows.toSeq.sortBy(e => (StateMachines.usOf(e.ts), e.id))
+    for (e <- batch) {
+      for ((aId, aSig) <- stored) {
+        var agree = 0
+        var i = 0
+        while (i < k) { if (aSig(i) == e.sig(i)) agree += 1; i += 1 }
+        if (agree * denom >= k * numer) out += LshDupRow(band, aId, e.id, agree)
+      }
+      stored += ((e.id, e.sig))
+      seen.appendValue((e.id, e.sig))
+    }
+    out.result().iterator
+  }
+
+  /** In-bucket matcher over an empty starting index — see
+    * [[matchAndAppend]]. */
   class LshIndexProcessor(k: Int, numer: Int, denom: Int, ttl: TTLConfig)
       extends StatefulProcessor[String, BandEvent, LshDupRow] {
 
@@ -84,25 +118,52 @@ object StreamingDedup {
     override def handleInputRows(
         key: String,
         rows: Iterator[BandEvent],
-        timerValues: TimerValues): Iterator[LshDupRow] = {
-      val band = key.substring(0, key.indexOf('|')).toInt
-      // the bucket's index so far; newly arrived docs join it in order
-      val stored = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Long])]
-      if (seen.exists()) stored ++= seen.get()
-      val out = Seq.newBuilder[LshDupRow]
-      val batch = rows.toSeq.sortBy(e => (StateMachines.usOf(e.ts), e.id))
-      for (e <- batch) {
-        for ((aId, aSig) <- stored) {
-          var agree = 0
-          var i = 0
-          while (i < k) { if (aSig(i) == e.sig(i)) agree += 1; i += 1 }
-          if (agree * denom >= k * numer) out += LshDupRow(band, aId, e.id, agree)
-        }
-        stored += ((e.id, e.sig))
-        seen.appendValue((e.id, e.sig))
+        timerValues: TimerValues): Iterator[LshDupRow] =
+      matchAndAppend(seen, key, rows, k, numer, denom)
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[LshDupRow] = Iterator.empty
+  }
+
+  /** One LSH bucket's rebased contents: doc ids in admission (ts, id)
+    * order and their signatures flattened at stride k (`flat.length ==
+    * ids.length * k`) — the compact wire form the batch rebase hands to
+    * [[LshIndexResumeProcessor.handleInitialState]]. */
+  case class BucketInit(ids: Array[String], flat: Array[Long])
+
+  /** [[LshIndexProcessor]] that starts from a REBASED index: Spark's
+    * initial-state channel (`StatefulProcessorWithInitialState`) loads
+    * each bucket's at-rest contents into the same `seen` ListState at
+    * batch 0, co-partitioned with the stream — no per-event side lookup,
+    * no driver loop. Matching after batch 0 is [[matchAndAppend]],
+    * identical to the fresh index. */
+  class LshIndexResumeProcessor(k: Int, numer: Int, denom: Int, ttl: TTLConfig)
+      extends StatefulProcessorWithInitialState[String, BandEvent, LshDupRow, BucketInit] {
+
+    @transient private var seen: ListState[(String, Array[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[(String, Array[Long])](
+        "seen", Encoders.product[(String, Array[Long])], ttl)
+
+    override def handleInitialState(
+        key: String,
+        state: BucketInit,
+        timerValues: TimerValues): Unit = {
+      var i = 0
+      while (i < state.ids.length) {
+        seen.appendValue((state.ids(i), java.util.Arrays.copyOfRange(state.flat, i * k, (i + 1) * k)))
+        i += 1
       }
-      out.result().iterator
     }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[BandEvent],
+        timerValues: TimerValues): Iterator[LshDupRow] =
+      matchAndAppend(seen, key, rows, k, numer, denom)
 
     override def handleExpiredTimer(
         key: String,
@@ -309,5 +370,58 @@ object StreamingDedup {
         // declared (replay-pure) posture stays TimeMode.None
         if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
         OutputMode.Append())
+  }
+
+  /** Collapse a BATCH frame of banded signature rows (key, ts, id, sig —
+    * the same shape the stream side feeds [[lshIndex]], built by the same
+    * signature + band-key projection over the at-rest corpus) into the
+    * per-bucket initial state [[lshIndexResumed]] loads: ids in (ts, id)
+    * admission order, signatures flattened at stride k.
+    *
+    * This is the REBASE half of the production state-bounding story: the
+    * daily at-rest job (which already drops deleted / TTL-expired / purged
+    * docs) re-derives the whole index as a batch dataflow — one
+    * bucket-grain shuffle, state rows built where their keys hash — and a
+    * fresh streaming query resumes admission on top of it. Bucket-grain
+    * like the index itself, so it distributes exactly as the streaming
+    * state does.
+    */
+  def indexState(banded: DataFrame): Dataset[(String, BucketInit)] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .select("key", "ts", "id", "sig").as[BandEvent]
+      .groupByKey(_.key)
+      .mapGroups { (key, it) =>
+        val docs = it.toArray.sortBy(e => (StateMachines.usOf(e.ts), e.id))
+        (key, BucketInit(docs.map(_.id), docs.flatMap(_.sig)))
+      }
+  }
+
+  /** [[lshIndex]] resumed on a rebased index: every arrival is checked
+    * against the at-rest corpus loaded via [[indexState]] AND every
+    * earlier streamed arrival — the hit stream for post-rebase docs is
+    * row-identical to an uninterrupted run's (StreamingDedupSpec pins
+    * this). Start the resumed query on a FRESH checkpoint: Spark applies
+    * the initial state at batch 0 only.
+    */
+  def lshIndexResumed(
+      events: Dataset[BandEvent],
+      initial: Dataset[(String, BucketInit)],
+      k: Int,
+      thresholdNumer: Int,
+      thresholdDenom: Int,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[LshDupRow] = {
+    require(k > 0 && thresholdDenom > 0 && thresholdNumer >= 0, "bad params")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(_.key != Replay.Sentinel)
+      .groupByKey(_.key)
+      .transformWithState(
+        new LshIndexResumeProcessor(k, thresholdNumer, thresholdDenom, ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 }

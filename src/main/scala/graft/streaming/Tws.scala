@@ -381,9 +381,93 @@ object Tws {
     }
   }
 
-  /** [[StateMachines.windowTopN]] on `transformWithState` — identical
-    * window explode and keying; only the state backend changes. */
+  /** Stage-2 collector of the two-stage [[windowTopN]]: receives the
+    * watermark-final per-(window, item) counts the built-in aggregation
+    * emits — a window's rows arrive complete, in one micro-batch, exactly
+    * once (Append-mode eviction) — sorts, takes N, and emits immediately.
+    * A `ValueState` marker + named GC timer guard exactly-once emission
+    * against beyond-contract stragglers (dropped, like any too-late row).
+    */
+  class WindowTopNCollector(sizeUs: Long, n: Int)
+      extends StatefulProcessor[Long, (Long, String, Long, Timestamp), StateMachines.WindowTopRow] {
+    import StateMachines.tsOf
+
+    @transient private var emitted: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      emitted = getHandle.getValueState[Boolean]("emitted", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(
+        winStartUs: Long,
+        rows: Iterator[(Long, String, Long, Timestamp)],
+        timerValues: TimerValues): Iterator[StateMachines.WindowTopRow] = {
+      if (emitted.exists()) Iterator.empty // beyond-contract straggler: too late
+      else {
+        emitted.update(true) // marker; GC'd one window-length later
+        getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + sizeUs / 1000L + 1L)
+        rows.toSeq
+          .sortBy { case (_, item, cnt, _) => (-cnt, item) }
+          .take(n)
+          .iterator
+          .zipWithIndex
+          .map { case ((_, item, cnt, _), i) =>
+            StateMachines.WindowTopRow(tsOf(winStartUs), item, cnt, i + 1)
+          }
+      }
+    }
+
+    override def handleExpiredTimer(
+        winStartUs: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StateMachines.WindowTopRow] = {
+      emitted.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[StateMachines.windowTopN]] (two-stage: built-in watermark-final
+    * per-(window, item) aggregation → window-keyed collector) on
+    * `transformWithState` — identical stage-1 plan; only the collector's
+    * state backend changes. See the fGWS twin for the scale rationale:
+    * stage 2's exchange carries one row per distinct item per window,
+    * never raw events. */
   def windowTopN(
+      events: Dataset[KeyedEvent],
+      sizeUs: Long,
+      slideUs: Long,
+      n: Int,
+      watermarkDelay: String = "2 seconds"): Dataset[StateMachines.WindowTopRow] = {
+    require(sizeUs % slideUs == 0, "window size must be a multiple of slide")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val finals = events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(
+        window(col("ts"), s"$sizeUs microseconds", s"$slideUs microseconds"),
+        col("key").as("item"))
+      .agg(count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"))
+      .filter(col("cnt") > 0)
+      // window_time keeps a watermark-tagged event-time attribute visible
+      // on the stateful op's input (required for TimeMode.EventTime)
+      .select(
+        unix_micros(col("window.start")).as("win"), col("item"), col("cnt"),
+        window_time(col("window")).as("wt"))
+      .as[(Long, String, Long, Timestamp)]
+    finals
+      .groupByKey(_._1)
+      .transformWithState(
+        new WindowTopNCollector(sizeUs, n),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** [[StateMachines.windowTopNEventGrain]] on `transformWithState` —
+    * identical window explode and keying; only the state backend changes
+    * (the per-window counter map becomes a NAMED `MapState` with per-item
+    * point updates). Timer-fidelity form, kept for the timer specs; the
+    * declared streaming plan is the two-stage [[windowTopN]]. */
+  def windowTopNEventGrain(
       events: Dataset[KeyedEvent],
       sizeUs: Long,
       slideUs: Long,

@@ -73,10 +73,14 @@ class CheckpointRecoverySpec extends SparkSpec {
   /** Run the pipeline over whatever in_*.parquet files exist in `inDir`,
     * into a parquet sink + checkpoint that may already exist (restart).
     */
-  private def runPhase(inDir: String, out: String, ckpt: String)(
+  private def runPhase(
+      inDir: String,
+      out: String,
+      ckpt: String,
+      srcSchema: org.apache.spark.sql.types.StructType = schema)(
       pipe: DataFrame => DataFrame): Unit = {
     val stream = spark.readStream
-      .schema(schema)
+      .schema(srcSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$inDir/in_*.parquet")
     val q = pipe(stream).writeStream
@@ -126,6 +130,62 @@ class CheckpointRecoverySpec extends SparkSpec {
         .matchWithTimeout(df.as[KeyedEvent], "signup", "purchase", timeoutSec = 86400L)
         .toDF()
     }
+  }
+
+  test("ingestGate (two chained machines, RocksDB) survives kill+restart mid-corpus") {
+    // the chained-admission recovery path: TWO keyed state machines in
+    // one query (fingerprint dedup ledger, then the (band, band-hash)
+    // LSH index), each re-sharded on its own key. The kill lands after
+    // half the corpus, so BOTH stores are populated — restarted
+    // admission must neither re-admit a phase-1 fingerprint nor miss a
+    // phase-2 near-dup of a phase-1 doc
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val docRows = Tables(spark, "/root/testdata/sf0.001").documents
+        .select(
+          lit("").as("key"),
+          timestamp_seconds(col("doc_id")).as("ts"),
+          col("doc_id").cast("string").as("id"),
+          col("text"))
+        .as[DocEvent]
+        .collect()
+        .sortBy(e => (e.ts.getTime, e.id))
+        .toSeq
+      require(docRows.size > 100, s"need a real corpus, got ${docRows.size} docs")
+      val quarters = docRows.grouped((docRows.size + 3) / 4).toSeq
+      val docSchema = Seq.empty[DocEvent].toDF().schema
+      val base = Files.createTempDirectory("graft-recover-ingest").toString
+
+      def writeDocs(rows: Seq[DocEvent], dir: String, i: Int): Unit = {
+        rows.toDF().repartition(1).write.mode("overwrite").parquet(s"$dir/c$i")
+        new java.io.File(s"$dir/c$i").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(p =>
+            Files.move(p.toPath, java.nio.file.Paths.get(s"$dir/in_$i.parquet")))
+        Thread.sleep(5)
+      }
+      def gate(df: DataFrame): DataFrame =
+        StreamingDedup.ingestGate(df).toDF()
+
+      val refIn = s"$base/ref_in"; new java.io.File(refIn).mkdirs()
+      quarters.zipWithIndex.foreach { case (c, i) => writeDocs(c, refIn, i + 1) }
+      runPhase(refIn, s"$base/ref_out", s"$base/ref_ckpt", docSchema)(gate)
+      val want = spark.read.parquet(s"$base/ref_out").collect().map(_.toString).sorted
+
+      val rIn = s"$base/r_in"; new java.io.File(rIn).mkdirs()
+      quarters.take(2).zipWithIndex.foreach { case (c, i) => writeDocs(c, rIn, i + 1) }
+      runPhase(rIn, s"$base/r_out", s"$base/r_ckpt", docSchema)(gate)
+      val phase1 = spark.read.parquet(s"$base/r_out").collect().map(_.toString).sorted
+      quarters.drop(2).zipWithIndex.foreach { case (c, i) => writeDocs(c, rIn, i + 3) }
+      runPhase(rIn, s"$base/r_out", s"$base/r_ckpt", docSchema)(gate)
+      val got = spark.read.parquet(s"$base/r_out").collect().map(_.toString).sorted
+
+      assert(want.nonEmpty, "ingestGate reference run produced no hits")
+      assert(phase1.length < want.length,
+        "restart boundary must land mid-work (phase 1 already emitted everything)")
+      assert(got.toSeq == want.toSeq,
+        s"restarted ingestGate output != uninterrupted (${got.length} vs ${want.length})")
+    } finally spark.conf.unset(ProviderConf)
   }
 
   test("Tws matchWithTimeout (RocksDB) survives kill+restart: named states and timers recover") {

@@ -191,12 +191,12 @@ class StateMachinesSpec extends SparkSpec {
     assert(out.find(_.tag == "matched").get.info == "p1|r1")
   }
 
-  test("windowTopN(stream): per-window counts, rank order, state cleared by timer") {
+  test("windowTopNEventGrain(stream): per-window counts, rank order, state cleared by timer") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[KeyedEvent]
     // 10 min windows sliding 5 min, top 2; key column carries the item
     val q = StateMachines
-      .windowTopN(input.toDS(), sizeUs = 600000000L, slideUs = 300000000L, n = 2)
+      .windowTopNEventGrain(input.toDS(), sizeUs = 600000000L, slideUs = 300000000L, n = 2)
       .writeStream.format("memory").queryName("sm_topn").outputMode("append").start()
     try {
       input.addData(Seq(
@@ -221,6 +221,70 @@ class StateMachinesSpec extends SparkSpec {
         ("2020-01-01 00:00:00.0", "a", 2L, 1), ("2020-01-01 00:00:00.0", "b", 1L, 2),
         ("2020-01-01 00:05:00.0", "c", 1L, 1)))
     } finally q.stop()
+  }
+
+  test("windowTopN(stream, two-stage): same rows as event-grain; finals-only collector input") {
+    // the declared streaming plan: built-in watermark-final (window, item)
+    // aggregation → window-keyed collector. Same scenario as the
+    // event-grain timer test; the sentinel must flow INTO the aggregate
+    // (conditional count) and still never reach the emitted rows
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines
+      .windowTopN(input.toDS(), sizeUs = 600000000L, slideUs = 300000000L, n = 2)
+      .writeStream.format("memory").queryName("sm_topn2").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        ev("a", "2020-01-01 00:02:00", "click", "e1"),
+        ev("a", "2020-01-01 00:03:00", "click", "e2"),
+        ev("b", "2020-01-01 00:04:00", "click", "e3")))
+      q.processAllAvailable()
+      input.addData(Seq(ev("c", "2020-01-01 00:06:00", "click", "e4")))
+      q.processAllAvailable()
+      for (i <- 0 until 2) {
+        input.addData(Seq(KeyedEvent(
+          Replay.Sentinel, ts(s"2030-01-01 00:00:0$i"), Replay.Sentinel, s"s$i")))
+        q.processAllAvailable()
+      }
+      val got = spark.table("sm_topn2")
+        .as[StateMachines.WindowTopRow].collect()
+        .map(r => (r.window_start.toString, r.item, r.cnt, r.rank)).toSet
+      assert(got == Set(
+        ("2019-12-31 23:55:00.0", "a", 2L, 1), ("2019-12-31 23:55:00.0", "b", 1L, 2),
+        ("2020-01-01 00:00:00.0", "a", 2L, 1), ("2020-01-01 00:00:00.0", "b", 1L, 2),
+        ("2020-01-01 00:05:00.0", "c", 1L, 1)))
+      // plan pin: TWO stateful stages — the built-in windowed aggregation
+      // (raw events partial-combined BEFORE its shuffle) feeding the
+      // window-keyed collector; the single-machine event-grain plan had
+      // only the fGWS stage and concentrated a window's events on one group
+      val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+      assert(ops.sorted == Seq("flatMapGroupsWithState", "stateStoreSave"),
+        s"expected agg + collector stateful stages, got $ops")
+    } finally q.stop()
+  }
+
+  test("windowTopN two-stage == windowTopNEventGrain on replayed real events") {
+    // the scale-shaped plan and the timer-fidelity machine must be
+    // row-identical over a multi-batch replay of the real events table
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = "/root/testdata/sf0.001"
+    val input = graft.io.Tables(spark, dir).events
+      .select(
+        col("event_type").as("key"),
+        col("ts"),
+        lit("page").as("kind"),
+        col("event_id").cast("string").as("id"))
+    def rows(f: org.apache.spark.sql.Dataset[KeyedEvent] => org.apache.spark.sql.DataFrame) =
+      Replay.keyedEvents(input, nChunks = 6)(f)
+        .as[StateMachines.WindowTopRow].collect()
+        .map(r => (r.window_start, r.item, r.cnt, r.rank)).toSet
+    val twoStage = rows(
+      StateMachines.windowTopN(_, sizeUs = 1800000000L, slideUs = 600000000L, n = 3).toDF())
+    val eventGrain = rows(
+      StateMachines.windowTopNEventGrain(_, sizeUs = 1800000000L, slideUs = 600000000L, n = 3).toDF())
+    assert(twoStage.nonEmpty, "gate is vacuous: no windows emitted")
+    assert(twoStage.exists(_._4 > 1), "fixture must rank >1 item per window")
+    assert(twoStage == eventGrain)
   }
 
   test("retentionDays(stream): cohort final at watermark, days emit once, late day buffers") {

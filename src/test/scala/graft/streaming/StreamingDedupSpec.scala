@@ -18,14 +18,15 @@ class StreamingDedupSpec extends SparkSpec {
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** The declared d_dedup_lsh_stream pipeline over `dir`'s documents. */
-  private def runStream(dir: String, nChunks: Int) = {
+  /** The declared d_dedup_lsh_stream banded-signature frame over `dir`'s
+    * documents (key, ts, id, sig — docs "arrive" in doc_id order). */
+  private def bandedEvents(dir: String) = {
     val sigs = Dedup.minhashSignatures(
       graft.io.Tables(spark, dir).documents, col("doc_id"), col("text"),
       shingleLen = 3, k = 64, portableHash = true)
     def bandKey(j: Int) = concat_ws("|", lit(j),
       md5(concat_ws("|", (4 * j until 4 * j + 4).map(i => col(s"m$i").cast("string")): _*)))
-    val events = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(array((0 until 16).map(bandKey): _*)).as("key"),
       array((0 until 64).map(i => col(s"m$i")): _*).as("sig"))
@@ -34,10 +35,13 @@ class StreamingDedupSpec extends SparkSpec {
         timestamp_seconds(col("doc_id")).as("ts"),
         col("doc_id").cast("string").as("id"),
         col("sig"))
-    Replay.bandEvents(events, nChunks = nChunks) { stream =>
+  }
+
+  /** The declared d_dedup_lsh_stream pipeline over `dir`'s documents. */
+  private def runStream(dir: String, nChunks: Int) =
+    Replay.bandEvents(bandedEvents(dir), nChunks = nChunks) { stream =>
       StreamingDedup.lshIndex(stream, k = 64, thresholdNumer = 3, thresholdDenom = 5).toDF()
     }.collect().map(r => (r.getInt(0), r.getString(1).toLong, r.getString(2).toLong, r.getInt(3)))
-  }
 
   test("signature-estimate verify tracks the exact-Jaccard batch op (precision/recall >= 0.9)") {
     spark.conf.set(ProviderConf, RocksDb)
@@ -156,6 +160,38 @@ class StreamingDedupSpec extends SparkSpec {
       } finally vq.stop()
       import scala.jdk.CollectionConverters._
       assert(vecHits.asScala.isEmpty, s"expired vector must stop matching: $vecHits")
+    } finally spark.conf.unset(ProviderConf)
+  }
+
+  test("rebase: at-rest indexState + resumed stream == the uninterrupted run's post-split hits") {
+    // the production state-bounding path beyond TTL: rebuild the index
+    // from the at-rest batch job (indexState), resume admission against
+    // it (lshIndexResumed, initial-state channel, fresh checkpoint) —
+    // every post-rebase arrival must see EXACTLY the corpus an
+    // uninterrupted run would have indexed by then
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val events = bandedEvents(dir)
+      val full = runStream(dir, nChunks = 10).toSet
+      val split = graft.io.Tables(spark, dir).documents
+        .selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)").head.getDouble(0).toLong
+      val init = StreamingDedup.indexState(events.filter(col("id").cast("long") < split))
+      val resumed = Replay
+        .bandEvents(events.filter(col("id").cast("long") >= split), nChunks = 5) { stream =>
+          StreamingDedup
+            .lshIndexResumed(stream, init, k = 64, thresholdNumer = 3, thresholdDenom = 5)
+            .toDF()
+        }
+        .collect().map(r => (r.getInt(0), r.getString(1).toLong, r.getString(2).toLong, r.getInt(3)))
+        .toSet
+      val expected = full.filter { case (_, _, b, _) => b >= split }
+      assert(resumed == expected,
+        s"resumed run diverged: ${resumed.size} vs expected ${expected.size} rows")
+      assert(resumed.exists { case (_, a, _, _) => a < split },
+        "vacuous rebase: no hit crosses the rebase boundary (rebased state never matched)")
+      assert(full.exists { case (_, _, b, _) => b < split },
+        "vacuous split: the uninterrupted run has no pre-split hits to exclude")
     } finally spark.conf.unset(ProviderConf)
   }
 

@@ -9,7 +9,22 @@ Optionally also writes a skewed twin (--skew): same tables, but one hot
 user_id owns 10% of all events (event_id % 10 == 0) — the salted-join /
 skew-immunity measurement input.
 
-Usage: make_10x.py <sfDir> <outDir> [--skew <skewOutDir>] [--replicas N]
+Optionally also writes a same-keys twin (--samekeys): events replicated
+N× with fresh event_ids but user_id/ts UNCHANGED — per-window raw volume
+grows N× while the per-(window, user) count table keeps its cardinality.
+This is the isolation axis for the round-12 two-stage streaming top-N row
+in docs/SCALE.md (collector input tracks cardinality, not volume).
+
+Optionally also writes a hot-window twin (--hotwindow): events replicated
+N× with fresh event_ids, user_id unchanged, and ts compressed into ONE
+hour (epoch 2024-01-01 + event_id%3600 s) — the adversarial shape for
+per-window streaming operators: a single 1 h window holds the entire
+corpus. The round-12 two-stage streaming top-N row in docs/SCALE.md
+measures both top-N machines against it.
+
+Usage: make_10x.py <sfDir> <outDir> [--skew <skewOutDir>]
+       [--samekeys <sameKeysOutDir>] [--hotwindow <hotWindowOutDir>]
+       [--replicas N]
 """
 import sys
 
@@ -21,15 +36,23 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def main(argv):
     sf, out = argv[0], argv[1]
     skew_out = None
+    samekeys_out = None
     reps = 10
     if "--skew" in argv:
         skew_out = argv[argv.index("--skew") + 1]
+    if "--samekeys" in argv:
+        samekeys_out = argv[argv.index("--samekeys") + 1]
+    hotwindow_out = None
+    if "--hotwindow" in argv:
+        hotwindow_out = argv[argv.index("--hotwindow") + 1]
     if "--replicas" in argv:
         reps = int(argv[argv.index("--replicas") + 1])
     import os
     os.makedirs(out, exist_ok=True)
     if skew_out:
         os.makedirs(skew_out, exist_ok=True)
+    if samekeys_out:
+        os.makedirs(samekeys_out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -73,6 +96,32 @@ def main(argv):
                 sel = f"SELECT * FROM '{out}/{t}.parquet'"
             con.execute(f"COPY ({sel}) TO '{skew_out}/{t}.parquet' (FORMAT PARQUET)")
         print(f"skewed twin at {skew_out} (hot user {hot} owns 10%)")
+
+    if samekeys_out:
+        for t in TABLES:
+            if t == "events":
+                sel = (f"SELECT event_id + rep * {offs['events']} AS event_id,"
+                       " ts, user_id, event_type, value, props"
+                       " FROM events CROSS JOIN r")
+            else:
+                sel = f"SELECT * FROM {t}"
+            con.execute(f"COPY ({sel}) TO '{samekeys_out}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"same-keys twin at {samekeys_out} ({reps}x events, unchanged user ids)")
+
+    if hotwindow_out:
+        import os
+        os.makedirs(hotwindow_out, exist_ok=True)
+        for t in TABLES:
+            if t == "events":
+                sel = (f"SELECT event_id + rep * {offs['events']} AS event_id,"
+                       " TIMESTAMP '2024-01-01 00:00:00'"
+                       " + to_seconds(event_id % 3600) AS ts,"
+                       " user_id, event_type, value, props"
+                       " FROM events CROSS JOIN r")
+            else:
+                sel = f"SELECT * FROM {t}"
+            con.execute(f"COPY ({sel}) TO '{hotwindow_out}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"hot-window twin at {hotwindow_out} ({reps}x events inside one hour)")
 
 
 if __name__ == "__main__":
