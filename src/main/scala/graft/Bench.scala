@@ -183,9 +183,9 @@ object Bench {
     Seq(
       one("windowTopN")(s =>
         StateMachines.windowTopN(s, sizeUs = 3600000000L, slideUs = 300000000L, n = 5).toDF()),
-      // the same machine on transformWithState + RocksDB (MapState point
-      // updates): the head-to-head for the API migration's state-traffic
-      // claim — compare against the fGWS row above
+      // the same two-stage plan on transformWithState + RocksDB: the
+      // head-to-head for the API migration — compare against the fGWS
+      // row above (both run the round-12 agg→collector dataflow)
       oneRocksDb("windowTopN_tws")(s =>
         graft.streaming.Tws
           .windowTopN(s, sizeUs = 3600000000L, slideUs = 300000000L, n = 5).toDF()),

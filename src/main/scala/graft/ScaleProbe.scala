@@ -18,30 +18,61 @@ object ScaleProbe {
   /** Probe-only formulations that are deliberately NOT declared queries —
     * deprecated plans kept runnable so SCALE.md rows comparing them to the
     * declared shape stay reproducible. */
-  val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-    // the single-machine per-window top-N (raw events keyed by window
-    // start): the round-12 two-stage q_hot_items_stream replaced it as
-    // the declared plan; this row is its event-volume-scaling foil
-    "probe_hot_items_stream_eventgrain" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val input = graft.io.Tables(s, dir).events
-        .filter(col("event_type") === "click")
+  val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.{DataFrame, functions => F}
+
+    def hotItemsInput(s: SparkSession, dir: String): DataFrame =
+      graft.io.Tables(s, dir).events
+        .filter(F.col("event_type") === "click")
         .select(
-          lpad(col("user_id").cast("string"), 12, "0").as("key"),
-          col("ts"),
-          col("event_type").as("kind"),
-          col("event_id").cast("string").as("id"))
-      graft.streaming.Replay.keyedEvents(input) { stream =>
-        graft.streaming.StateMachines
-          .windowTopNEventGrain(stream, sizeUs = 3600000000L, slideUs = 300000000L, n = 5)
-          .toDF()
-          .select(
-            col("window_start"),
-            col("item").cast("long").as("user_id"),
-            col("cnt"),
-            col("rank"))
+          F.lpad(F.col("user_id").cast("string"), 12, "0").as("key"),
+          F.col("ts"),
+          F.col("event_type").as("kind"),
+          F.col("event_id").cast("string").as("id"))
+
+    def shape(df: org.apache.spark.sql.Dataset[graft.streaming.StateMachines.WindowTopRow]) =
+      df.toDF().select(
+        F.col("window_start"),
+        F.col("item").cast("long").as("user_id"),
+        F.col("cnt"),
+        F.col("rank"))
+
+    def eventGrain(s: SparkSession, dir: String): DataFrame =
+      graft.streaming.Replay.keyedEvents(hotItemsInput(s, dir)) { stream =>
+        shape(graft.streaming.StateMachines
+          .windowTopNEventGrain(stream, sizeUs = 3600000000L, slideUs = 300000000L, n = 5))
       }
-    }))
+
+    def twoStage(s: SparkSession, dir: String): DataFrame =
+      graft.streaming.Replay.keyedEvents(hotItemsInput(s, dir)) { stream =>
+        shape(graft.streaming.StateMachines
+          .windowTopN(stream, sizeUs = 3600000000L, slideUs = 300000000L, n = 5))
+      }
+
+    def withRocksDb(s: SparkSession)(body: => DataFrame): DataFrame = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }
+
+    Map(
+      // the single-machine per-window top-N (raw events keyed by window
+      // start): the round-12 two-stage q_hot_items_stream replaced it as
+      // the declared plan; these rows are its scaling foils — on the
+      // default (heap) store and on RocksDB, where the fGWS whole-map
+      // state rewrite is real serialization I/O per window per batch
+      "probe_hot_items_stream_eventgrain" -> eventGrain _,
+      "probe_hot_items_stream_eventgrain_rocksdb" ->
+        ((s: SparkSession, dir: String) => withRocksDb(s)(eventGrain(s, dir))),
+      "probe_hot_items_stream_rocksdb" ->
+        ((s: SparkSession, dir: String) => withRocksDb(s)(twoStage(s, dir))))
+  }
 
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq

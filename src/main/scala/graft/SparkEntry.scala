@@ -46,6 +46,30 @@ object SparkEntry {
     }
   }
 
+  /** The banded MinHash signature frame (key = "band|band-hash", ts =
+    * epoch + doc_id s, id, sig) the streaming LSH index consumes — the
+    * same portable md5 family and banding as d_dedup_minhash, so the
+    * oracle replays signatures → bands → prefix pairs → agreement verify
+    * exactly. Shared by the fresh-index and rebased-index declarations.
+    */
+  private def bandedDocEvents(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.ops.Dedup.minhashSignatures(
+      Tables(s, dir).documents, col("doc_id"), col("text"),
+      shingleLen = 3, k = 64, portableHash = true)
+    def bandKey(j: Int): Column = concat_ws("|", lit(j),
+      md5(concat_ws("|",
+        (4 * j until 4 * j + 4).map(i => col(s"m$i").cast("string")): _*)))
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until 16).map(bandKey): _*)).as("key"),
+      array((0 until 64).map(i => col(s"m$i")): _*).as("sig"))
+      .select(
+        col("key"),
+        timestamp_seconds(col("doc_id")).as("ts"),
+        col("doc_id").cast("string").as("id"),
+        col("sig"))
+  }
+
   /** events in the [[graft.streaming.KeyedEvent]] shape the streaming
     * state machines consume (key = user, kind = event_type). */
   private def keyedEventsFrame(t: Tables): DataFrame =
@@ -1022,24 +1046,39 @@ object SparkEntry {
       // family and banding as d_dedup_minhash, so the oracle replays
       // signatures → bands → prefix pairs → agreement verify exactly.
       withRocksDb(s) {
-        val sigs = Dedup.minhashSignatures(
-          Tables(s, dir).documents, col("doc_id"), col("text"),
-          shingleLen = 3, k = 64, portableHash = true)
-        def bandKey(j: Int): Column = concat_ws("|", lit(j),
-          md5(concat_ws("|",
-            (4 * j until 4 * j + 4).map(i => col(s"m$i").cast("string")): _*)))
-        val events = sigs.select(
-          col("doc_id"),
-          explode(array((0 until 16).map(bandKey): _*)).as("key"),
-          array((0 until 64).map(i => col(s"m$i")): _*).as("sig"))
-          .select(
-            col("key"),
-            timestamp_seconds(col("doc_id")).as("ts"),
-            col("doc_id").cast("string").as("id"),
-            col("sig"))
-        Replay.bandEvents(events) { stream =>
+        Replay.bandEvents(bandedDocEvents(s, dir)) { stream =>
           graft.streaming.StreamingDedup
             .lshIndex(stream, k = 64, thresholdNumer = 3, thresholdDenom = 5)
+            .toDF()
+        }.select(
+          col("band"),
+          col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"),
+          col("n_agree"))
+      }
+    }),
+    "d_dedup_lsh_rebase_stream" -> ((s, dir) => {
+      // the production rebase posture ON the record (round 12): the
+      // at-rest half of the corpus (doc_id below the id midpoint)
+      // rebuilds the index as per-bucket batch state
+      // (StreamingDedup.indexState), and a FRESH query resumes admission
+      // over the live half through Spark's initial-state channel
+      // (lshIndexResumed) — every post-rebase arrival is checked against
+      // the rebased corpus AND earlier live arrivals. The oracle is the
+      // full-chain replay restricted to post-split arrivals, so the row
+      // proves rebased state participates bit-exactly (the only
+      // driver-side action is the min/max id scalar, the Replay
+      // precedent).
+      withRocksDb(s) {
+        val events = bandedDocEvents(s, dir)
+        val r = Tables(s, dir).documents
+          .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head
+        val split = (r.getLong(0) + r.getLong(1)) / 2
+        val init = graft.streaming.StreamingDedup
+          .indexState(events.filter(col("id").cast("long") < split))
+        Replay.bandEvents(events.filter(col("id").cast("long") >= split)) { stream =>
+          graft.streaming.StreamingDedup
+            .lshIndexResumed(stream, init, k = 64, thresholdNumer = 3, thresholdDenom = 5)
             .toDF()
         }.select(
           col("band"),
@@ -1982,6 +2021,17 @@ object SparkEntry {
       TextOps.dsirWeights(
         Tables(s, dir).documents, col("doc_id"), col("text"), col("lang") === "en")
     }),
+    "p_dsir_resample" -> ((s, dir) => {
+      // DSIR composed end-to-end (round 12): the weights feed the actual
+      // resampling draw — exp(mean per-token llr) floored to an integer
+      // 1e-6 grid, normalized by the corpus mean weight (exact integer
+      // sum + 1-row broadcast), min(1, 0.25·w/mean) inclusion
+      // probability, then the same md5 Bernoulli decision as p_sample —
+      // so the kept set replays exactly in SQL
+      TextOps.dsirResample(
+        Tables(s, dir).documents, col("doc_id"), col("text"), col("lang") === "en",
+        keepFraction = 0.25)
+    }),
     "t_entropy" -> ((s, dir) => {
       // char-unigram Shannon entropy per doc (micro-nats): the
       // compression-style quality signal, integer-floored ln terms so the
@@ -2799,10 +2849,13 @@ object SparkEntry {
           col("__latest.id").cast("long").as("event_id"))
     }),
     "q_hot_items_stream" -> ((s, dir) => {
-      // T1 streaming: the reference's per-window top-N collector state
-      // machine (count buffer + windowEnd+1ms event-time timer,
-      // HotItemApp) on the correctness record — same oracle as the batch
-      // pane formulation. User ids zero-padded so the machine's
+      // T1 streaming, two-stage (round 12 — the reference's own dataflow,
+      // HotItemApp.java:62 aggregate before :64 keyBy(windowEnd)): a
+      // watermark-final built-in (window, item) count (partial combine
+      // before its shuffle) feeds the window-keyed collector, so the
+      // second exchange and the collector's state carry one row per
+      // DISTINCT item, never raw events — same oracle as the batch pane
+      // formulation. User ids zero-padded so the collector's
       // lexicographic tie-break equals the oracle's numeric ordering.
       val input = Tables(s, dir).events
         .filter(col("event_type") === "click")
@@ -2823,11 +2876,11 @@ object SparkEntry {
       }
     }),
     "q_hot_items_tws_stream" -> ((s, dir) => {
-      // q_hot_items_stream's collector carried onto transformWithState
-      // (round 10): the per-window counter map becomes a NAMED MapState —
-      // per-item point updates instead of the fGWS whole-map rewrite,
-      // the decisive state-traffic win for this machine at 100 TB. Same
-      // rows, same oracle; TwsSpec pins row parity with the fGWS machine.
+      // q_hot_items_stream's two-stage plan carried onto
+      // transformWithState + RocksDB (round 12): identical stage-1
+      // aggregation; the collector's exactly-once marker is a NAMED
+      // ValueState with a named GC timer. Same rows, same oracle;
+      // TwsSpec pins row parity with the fGWS twin.
       withRocksDb(s) {
         val input = Tables(s, dir).events
           .filter(col("event_type") === "click")
@@ -2849,9 +2902,9 @@ object SparkEntry {
       }
     }),
     "q_hot_pages_stream" -> ((s, dir) => {
-      // T2 streaming: same collector as q_hot_items_stream over 30m/10m
-      // windows keyed by event_type (URL stand-in), top-3 — the HotUrl
-      // late-update variant; ASCII keys, so the machine's lexicographic
+      // T2 streaming: same two-stage plan as q_hot_items_stream over
+      // 30m/10m windows keyed by event_type (URL stand-in), top-3 — the
+      // HotUrl variant; ASCII keys, so the collector's lexicographic
       // tie-break equals the oracle's string ordering directly
       val input = Tables(s, dir).events
         .select(
@@ -4039,6 +4092,32 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
        |FROM agree WHERE n_agree * 5 >= 192""".stripMargin
   }
 
+  /** d_dedup_lsh_rebase_stream oracle: the full-chain replay restricted
+    * to post-split arrivals (b at or past the id midpoint) — every hit
+    * the resumed run can emit has its NEW side b in the live half, while
+    * a ranges over the whole corpus (rebased state or earlier live
+    * arrival). The midpoint is integer arithmetic on min/max, matching
+    * the Spark side's driver scalar exactly. */
+  private lazy val lshRebaseStreamSql: String = {
+    s"""${minhashSigCtes()}, spl AS (
+       |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT) AS s
+       |  FROM documents
+       |), cand AS (
+       |  SELECT l.band, l.doc_id AS a, r.doc_id AS b
+       |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+       |    AND l.doc_id < r.doc_id
+       |), agree AS (
+       |  SELECT c.band, c.a, c.b, count(*) AS n_agree
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT CAST(band AS INT) AS band, a, b, CAST(n_agree AS INT) AS n_agree
+       |FROM agree CROSS JOIN spl
+       |WHERE n_agree * 5 >= 192 AND b >= s""".stripMargin
+  }
+
   /** d_dedup_bow_lsh oracle (round 9): the whole pipeline was already
     * deterministic and engine-portable — md5-bucket BoW counts (the
     * d_dedup_bow oracle's own formulation), the splitmix sign matrix
@@ -4458,7 +4537,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
         |)
         |SELECT n_name, count(*) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-        |FROM customer, avgbal
+        |FROM customer CROSS JOIN avgbal
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > a
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
@@ -5001,6 +5080,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     "d_containment_blocked" -> containmentSql,
     "d_dedup_minhash" -> minhashSql,
     "d_dedup_lsh_stream" -> lshStreamSql,
+    "d_dedup_lsh_rebase_stream" -> lshRebaseStreamSql,
     "p_ingest_stream" -> ingestStreamSql,
     "d_dedup_embed_lsh_stream" -> embedLshStreamSql,
     "d_dedup_simhash" -> simhashSql,
@@ -5199,6 +5279,44 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |  CAST(sum(tf) AS BIGINT) AS n_tokens
          |FROM tf JOIN vocab USING (w) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+    "p_dsir_resample" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t, w, count(*) AS tf FROM (
+         |    SELECT doc_id, (lang = 'en') AS t,
+         |      unnest($tokensExpr) AS w FROM documents)
+         |  GROUP BY 1, 2, 3
+         |), vocab AS (
+         |  SELECT w, CAST(sum(tf) AS BIGINT) AS c_r,
+         |    CAST(sum(CASE WHEN t THEN tf ELSE 0 END) AS BIGINT) AS c_t
+         |  FROM tf GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+         |    CAST(sum(c_t) AS BIGINT) AS n_t, count(*) AS v
+         |  FROM vocab
+         |), wts AS (
+         |  SELECT doc_id,
+         |    CAST(sum(tf * (
+         |      CAST(floor(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+         |         * 1000000) AS BIGINT)
+         |      - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE) / CAST(n_r + v AS DOUBLE))
+         |         * 1000000) AS BIGINT)
+         |    )) AS BIGINT) AS llr_1e6,
+         |    CAST(sum(tf) AS BIGINT) AS n_tokens
+         |  FROM tf JOIN vocab USING (w) CROSS JOIN tot
+         |  GROUP BY doc_id
+         |), ws AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor(exp(CAST(llr_1e6 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |        / 1000000.0) * 1000000.0) AS BIGINT) AS w_1e6
+         |  FROM wts
+         |), norm AS (
+         |  SELECT CAST(sum(w_1e6) AS BIGINT) AS w_sum, count(*) AS n_docs FROM ws
+         |)
+         |SELECT doc_id, w_1e6, n_tokens
+         |FROM ws CROSS JOIN norm
+         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+         |      / 281474976710656.0
+         |      < least(1.0, 0.25 * CAST(w_1e6 * n_docs AS DOUBLE) / CAST(w_sum AS DOUBLE))""".stripMargin,
     "q_pareto" ->
       """WITH pk AS (
         |  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS rev

@@ -87,6 +87,73 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
 
+  /** External serving-store contract (reference S7 serving role:
+    * `UniqueVisitorApp2.java:107,128-134` writes the UV counters to Redis
+    * for dashboards to read — distinct from the STATE role, which the
+    * state store + HLL/bloom already carry). Implementations wrap a real
+    * client (Redis, Cassandra, an RDBMS); `putAll` runs ON EXECUTORS once
+    * per partition (open the connection there, never serialize one), the
+    * batch ledger lives IN the store next to the data so idempotency
+    * survives anything the Spark side loses.
+    */
+  trait KvStore extends Serializable {
+
+    /** Upsert all entries; called once per partition, executor-side.
+      * Must be retry-safe: the same (key, value) may be written again if
+      * a micro-batch is retried before its commit marker landed. */
+    def putAll(entries: Iterator[(String, String)]): Unit
+
+    /** Highest micro-batch id already fully applied for `sinkId`, or -1. */
+    def committedBatch(sinkId: String): Long
+
+    /** Record `batchId` as fully applied for `sinkId` (driver-side, after
+      * every partition's putAll returned). */
+    def commitBatch(sinkId: String, batchId: Long): Unit
+  }
+
+  /** The idempotent `foreachBatch` upsert body — the serving-store sink's
+    * whole exactly-once discipline, factored out so specs can drive it
+    * with a forced redelivery:
+    *
+    *   1. a REPLAYED batch (id ≤ the store's committed ledger) is skipped
+    *      whole — restarts re-offer the last uncommitted micro-batch, and
+    *      this check makes the re-offer a no-op once committed;
+    *   2. rows upsert per partition on the executors (deterministic
+    *      values, so a retry that died before its commit marker
+    *      re-applies and CONVERGES — at-least-once writes + idempotent
+    *      upserts + the ledger = exactly-once observable state);
+    *   3. the ledger advances only after the full batch landed.
+    *
+    * Rows are (key = `keyCol` as string, value = JSON of the rest) — the
+    * same wire contract as [[kafkaPayload]].
+    */
+  def kvUpsertBatch(store: KvStore, sinkId: String, keyCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batchId > store.committedBatch(sinkId)) {
+      kafkaPayload(batch, keyCol).foreachPartition { rows: Iterator[Row] =>
+        store.putAll(rows.map(r => (r.getString(0), r.getString(1))))
+      }
+      store.commitBatch(sinkId, batchId)
+    }
+  }
+
+  /** Streaming: idempotent key-value upsert into an external serving
+    * store via [[kvUpsertBatch]]. Use for counters a dashboard reads
+    * (UV per day, hot items) — the reference's Redis serving writes.
+    * Returns the un-started writer so callers can override options
+    * before `.start()`.
+    */
+  def streamingKvUpsert(
+      df: DataFrame,
+      store: KvStore,
+      sinkId: String,
+      keyCol: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch(kvUpsertBatch(store, sinkId, keyCol) _)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+
   /** Streaming: append-mode partitioned parquet with a processing-time
     * trigger; exactly-once via the checkpoint. Returns the un-started
     * writer so callers can override options before `.start()`.

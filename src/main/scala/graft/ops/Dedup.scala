@@ -189,6 +189,13 @@ object Dedup {
     * (prefix rank, ≤ t·q+1 rows per doc out), and candidate-pair grain
     * (text join + verify) — never all-pairs; the length-window prune
     * |len_a − len_b| ≤ t applies inside the candidate join.
+    *
+    * Cache lifecycle: the doc and gram-occurrence frames `persist()` for
+    * the plan's lifetime (each has two consumers — unpersisting eagerly
+    * would force a materializing action inside a lazy builder). In a
+    * long-lived session that calls this repeatedly, free them between
+    * calls (`spark.catalog.clearCache()`, as Bench does per query) or
+    * accept LRU eviction as the bound.
     */
   def editDistancePairs(
       df: DataFrame,

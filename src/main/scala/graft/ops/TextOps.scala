@@ -959,4 +959,44 @@ object TextOps {
         sum(col("tf") * col("dlp_1e6")).as("llr_1e6"),
         sum(col("tf")).as("n_tokens"))
   }
+
+  /** DSIR end-to-end: [[dsirWeights]] → normalized inclusion
+    * probabilities → [[graft.ops.Sampling.sampleWeighted]]'s md5 draw,
+    * one dataflow (the resampling step the weights exist FOR).
+    *
+    * Importance weight per doc = exp(per-token mean llr), floored to a
+    * 1e-6 integer grid (`w_1e6`) so the corpus normalizer is an EXACT
+    * integer sum — a double sum would be fold-order-dependent and off
+    * the cross-engine record. Inclusion probability = min(1,
+    * keepFraction · w / mean(w)): expected keep rate ≈ `keepFraction`,
+    * each doc up/down-weighted by its importance ratio (Poisson design,
+    * the Bernoulli analogue of the DSIR paper's weight-proportional
+    * resample). Downstream arithmetic is integer products and exactly-
+    * rounded double divisions, so the keep-set replays bit-identically
+    * in SQL. One corpus-grain dataflow: the weight table aggregates to a
+    * 1-row normalizer (broadcast cross join, the q22 shape) and the draw
+    * is a shuffle-free per-row filter.
+    */
+  def dsirResample(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      targetPred: Column,
+      keepFraction: Double): DataFrame = {
+    val w = dsirWeights(df, id, text, targetPred)
+      .withColumn(
+        "w_1e6",
+        floor(exp(col("llr_1e6").cast("double") / col("n_tokens").cast("double") / lit(1e6))
+          * lit(1e6)).cast("long"))
+    val tot = w.agg(sum(col("w_1e6")).as("w_sum"), count(lit(1)).as("n_docs"))
+    Sampling
+      .sampleWeighted(
+        w.crossJoin(broadcast(tot)),
+        col("doc_id"),
+        least(
+          lit(1.0),
+          lit(keepFraction) * (col("w_1e6") * col("n_docs")).cast("double")
+            / col("w_sum").cast("double")))
+      .select(col("doc_id"), col("w_1e6"), col("n_tokens"))
+  }
 }

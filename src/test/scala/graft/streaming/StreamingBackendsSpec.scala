@@ -256,4 +256,118 @@ class StreamingBackendsSpec extends SparkSpec {
       Vector(ts("2020-01-01 00:00:00"), "itemA", 2L, 1),
       Vector(ts("2020-01-01 00:00:00"), "itemB", 1L, 2)))
   }
+
+  test("serving-store sink: exactly-once KV upsert under redelivery, crash-retry, and e2e UV") {
+    import graft.io.Sinks
+    val data = KvRegistry.fresh()
+
+    // 1) the batchId ledger makes a REDELIVERED batch a no-op: same
+    // (rows, batchId) offered three times must hit the store once
+    val frame = Seq(("2020-01-01", 2L), ("2020-01-02", 1L)).toDF("day", "uv")
+    val apply5 = Sinks.kvUpsertBatch(data.store, "uv", "day") _
+    apply5(frame, 5L)
+    val oncePuts = data.putCalls.get()
+    apply5(frame, 5L); apply5(frame, 5L)
+    assert(data.putCalls.get() == oncePuts,
+      s"redelivered batch reached putAll (${data.putCalls.get()} vs $oncePuts calls)")
+    assert(data.committed("uv") == 5L)
+    val afterFirst = data.snapshot()
+    assert(afterFirst.keySet == Set("2020-01-01", "2020-01-02"))
+
+    // 2) crash-retry convergence: putAll dies after a partial write (no
+    // commit marker lands), the engine re-offers the SAME batch, the
+    // retry re-applies idempotently and commits
+    data.failNextPut()
+    val frame2 = Seq(("2020-01-02", 3L), ("2020-01-03", 2L)).toDF("day", "uv")
+    intercept[Exception] { apply5(frame2.coalesce(1), 6L) }
+    assert(data.committed("uv") == 5L, "a failed batch must not advance the ledger")
+    apply5(frame2.coalesce(1), 6L) // redelivery after the crash
+    assert(data.committed("uv") == 6L)
+    val got = data.snapshot()
+    assert(got("2020-01-02").contains("\"uv\":3") && got("2020-01-03").contains("\"uv\":2"),
+      s"retry must converge to the once-applied state: $got")
+
+    // 3) end-to-end: daily UV (dedup -> windowed count, the reference's
+    // UniqueVisitorApp2 serving shape) streamed into the store through
+    // streamingKvUpsert; store contents == the batch answer
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val uv = input.toDS()
+      .withWatermark("ts", "0 seconds")
+      .dropDuplicates("key", "kind") // kind carries the day string here
+      .groupBy(col("kind").as("day"))
+      .agg(count(when(col("key") =!= Replay.Sentinel, 1)).as("uv"))
+      .filter(col("uv") > 0)
+    val e2e = KvRegistry.fresh()
+    val q = Sinks.streamingKvUpsert(
+      uv.toDF(), e2e.store, "uv_daily", "day",
+      java.nio.file.Files.createTempDirectory("graft-kv-ckpt").toString)
+      .outputMode("complete")
+      .start()
+    try {
+      def ev(u: String, day: String, i: Int) =
+        KeyedEvent(u, ts(s"$day 01:00:0$i"), day, s"e$i")
+      input.addData(Seq(
+        ev("u1", "2020-01-01", 1), ev("u2", "2020-01-01", 2), ev("u1", "2020-01-01", 3)))
+      q.processAllAvailable()
+      input.addData(Seq(ev("u1", "2020-01-02", 4), ev("u3", "2020-01-02", 5)))
+      q.processAllAvailable()
+      val served = e2e.snapshot()
+      assert(served("2020-01-01").contains("\"uv\":2"), s"day1 UV wrong: $served")
+      assert(served("2020-01-02").contains("\"uv\":2"), s"day2 UV wrong: $served")
+      assert(e2e.committed("uv_daily") >= 1L)
+    } finally q.stop()
+  }
+}
+
+/** JVM-global in-memory serving store for the sink spec: executors in
+  * local mode share the JVM, so a registry keyed by store name gives the
+  * driver-side assertions the executor-side writes. A production
+  * [[graft.io.Sinks.KvStore]] holds a real client opened inside putAll.
+  */
+object KvRegistry {
+  import java.util.concurrent.{ConcurrentHashMap, atomic}
+
+  private val tables = new ConcurrentHashMap[String, ConcurrentHashMap[String, String]]()
+  private val ledgers = new ConcurrentHashMap[String, ConcurrentHashMap[String, java.lang.Long]]()
+  private val puts = new ConcurrentHashMap[String, atomic.AtomicInteger]()
+  private val faults = new ConcurrentHashMap[String, java.lang.Boolean]()
+  private val nameSeq = new atomic.AtomicInteger(0)
+
+  class Handle(name: String) {
+    val store: graft.io.Sinks.KvStore = new InMemoryKvStore(name)
+    def putCalls: atomic.AtomicInteger = puts.get(name)
+    def committed(sinkId: String): Long = store.committedBatch(sinkId)
+    def failNextPut(): Unit = faults.put(name, true)
+    def snapshot(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      tables.get(name).asScala.toMap
+    }
+  }
+
+  def fresh(): Handle = {
+    val name = s"kv${nameSeq.incrementAndGet()}"
+    tables.put(name, new ConcurrentHashMap[String, String]())
+    ledgers.put(name, new ConcurrentHashMap[String, java.lang.Long]())
+    puts.put(name, new atomic.AtomicInteger(0))
+    new Handle(name)
+  }
+
+  class InMemoryKvStore(name: String) extends graft.io.Sinks.KvStore {
+    override def putAll(entries: Iterator[(String, String)]): Unit = {
+      puts.get(name).incrementAndGet()
+      val t = tables.get(name)
+      var n = 0
+      for ((k, v) <- entries) {
+        if (n == 1 && faults.remove(name) != null)
+          throw new RuntimeException("injected store fault after a partial write")
+        t.put(k, v)
+        n += 1
+      }
+    }
+    override def committedBatch(sinkId: String): Long =
+      Option(ledgers.get(name).get(sinkId)).map(_.longValue).getOrElse(-1L)
+    override def commitBatch(sinkId: String, batchId: Long): Unit =
+      ledgers.get(name).put(sinkId, batchId)
+  }
 }

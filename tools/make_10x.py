@@ -22,9 +22,16 @@ per-window streaming operators: a single 1 h window holds the entire
 corpus. The round-12 two-stage streaming top-N row in docs/SCALE.md
 measures both top-N machines against it.
 
+Optionally also writes a high-cardinality hot-window twin (--highcard):
+like --hotwindow but with user_id = event_id, so every event is a
+distinct item — the per-window STATE BLOB adversary: a single-machine
+windowed collector re-serializes a counter map with |events| entries
+every micro-batch, while the two-stage form keeps (window, item) state
+at row grain in the built-in aggregation.
+
 Usage: make_10x.py <sfDir> <outDir> [--skew <skewOutDir>]
        [--samekeys <sameKeysOutDir>] [--hotwindow <hotWindowOutDir>]
-       [--replicas N]
+       [--highcard <highCardOutDir>] [--replicas N]
 """
 import sys
 
@@ -122,6 +129,24 @@ def main(argv):
                 sel = f"SELECT * FROM {t}"
             con.execute(f"COPY ({sel}) TO '{hotwindow_out}/{t}.parquet' (FORMAT PARQUET)")
         print(f"hot-window twin at {hotwindow_out} ({reps}x events inside one hour)")
+
+    if "--highcard" in argv:
+        highcard_out = argv[argv.index("--highcard") + 1]
+        import os
+        os.makedirs(highcard_out, exist_ok=True)
+        for t in TABLES:
+            if t == "events":
+                sel = (f"SELECT event_id + rep * {offs['events']} AS event_id,"
+                       " TIMESTAMP '2024-01-01 00:00:00'"
+                       " + to_seconds(event_id % 3600) AS ts,"
+                       f" event_id + rep * {offs['events']} AS user_id,"
+                       " event_type, value, props"
+                       " FROM events CROSS JOIN r")
+            else:
+                sel = f"SELECT * FROM {t}"
+            con.execute(f"COPY ({sel}) TO '{highcard_out}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"high-cardinality hot-window twin at {highcard_out}"
+              f" ({reps}x events, one hour, user_id = event_id)")
 
 
 if __name__ == "__main__":
