@@ -870,6 +870,213 @@ object SparkEntry {
         .agg(sum(discPrice).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: one nation's share of a region's market for one
+      // part type, by order year — the conditional-share pattern (a
+      // ratio of two sums over the same filtered join tree). The
+      // part-type slice broadcasts INTO the fact scan first (~1/6 of
+      // parts prunes ~5/6 of lineitem before the orders shuffle);
+      // supplier→nation and customer→nation→region reduce to
+      // key→nation maps and broadcast; both sums are exact decimals
+      // and the share is ONE IEEE division at the edge (q14
+      // discipline, extended to a conditional numerator).
+      val t = Tables(s, dir)
+      val parts = broadcast(t.part.filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey")))
+      val supp = broadcast(t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = broadcast(t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey")))
+      t.lineitem
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_1", discPrice)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double") /
+            sum(discPrice).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q9_product_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape: profit per (supplier nation, order year) for a
+      // part-name family — revenue minus cost at line grain over the
+      // FULL date range (no selective time slice: this is the
+      // all-years multi-dimension join). The testdata has no partsupp,
+      // so unit cost derives from the part dimension (0.6 ·
+      // p_retailprice) — same shape: a per-part cost joined into the
+      // fact and netted against line revenue. Revenue and cost
+      // accumulate as SEPARATE exact decimal sums (their line-grain
+      // difference in one decimal type would exceed 38 digits and the
+      // engines demote differently); the net is ONE IEEE subtraction
+      // at the edge.
+      val t = Tables(s, dir)
+      val parts = broadcast(t.part.filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val supp = broadcast(t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      val cost = col("p_retailprice").cast(DecimalType(18, 2)) *
+        lit(0.6).cast(DecimalType(3, 2)) *
+        col("l_quantity").cast(DecimalType(9, 0))
+      t.lineitem
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(discPrice).cast("double") - sum(cost).cast("double"))
+            .as("profit"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q11_important_parts" -> ((s, dir) => {
+      // TPC-H Q11 shape: parts whose value handled by ONE nation's
+      // suppliers exceeds a fixed fraction of that nation's total —
+      // the scalar-subquery-in-HAVING pattern. No partsupp in the
+      // testdata, so "value" is lineitem revenue through the nation's
+      // suppliers — same shape: one grouped aggregate, its own global
+      // re-aggregate broadcast back through a 1-row cross join (q22
+      // discipline; ReusedExchange dedupes the shared grouped scan),
+      // and a threshold compare where each side is an exact decimal
+      // sum cast once to double (the fraction multiply is one IEEE op,
+      // bit-identical cross-engine).
+      val t = Tables(s, dir)
+      val supp = broadcast(t.supplier
+        .join(broadcast(t.nation.filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val perPart = t.lineitem
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(discPrice).as("__val"))
+      val total = perPart.agg(sum(col("__val")).cast("double").as("__total"))
+      perPart
+        .crossJoin(broadcast(total))
+        .filter(col("__val").cast("double") > lit(0.002) * col("__total"))
+        .select(col("l_partkey"), col("__val").cast("double").as("value"))
+    }),
+    "q13_order_distribution" -> ((s, dir) => {
+      // TPC-H Q13 shape: the distribution of orders-per-customer
+      // INCLUDING zero-order customers — a filtered LEFT OUTER join
+      // (the exclusion predicate must act on the orders side BEFORE
+      // the join, never as a post-join WHERE, which would drop the
+      // no-match customers the query exists to count), then a
+      // count-of-counts double aggregate. No o_comment in the
+      // testdata, so the excluded class is URGENT orders — the same
+      // join-side-predicate role. The first aggregate shuffles at
+      // customer grain; the second re-aggregates the ~tens of
+      // distinct counts.
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: the supplier(s) with maximum quarterly
+      // revenue — the revenue-view + scalar-max-equality pattern with
+      // ties preserved (NOT a top-1 limit: equality against the
+      // global max keeps every argmax). The view aggregates at
+      // supplier grain off one pushed-down date slice; its 1-row max
+      // broadcasts back through a cross join (ReusedExchange dedupes
+      // the view's aggregate); the equality compares doubles each
+      // produced by ONE decimal-exact sum + cast, so it is
+      // bit-identical cross-engine.
+      val t = Tables(s, dir)
+      // the explicit not-null on the join key keeps the view's subtree
+      // canonically identical under BOTH consumers (the supplier join
+      // null-filters its side; without this the max side plans a second
+      // scan + aggregate instead of a ReusedExchange — measured, not
+      // hypothetical: the fact slice would be read twice at 100 TB)
+      val revenue = t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01") &&
+          col("l_suppkey").isNotNull)
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(discPrice).cast("double").as("total_revenue"))
+      val best = revenue.agg(max(col("total_revenue")).as("__max"))
+      t.supplier
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(best))
+        .filter(col("total_revenue") === col("__max"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+    "q16_supplier_counts" -> ((s, dir) => {
+      // TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+      // size) over an exclusion-heavy slice — NOT-predicates on the
+      // dimension plus NOT IN over a predicate-derived supplier set
+      // (no s_comment in the testdata, so the complaint set is the
+      // negative-balance suppliers; no partsupp, so the pairs come
+      // from lineitem). s_suppkey is never null, so NOT IN
+      // decorrelates to a broadcast left ANTI join exactly;
+      // (part, supplier) pairs dedupe inside count_distinct's partial
+      // aggregation — no pre-distinct pass.
+      val t = Tables(s, dir)
+      val parts = broadcast(t.part
+        .filter(col("p_brand") =!= "Brand#9" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      val excluded = broadcast(t.supplier.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey")))
+      t.lineitem.select(col("l_partkey"), col("l_suppkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+    "q20_part_promotion" -> ((s, dir) => {
+      // TPC-H Q20 shape: suppliers in a nation set who carried MORE
+      // than half of some target part's annual volume — the nested-IN
+      // with a correlated half-sum threshold, decorrelated into one
+      // (part, supplier) aggregate, its part-grain re-aggregate
+      // joined back (q17's self-aggregation pattern at pair grain),
+      // then a distinct semi-reduction to suppliers. The part-name
+      // slice pushes BELOW both aggregates (per-part totals don't mix
+      // across parts, so filtering parts first is semantics-
+      // preserving and prunes the fact scan); quantities are small
+      // integers so the 0.5·total compare is double-exact in any
+      // accumulation order.
+      val t = Tables(s, dir)
+      val parts = broadcast(t.part.filter(col("p_name").like("red%"))
+        .select(col("p_partkey")))
+      // explicit not-nulls on both keys keep the pair aggregate's
+      // subtree canonically identical under both consumers (q15's
+      // ReusedExchange lesson: the downstream supplier join null-filters
+      // only ITS branch's scan, which would split the exchange identity
+      // and scan + aggregate the fact slice twice)
+      val shipped = t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val partTotal = shipped.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("total_qty"))
+      shipped
+        .join(partTotal, "l_partkey")
+        .filter(col("qty") > lit(0.5) * col("total_qty"))
+        .select(col("l_suppkey")).distinct()
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation
+          .filter(col("n_name").isin("NATION_3", "NATION_8", "NATION_13"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+    }),
     "q_rollup_revenue" -> ((s, dir) => {
       // OLAP grouping sets — the reference's DWS summary layer (per-dim
       // cubes materialized app-by-app) re-expressed as one declarative
@@ -2229,6 +2436,21 @@ object SparkEntry {
         Tables(s, dir).embeddings, col("label"), col("embedding"))
         .select(col("key").as("label"), col("pos"), col("mean_v"))
     }),
+    "e_kmeans_fit" -> ((s, dir) => {
+      // distributed Lloyd k-means over the FULL embedding corpus (k=8,
+      // 3 E/M rounds) — the at-scale fit the sample-bounded IVF codebook
+      // fit deliberately isn't. E-step: codegen'd integer NearestCentroid
+      // scan (centroids plan-time broadcast); M-step: (cluster, dim)
+      // aggregated exchange, driver collects k·d rows. The 1e-6 integer
+      // grid makes every distance, argmin, and centroid update
+      // bit-identical cross-engine, so the oracle replays the whole fit
+      // trajectory as 3 unrolled SQL rounds (the BPE-train discipline).
+      // Record: per-cluster size + exact integer inertia from the final
+      // assignment — pins the assignment without hashing arrays.
+      Embeddings.kMeansFitStats(
+        Tables(s, dir).embeddings, col("vec_id"), col("embedding"),
+        k = 8, iters = 3)
+    }),
     "e_quantize_int8" -> ((s, dir) => {
       // symmetric int8 quantization of the embedding store, pinned
       // element-exactly via the md5 digest of the quantized vector
@@ -3184,6 +3406,64 @@ object SparkEntry {
       |  ELSE [array_to_string(w, ' ')] END""".stripMargin
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+
+  /** Unrolled-SQL oracle for e_kmeans_fit: the full Lloyd trajectory as
+    * one CTE chain (the BPE-train discipline — a deterministic training
+    * loop replays round by round). Per round n: d{n} computes every
+    * (vector, centroid) exact integer distance, a{n} takes the argmin
+    * (ties to the lowest list_id — row_number ORDER BY dist, list_id
+    * matches NearestCentroid's strict `<`), s{n} re-derives each
+    * centroid dim as floor(sum/count) on the same exactly-representable
+    * integers, and c{n+1} rebuilds the centroid list, keeping the
+    * previous centroid for clusters that received no vectors. The final
+    * SELECT re-assigns against the post-loop centroids and aggregates
+    * exact integer size + inertia.
+    */
+  private def kmeansFitOracle(k: Int, iters: Int, dim: Int): String = {
+    val rangeTbl = s"range(1, ${dim + 1}) r(i)"
+    def distCte(n: Int) =
+      s"""d$n AS (
+         |  SELECT v.id, c.list_id,
+         |         (SELECT sum((v.qv[r.i] - c.qc[r.i]) * (v.qv[r.i] - c.qc[r.i]))
+         |          FROM $rangeTbl) AS dist
+         |  FROM q v CROSS JOIN c$n c
+         |), a$n AS (
+         |  SELECT id, list_id, dist FROM (
+         |    SELECT id, list_id, dist,
+         |           row_number() OVER (PARTITION BY id ORDER BY dist, list_id) AS rn
+         |    FROM d$n) WHERE rn = 1
+         |)""".stripMargin
+    def stepCte(n: Int) =
+      s"""s$n AS (
+         |  SELECT a.list_id, r.i AS pos,
+         |         CAST(floor(CAST(sum(v.qv[r.i]) AS DOUBLE) / count(*)) AS BIGINT) AS qc_i
+         |  FROM a$n a JOIN q v USING (id) CROSS JOIN $rangeTbl
+         |  GROUP BY 1, 2
+         |), c${n + 1} AS (
+         |  SELECT list_id, list(qc_i ORDER BY pos) AS qc FROM s$n GROUP BY 1
+         |  UNION ALL
+         |  SELECT c.list_id, c.qc FROM c$n c
+         |  WHERE c.list_id NOT IN (SELECT DISTINCT list_id FROM a$n)
+         |)""".stripMargin
+    val rounds = (0 until iters)
+      .map(n => distCte(n) + ",\n" + stepCte(n))
+      .mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY __h, id) - 1 AS INTEGER) AS list_id,
+       |         qv AS qc
+       |  FROM (SELECT id, qv, md5(CAST(id AS VARCHAR)) AS __h
+       |        FROM q ORDER BY 3, 1 LIMIT $k)
+       |),
+       |$rounds,
+       |${distCte(iters)}
+       |SELECT list_id, count(*) AS size, CAST(sum(dist) AS BIGINT) AS inertia
+       |FROM a$iters GROUP BY 1""".stripMargin
+  }
 
   // ---- round-10: fitted-artifact oracle replays ----------------------
   // The gate-scale (sf0.01) trained model artifacts — IVF/k-means
@@ -4554,6 +4834,99 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |JOIN nation nc ON c_nationkey = nc.n_nationkey
          |WHERE ns.n_name <> nc.n_name
          |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  CAST(sum(CASE WHEN ns.n_name = 'NATION_1' THEN $discPriceSql
+         |           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         |    / CAST(sum($discPriceSql) AS DOUBLE) AS mkt_share,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |JOIN region ON nc.n_regionkey = r_regionkey
+         |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+         |GROUP BY 1""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name, year(o_orderdate) AS o_year,
+         |  CAST(sum($discPriceSql) AS DOUBLE)
+         |    - CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))
+         |               * CAST(0.6 AS DECIMAL(3,2))
+         |               * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE)
+         |    AS profit,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      s"""WITH nval AS (
+         |  SELECT l_partkey, sum($discPriceSql) AS v
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_2'
+         |  GROUP BY 1
+         |)
+         |SELECT l_partkey, CAST(v AS DOUBLE) AS value
+         |FROM nval
+         |WHERE CAST(v AS DOUBLE) >
+         |  0.002 * (SELECT CAST(sum(v) AS DOUBLE) FROM nval)""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |         CAST(sum($discPriceSql) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+         |  GROUP BY 1
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_part_promotion" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2
+        |), part_total AS (
+        |  SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY 1
+        |)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM shipped
+        |JOIN part_total USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+        |  AND qty > 0.5 * total_qty""".stripMargin,
     "q_rollup_revenue" ->
       s"""SELECT r_name, n_name, CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
          |  count(*) AS n_items
@@ -5570,6 +5943,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
         |        (x, i) -> {'pos': i - 1, 'v': x})) AS u
         |      FROM embeddings)
         |GROUP BY label, u.pos""".stripMargin,
+    "e_kmeans_fit" -> kmeansFitOracle(k = 8, iters = 3, dim = 64),
     "e_jl_project" ->
       """WITH s AS (
         |  SELECT j.range AS j, i.range AS i,

@@ -84,6 +84,86 @@ object Embeddings {
         col("pos"),
         (col("__s").cast("double") / 1e6 / col("__n")).as("mean_v"))
 
+  // ---- distributed k-means ----
+
+  /** Distributed Lloyd k-means over the FULL corpus — the at-scale fit
+    * path beyond [[Similarity]]'s bounded-sample driver fit (which stays
+    * the right tool for index codebooks: a model artifact needs a sample,
+    * not a corpus). Here every E-step is a cluster-wide scan and every
+    * M-step a (cluster, dim)-grain aggregated exchange, so the fit
+    * handles corpora no driver can hold:
+    *
+    *   - E-step: one pass over the cached quantized corpus through the
+    *     codegen'd [[org.apache.spark.sql.graft.NearestCentroid]]
+    *     (k×d integer loop per row, centroids plan-time broadcast via
+    *     `addReferenceObj` — no join, no HOF interpretation).
+    *   - M-step: posexplode → groupBy(list, pos) with map-side partial
+    *     sums; the exchange carries ≤ k·d rows per map task, and the
+    *     driver collects exactly k·d rows (the bounded model artifact),
+    *     never data.
+    *
+    * Determinism — the reason this is oracle-replayable at all: vectors
+    * quantize to a 1e-6 integer grid (floor — no rounding-mode
+    * ambiguity), distances are exact BIGINT sums (order-free), argmin
+    * ties go to the lowest centroid index, and the new centroid per dim
+    * is floor(sum/count) where the division is one correctly-rounded
+    * IEEE op on exactly-representable integers (|sum| < 2^53) — every
+    * step is bit-identical on any engine, so the whole fit TRAJECTORY
+    * replays in unrolled SQL (the BPE-train discipline applied to
+    * clustering). Init = the first k vectors in (md5(id), id) order —
+    * [[Similarity]]'s replayable total order. Empty clusters keep their
+    * previous centroid.
+    *
+    * Returns per-cluster (list_id, size, inertia) from a final
+    * assignment pass — size and inertia are exact integers, so the
+    * record pins the full assignment without hashing arrays. The
+    * quantized corpus is cached for the `iters` E/M scans and
+    * unpersisted before the final pass (which re-reads the source — one
+    * extra scan, no app-lifetime cache residue).
+    */
+  def kMeansFitStats(
+      df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.nearestCentroid
+    val q = df.select(
+        id.cast("long").as("__id"),
+        transform(vec.cast("array<double>"),
+          x => floor(x * lit(1e6)).cast("long")).as("__qv"))
+    val cached = q.persist()
+    var cents: Array[Array[Long]] =
+      cached
+        .select(col("__qv"), md5(col("__id").cast("string")).as("__h"), col("__id"))
+        .orderBy(col("__h"), col("__id"))
+        .limit(k)
+        .select("__qv")
+        .collect()
+        .map(_.getSeq[Long](0).toArray)
+    require(cents.length == k, s"kMeansFitStats: corpus has ${cents.length} < k=$k vectors")
+    val d = cents.head.length
+    for (_ <- 0 until iters) {
+      val stats = cached
+        .select(nearestCentroid(col("__qv"), cents.flatten, k, d)
+          .bitwiseAND(lit(15L)).cast("int").as("__list"),
+          col("__qv"))
+        .select(col("__list"), posexplode(col("__qv")).as(Seq("__pos", "__q")))
+        .groupBy(col("__list"), col("__pos"))
+        .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+        .collect() // ≤ k·d rows — the bounded model artifact, never data
+      val next = cents.map(_.clone)
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      }
+      cents = next
+    }
+    cached.unpersist()
+    q.select(nearestCentroid(col("__qv"), cents.flatten, k, d).as("__packed"))
+      .select(
+        col("__packed").bitwiseAND(lit(15L)).cast("int").as("list_id"),
+        shiftright(col("__packed"), 4).as("dist"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("size"), sum(col("dist")).as("inertia"))
+  }
+
   // ---- PCA / whitening ----
 
   /** A trained PCA basis: the artifact is O(dim²) — bounded and

@@ -285,6 +285,88 @@ case class AdcScore(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Nearest centroid over an integer-quantized vector: argmin_c Σ_j
+  * (qv[j] - cents[c][j])² with ties to the LOWEST centroid index, packed
+  * as `dist · 16 + list_id` in one long (k ≤ 16; with 1e6-grid 64-dim
+  * unit-scale vectors dist ≤ ~2.6e14, so the pack never overflows).
+  *
+  * Why integers: the distributed k-means fit must be replayable by an
+  * external SQL oracle, and floating-point distance sums accumulate in
+  * engine-private order. On the integer grid every distance is EXACT in
+  * any order, so the argmin — and therefore the whole fit trajectory —
+  * is bit-identical cross-engine. Why one expression: the k×d loop over
+  * a plan-time centroid matrix (`addReferenceObj`) stays inside
+  * whole-stage codegen; the `transform`/`aggregate` HOF formulation is
+  * CodegenFallback and interprets k lambda trees per row (the PqCodes
+  * lesson). Missing trailing dims read as 0.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Long], k: Int, d: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(k > 0 && k <= 16, "NearestCentroid packs list_id in 4 bits: k must be 1..16")
+  require(cents.length == k * d, "cents must be k*d flattened")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), d)
+    var best = 0
+    var bd = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      var dist = 0L
+      var j = 0
+      while (j < n) {
+        val t = x.getLong(j) - cents(c * d + j)
+        dist += t * t
+        j += 1
+      }
+      while (j < d) { val t = cents(c * d + j); dist += t * t; j += 1 }
+      if (dist < bd) { bd = dist; best = c }
+      c += 1
+    }
+    bd * 16L + best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd")
+      s"""
+         |final int $n = java.lang.Math.min($v.numElements(), $d);
+         |int $best = 0; long $bd = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  long $dist = 0L;
+         |  int $j = 0;
+         |  for (; $j < $n; $j++) {
+         |    final long $t = $v.getLong($j) - $centsRef[$c * $d + $j];
+         |    $dist += $t * $t;
+         |  }
+         |  for (; $j < $d; $j++) {
+         |    final long $t = $centsRef[$c * $d + $j];
+         |    $dist += $t * $t;
+         |  }
+         |  if ($dist < $bd) { $bd = $dist; $best = $c; }
+         |}
+         |${ev.value} = $bd * 16L + $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[CosineSim]]: `cosineSim($"a", $"b")`. */
   def cosineSim(a: Column, b: Column): Column =
@@ -306,4 +388,10 @@ object VectorFunctions {
   def adcScore(lut: Column, codes: Column): Column =
     ExpressionUtils.column(
       AdcScore(ExpressionUtils.expression(lut), ExpressionUtils.expression(codes)))
+
+  /** Column API for [[NearestCentroid]]; cents indexed [c][j] flattened
+    * to c·d + j; result packed `dist·16 + list_id`. */
+  def nearestCentroid(qv: Column, cents: Array[Long], k: Int, d: Int): Column =
+    ExpressionUtils.column(
+      NearestCentroid(ExpressionUtils.expression(qv), cents, k, d))
 }

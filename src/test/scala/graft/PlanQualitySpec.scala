@@ -478,6 +478,85 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), s"supplier must broadcast:\n$p")
   }
 
+  test("q8: every dimension broadcasts; the share is one agg exchange over the pruned fact") {
+    val p = plan("q8_market_share")
+    // part slice, customer(region-filtered), supplier→nation all
+    // broadcast; at sf0.001 stats may broadcast orders too. The fact
+    // table never shuffles for a dimension.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"at most the orderkey pair + the year agg may shuffle:\n$p")
+  }
+
+  test("q9: full-range profit join keeps dims broadcast and sums both measures in one agg") {
+    val p = plan("q9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // revenue and cost are two partial sums of ONE aggregate — a second
+    // agg pass over the join tree would double the fact work
+    assert("partial_sum".r.findAllIn(p).size >= 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q11: the nation total broadcasts through a 1-row cross join; grouped scan reused") {
+    val df = SparkEntry.queries("q11_important_parts")(spark, dir)
+    df.collect() // finalize AQE: exchange reuse is a runtime rule
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      s"the 1-row total must broadcast-cross onto the per-part rows:\n$p")
+    // the per-part aggregate feeds both the HAVING side and its own
+    // global total: one exchange, reused — never two scans
+    assert(p.contains("ReusedExchange") ||
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"per-part aggregate not reused for the global total:\n$p")
+  }
+
+  test("q13: zero-order customers survive — the exclusion stays on the join's orders side") {
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"the outer join must survive planning (a WHERE would drop no-match rows):\n$p")
+    assert(p.contains("partial_count"), s"both aggregates must pre-combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q15: the max joins back as a broadcast equi-join; the revenue view is scanned once") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, dir)
+    df.collect() // finalize AQE: exchange reuse is a runtime rule
+    val p = df.queryExecution.executedPlan.toString
+    // Catalyst converts crossJoin + (total_revenue === max) into a
+    // broadcast HASH join keyed on the normalized double — strictly
+    // better than the nested-loop cross q22's inequality needs
+    assert(p.contains("Cross") &&
+      (p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin")),
+      s"the scalar max must broadcast back onto the view:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"revenue view not reused for its own max (fact slice scanned twice):\n$p")
+  }
+
+  test("q16: NOT IN plans as a broadcast anti join; distinct pairs collapse inside the agg") {
+    val p = plan("q16_supplier_counts")
+    assert(p.contains("LeftAnti"),
+      s"the exclusion set must plan as an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the part slice must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q20: part slice pushes below both aggregates; the pair frame is scanned once") {
+    val df = SparkEntry.queries("q20_part_promotion")(spark, dir)
+    df.collect() // finalize AQE: exchange reuse is a runtime rule
+    // negative asserts must see only the FINAL plan — the toString keeps
+    // the pre-adaptive "Initial Plan" section, where the SMJ AQE then
+    // converts to a broadcast join still appears
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"the part slice must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // shipped feeds both the pair rows and the per-part total: its
+    // aggregate exchange must be reused, not recomputed
+    assert(p.contains("ReusedExchange"),
+      s"pair aggregate not reused for the part totals (fact slice scanned twice):\n$p")
+  }
+
   test("q22: scalar average broadcasts through a 1-row cross join; recent orders anti-join") {
     val p = plan("q22_idle_customers")
     assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),

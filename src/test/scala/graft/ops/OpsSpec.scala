@@ -939,6 +939,81 @@ class OpsSpec extends SparkSpec {
     assert(adcBoth.filter(col("na") =!= col("ha")).isEmpty, "adc scores differ")
   }
 
+  test("native NearestCentroid equals the HOF argmin; ties go to the lowest index") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val (k, d) = (4, 6)
+    val cents: Seq[Seq[Long]] = (0 until k).map(c =>
+      (0 until d).map(j => ((c * 37 + j * 11) % 23 - 9).toLong))
+    val flat = cents.flatten.toArray
+    val v = graft.io.Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select(col("vec_id").as("id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(20)).cast("long")).as("qv"))
+      .select(col("id"), slice(col("qv"), 1, d).as("qv"))
+      .limit(60)
+    val hofDists = transform(typedlit(cents), c =>
+      aggregate(zip_with(col("qv"), c, (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x))
+    val both = v.select(
+      col("id"),
+      VectorFunctions.nearestCentroid(col("qv"), flat, k, d).as("packed"),
+      Cols.bindOnce(hofDists)(ds => struct(
+        (array_position(ds, array_min(ds)) - 1).cast("int").as("list"),
+        array_min(ds).as("dist"))).as("hof"))
+    assert(both.filter(
+      col("packed").bitwiseAND(lit(15L)).cast("int") =!= col("hof.list") ||
+        shiftright(col("packed"), 4) =!= col("hof.dist")).isEmpty,
+      "native argmin/dist differ from the HOF formulation")
+    // explicit tie: a point equidistant from centroids 0 and 1 picks 0
+    val tiePoint = Seq(Tuple1(Seq(5L, 0L))).toDF("qv")
+    val tieCents = Array(0L, 0L, 10L, 0L, 0L, 99L) // c0=(0,0), c1=(10,0), c2 far
+    val packed = tiePoint
+      .select(VectorFunctions.nearestCentroid(col("qv"), tieCents, 3, 2))
+      .head().getLong(0)
+    assert((packed & 15L) == 0L && (packed >> 4) == 25L,
+      s"tie must keep the lowest centroid index: got $packed")
+  }
+
+  test("kMeansFitStats matches a local Lloyd reference on a deterministic frame") {
+    // 12 points in 3 obvious groups around (0,0), (100,0), (0,100) on the
+    // 1e-6 grid after quantization — the fit must find the groups and the
+    // (size, inertia) record must match an independently-coded local loop
+    val pts: Seq[(Long, Seq[Double])] = (0 until 12).map { i =>
+      val (cx, cy) = (i % 3) match {
+        case 0 => (0.0, 0.0); case 1 => (1.0, 0.0); case _ => (0.0, 1.0)
+      }
+      (i.toLong, Seq(cx + 0.001 * (i / 3), cy - 0.002 * (i / 3)))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = graft.ops.Embeddings
+      .kMeansFitStats(df, col("vec_id"), col("embedding"), k = 3, iters = 3)
+      .orderBy("list_id")
+      .as[(Int, Long, Long)].collect().toSeq
+    // local reference: same quantization, same md5 init order, 3 sweeps
+    val q = pts.map { case (id, v) => id -> v.map(x => math.floor(x * 1e6).toLong).toArray }
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cents = q.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(3).map(_._2.map(identity))
+    def assign(v: Array[Long]) = cents.zipWithIndex.map { case (c, i) =>
+      (c.zip(v).map { case (a, b) => val t = b - a; t * t }.sum, i)
+    }.minBy { case (dist, i) => (dist, i) }
+    for (_ <- 0 until 3) {
+      val byC = q.groupBy { case (_, v) => assign(v)._2 }
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        byC.get(i).fold(c) { members =>
+          val n = members.size
+          c.indices.map(j =>
+            math.floor(members.map(_._2(j)).sum.toDouble / n).toLong).toArray
+        }
+      }
+    }
+    val want = q.groupBy { case (_, v) => assign(v)._2 }.toSeq
+      .map { case (li, ms) => (li, ms.size.toLong, ms.map(m => assign(m._2)._1).sum) }
+      .sortBy(_._1)
+    assert(got == want, s"distributed fit diverged from the local reference:\n$got\n$want")
+    assert(got.map(_._2).sum == 12, "every point assigned exactly once")
+  }
+
   test("native CharNgrams equals the transform/substr HOF formulation") {
     import org.apache.spark.sql.graft.TextFunctions
     val df = Seq("hello world", "ab", "abc", "", "héllo ünïcode")
