@@ -2451,6 +2451,19 @@ object SparkEntry {
         Tables(s, dir).embeddings, col("vec_id"), col("embedding"),
         k = 8, iters = 3)
     }),
+    "e_cluster_sample" -> ((s, dir) => {
+      // cluster-balanced subsample: the e_kmeans_fit fit's final
+      // assignment capped at 25 members per cluster in (md5(id), id)
+      // order — rare clusters survive at full strength, dominant ones
+      // are capped (the embedding-space diversity draw uniform md5
+      // sampling can't express). Rank exchange on list_id with
+      // WindowGroupLimit pre-pruning; the oracle replays fit +
+      // assignment + draw end-to-end.
+      Embeddings.kMeansBalancedSample(
+        Tables(s, dir).embeddings, col("vec_id"), col("embedding"),
+        k = 8, iters = 3, n = 25)
+        .select(col("id").as("vec_id"), col("list_id"))
+    }),
     "e_quantize_int8" -> ((s, dir) => {
       // symmetric int8 quantization of the embedding store, pinned
       // element-exactly via the md5 digest of the quantized vector
@@ -3419,7 +3432,10 @@ object SparkEntry {
     * SELECT re-assigns against the post-loop centroids and aggregates
     * exact integer size + inertia.
     */
-  private def kmeansFitOracle(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansFitOracle(k: Int, iters: Int, dim: Int,
+      finalSelect: String =
+        """SELECT list_id, count(*) AS size, CAST(sum(dist) AS BIGINT) AS inertia
+          |FROM a_FINAL GROUP BY 1""".stripMargin): String = {
     val rangeTbl = s"range(1, ${dim + 1}) r(i)"
     def distCte(n: Int) =
       s"""d$n AS (
@@ -3461,8 +3477,7 @@ object SparkEntry {
        |),
        |$rounds,
        |${distCte(iters)}
-       |SELECT list_id, count(*) AS size, CAST(sum(dist) AS BIGINT) AS inertia
-       |FROM a$iters GROUP BY 1""".stripMargin
+       |${finalSelect.replace("a_FINAL", s"a$iters")}""".stripMargin
   }
 
   // ---- round-10: fitted-artifact oracle replays ----------------------
@@ -5944,6 +5959,13 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
         |      FROM embeddings)
         |GROUP BY label, u.pos""".stripMargin,
     "e_kmeans_fit" -> kmeansFitOracle(k = 8, iters = 3, dim = 64),
+    "e_cluster_sample" -> kmeansFitOracle(k = 8, iters = 3, dim = 64,
+      finalSelect =
+        """SELECT id AS vec_id, list_id FROM (
+          |  SELECT id, list_id,
+          |         row_number() OVER (PARTITION BY list_id
+          |                            ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+          |  FROM a_FINAL) WHERE rn <= 25""".stripMargin),
     "e_jl_project" ->
       """WITH s AS (
         |  SELECT j.range AS j, i.range AS i,

@@ -121,13 +121,17 @@ object Embeddings {
     * unpersisted before the final pass (which re-reads the source — one
     * extra scan, no app-lifetime cache residue).
     */
-  def kMeansFitStats(
-      df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
+  /** The 1e-6-grid quantized frame every k-means surface shares. */
+  private def kmQuantize(df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(
+      id.cast("long").as("__id"),
+      transform(vec.cast("array<double>"),
+        x => floor(x * lit(1e6)).cast("long")).as("__qv"))
+
+  /** The E/M loop on a quantized frame: caches it for the `iters` scans,
+    * unpersists before returning. Returns (centroids, dim). */
+  private def kmFit(q: DataFrame, k: Int, iters: Int): (Array[Array[Long]], Int) = {
     import org.apache.spark.sql.graft.VectorFunctions.nearestCentroid
-    val q = df.select(
-        id.cast("long").as("__id"),
-        transform(vec.cast("array<double>"),
-          x => floor(x * lit(1e6)).cast("long")).as("__qv"))
     val cached = q.persist()
     var cents: Array[Array[Long]] =
       cached
@@ -137,7 +141,7 @@ object Embeddings {
         .select("__qv")
         .collect()
         .map(_.getSeq[Long](0).toArray)
-    require(cents.length == k, s"kMeansFitStats: corpus has ${cents.length} < k=$k vectors")
+    require(cents.length == k, s"kMeans fit: corpus has ${cents.length} < k=$k vectors")
     val d = cents.head.length
     for (_ <- 0 until iters) {
       val stats = cached
@@ -156,13 +160,52 @@ object Embeddings {
       cents = next
     }
     cached.unpersist()
-    q.select(nearestCentroid(col("__qv"), cents.flatten, k, d).as("__packed"))
+    (cents, d)
+  }
+
+  /** Fit + final assignment: (id, list_id, dist) per vector, where dist
+    * is the exact integer squared grid-distance to the winning centroid.
+    * The cluster-membership surface the curation ops compose on. */
+  def kMeansAssign(
+      df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.nearestCentroid
+    val q = kmQuantize(df, id, vec)
+    val (cents, d) = kmFit(q, k, iters)
+    q.select(
+        col("__id").as("id"),
+        nearestCentroid(col("__qv"), cents.flatten, k, d).as("__packed"))
       .select(
+        col("id"),
         col("__packed").bitwiseAND(lit(15L)).cast("int").as("list_id"),
         shiftright(col("__packed"), 4).as("dist"))
+  }
+
+  def kMeansFitStats(
+      df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame =
+    kMeansAssign(df, id, vec, k, iters)
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("size"), sum(col("dist")).as("inertia"))
-  }
+
+  /** Cluster-balanced subsample — the diversity-preserving curation draw:
+    * fit k clusters on the full corpus ([[kMeansAssign]]), then keep the
+    * first `n` members of EACH cluster in (md5(id), id) order. Uniform
+    * md5 sampling preserves the corpus's cluster imbalance; this keeps
+    * the tails (rare clusters survive at full strength, dominant ones
+    * are capped) — the standard embedding-space balancing step before
+    * mixture weighting. Plan: the assignment scan, then one rank
+    * exchange on list_id with per-map-task top-n pruning
+    * (WindowGroupLimit — [[Sampling.capPerKey]]'s shape); the md5 order
+    * makes the draw engine-replayable like every sampling op here.
+    */
+  def kMeansBalancedSample(
+      df: DataFrame, id: Column, vec: Column, k: Int, iters: Int, n: Int): DataFrame =
+    Sampling.capPerKey(
+      kMeansAssign(df, id, vec, k, iters)
+        .withColumn("__h", md5(col("id").cast("string"))),
+      col("list_id"),
+      Seq(col("__h"), col("id")),
+      n)
+      .select(col("id"), col("list_id"))
 
   // ---- PCA / whitening ----
 

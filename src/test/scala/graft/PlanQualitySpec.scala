@@ -557,6 +557,18 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"pair aggregate not reused for the part totals (fact slice scanned twice):\n$p")
   }
 
+  test("e_cluster_sample: the balanced draw is one rank exchange with group-limit pruning") {
+    // the k-means fit itself runs driver-loop jobs at construction time;
+    // the RETURNED plan (assignment + per-cluster capped draw) is what
+    // executes per call and must stay one exchange
+    val p = plan("e_cluster_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cluster top-n must prune per map task before the rank exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the list_id rank exchange:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"), p)
+  }
+
   test("q22: scalar average broadcasts through a 1-row cross join; recent orders anti-join") {
     val p = plan("q22_idle_customers")
     assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),

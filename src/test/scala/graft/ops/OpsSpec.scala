@@ -1012,6 +1012,22 @@ class OpsSpec extends SparkSpec {
       .sortBy(_._1)
     assert(got == want, s"distributed fit diverged from the local reference:\n$got\n$want")
     assert(got.map(_._2).sum == 12, "every point assigned exactly once")
+
+    // degenerate corpus: identical points with k=3 — ties send every
+    // point to centroid 0, clusters 1/2 stay empty (keep their previous
+    // centroid, never divide by zero) and drop out of the record
+    val same = Seq.tabulate(3)(i => (i.toLong, Seq(0.5, 0.5))).toDF("vec_id", "embedding")
+    val degen = graft.ops.Embeddings
+      .kMeansFitStats(same, col("vec_id"), col("embedding"), k = 3, iters = 2)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(degen == Seq((0, 3L, 0L)), s"identical points must collapse to cluster 0: $degen")
+
+    // k larger than the corpus fails loudly, not with a silent short fit
+    val tiny = Seq((1L, Seq(0.1, 0.2))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Embeddings.kMeansFitStats(tiny, col("vec_id"), col("embedding"), k = 4, iters = 1)
+    }
+    assert(err.getMessage.contains("< k="), err.getMessage)
   }
 
   test("native CharNgrams equals the transform/substr HOF formulation") {
