@@ -71,7 +71,24 @@ object ScaleProbe {
       "probe_hot_items_stream_eventgrain_rocksdb" ->
         ((s: SparkSession, dir: String) => withRocksDb(s)(eventGrain(s, dir))),
       "probe_hot_items_stream_rocksdb" ->
-        ((s: SparkSession, dir: String) => withRocksDb(s)(twoStage(s, dir))))
+        ((s: SparkSession, dir: String) => withRocksDb(s)(twoStage(s, dir))),
+      // asymmetric decontamination axis — the REAL deployment shape:
+      // train grows with <dir>, the benchmark stays pinned to sf0.1's
+      // even-id docs (the declared query's parity split grows BOTH
+      // sides, understating the bloom prune's effect)
+      "probe_decon_asym_anchor" -> ((s: SparkSession, dir: String) =>
+        graft.ops.Dedup.crossCorpusNearDups(
+          graft.io.Tables(s, dir).documents.filter(F.col("doc_id") % 2 === 1),
+          graft.io.Tables(s, "/root/testdata/sf0.1").documents
+            .filter(F.col("doc_id") % 2 === 0),
+          F.col("doc_id"), F.col("text"), 3, 0.5)),
+      "probe_decon_asym_bloom" -> ((s: SparkSession, dir: String) =>
+        graft.ops.Dedup.crossCorpusNearDupsBloom(
+          graft.io.Tables(s, dir).documents.filter(F.col("doc_id") % 2 === 1),
+          graft.io.Tables(s, "/root/testdata/sf0.1").documents
+            .filter(F.col("doc_id") % 2 === 0),
+          F.col("doc_id"), F.col("text"), 3, 0.5,
+          expectedEvalShingles = 200000L)))
   }
 
   def main(args: Array[String]): Unit = {

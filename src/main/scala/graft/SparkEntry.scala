@@ -1442,6 +1442,20 @@ object SparkEntry {
         col("doc_id"), col("text"), 3, 0.5)
     }),
 
+    "d_decontaminate_bloom" -> ((s, dir) => {
+      // the 100 TB decontamination plan: the train explode filters
+      // through a codegen'd might_contain over the benchmark's shingle
+      // bloom BEFORE any exchange — at real scale virtually every train
+      // shingle misses and the join sees only the contaminated sliver.
+      // Same output as d_decontaminate (the exact join removes the
+      // bloom's false positives): one shared oracle, plan-pinned.
+      val docs = Tables(s, dir).documents
+      Dedup.crossCorpusNearDupsBloom(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), 3, 0.5,
+        expectedEvalShingles = 200000L)
+    }),
     "d_contamination_frac" -> ((s, dir) => {
       // per-eval-doc n-gram overlap score vs the train corpus: catches
       // jointly-contaminated docs no single Jaccard pair flags
@@ -4519,6 +4533,23 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
        |SELECT a, b, c * 1000000 // m AS c_micro
        |FROM p WHERE c * 1000000 // m >= 800000""".stripMargin
 
+  /** Shared by d_decontaminate and its bloom-pruned scale twin — the
+    * bloom only prunes, the exact join restores exactness, so both
+    * queries carry ONE oracle. */
+  private lazy val decontaminateSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokensExpr AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM d
+       |)
+       |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+       |FROM g a JOIN g b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_pv_hourly" -> pvHourlySql,
     "q_pv_hourly_stream" -> pvHourlySql,
@@ -5035,19 +5066,8 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |  md5(coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '')) AS cleaned_md5
          |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
          |GROUP BY t.doc_id, len(t.ws)""".stripMargin,
-    "d_decontaminate" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, $tokensExpr AS w FROM documents
-         |), g AS (
-         |  SELECT doc_id, $shinglesExpr AS sh FROM d
-         |)
-         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
-         |FROM g a JOIN g b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-         |WHERE len(list_intersect(a.sh, b.sh)) > 0
-         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+    "d_decontaminate" -> decontaminateSql,
+    "d_decontaminate_bloom" -> decontaminateSql,
     "d_dedup_ngram" ->
       s"""WITH d AS (
          |  SELECT doc_id, $tokensExpr AS w FROM documents

@@ -702,6 +702,59 @@ object Dedup {
       .select(col("train_id"), col("eval_id"), col("jaccard"))
   }
 
+  /** [[crossCorpusNearDups]]'s 100 TB plan: prune the TRAIN explode
+    * through a bloom filter of the eval corpus's distinct shingle hashes
+    * BEFORE any join — the benchmark side is tiny (that's what makes it
+    * a benchmark), so at decontamination scale virtually every train
+    * shingle misses and never reaches an exchange. Output is EXACTLY the
+    * plain sweep's (same oracle): the bloom admits false positives only,
+    * and the exact shingle equi-join behind it removes them.
+    *
+    * Two structural differences from the anchor, both scale-motivated:
+    * the bloom prune runs straight off the scan (codegen'd
+    * `might_contain`, no pre-prune shuffle), and the per-doc shingle
+    * counts the Jaccard denominator needs come from a map-side-combined
+    * aggregate JOINED AFTER the candidate grouping — the anchor's
+    * count-over-window would force a full train-explode shuffle before
+    * the prune could act. The eval frame persists for its three
+    * consumers (bloom build, join, counts) — benchmark-sized by
+    * assumption, freed by the runner's clearCache like the minhash
+    * frames. Driver holds one bloom of `expectedEvalShingles` keys at
+    * `fpp` (the [[graft.ops.Joins.bloomPrunedSemiJoin]] sizing rule).
+    */
+  def crossCorpusNearDupsBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      threshold: Double,
+      expectedEvalShingles: Long,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.BloomJoinExpressions
+    import org.apache.spark.util.sketch.BloomFilter
+    def rows(df: DataFrame) = TextOps.shingleHashRows(df, id, text, n).distinct()
+    val evalEx = rows(eval).persist()
+    val numBits = BloomFilter.optimalNumOfBits(expectedEvalShingles, fpp)
+    val bits = evalEx
+      .agg(BloomJoinExpressions.bloomAgg(col("s"), expectedEvalShingles, numBits).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+    val trainEx = rows(train)
+    val na = trainEx.groupBy(col("doc_id").as("train_id")).agg(count(lit(1)).as("na"))
+    val nb = evalEx.groupBy(col("doc_id").as("eval_id")).agg(count(lit(1)).as("nb"))
+    trainEx
+      .filter(BloomJoinExpressions.mightContain(bits, col("s")))
+      .as("l")
+      .join(evalEx.as("r"), col("l.s") === col("r.s"))
+      .groupBy(col("l.doc_id").as("train_id"), col("r.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("c"))
+      .join(na, "train_id")
+      .join(broadcast(nb), "eval_id")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+  }
+
   /** Per-document contamination FRACTION — the graded companion to
     * [[crossCorpusNearDups]]'s pair sweep: for every eval doc, what share
     * of its distinct word-n-gram shingles occurs ANYWHERE in the train

@@ -333,6 +333,20 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"bloom prune missing from the fact scan:\n$p")
   }
 
+  test("bloom decontamination: train explode prunes through might_contain before any join") {
+    val p = plan("d_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      s"bloom prune missing from the train side:\n$p")
+    // the denominator counts come from map-side-combined aggregates
+    // (partial_count), not the anchor's count-over-window — shingling's
+    // own lead() windows run per doc BEFORE the explode and are fine
+    assert(p.contains("partial_count"),
+      s"per-doc counts must pre-combine map-side:\n$p")
+    assert(!"windowexec \\[count".r.findAllIn(p.toLowerCase).hasNext &&
+      !"window \\[count".r.findAllIn(p.toLowerCase).hasNext,
+      s"per-doc counts must not plan a count-over-window on the explode:\n$p")
+  }
+
   test("latest snapshot: WindowGroupLimit prunes per-key history before the exchange") {
     val p = plan("q_latest_snapshot")
     assert(p.contains("WindowGroupLimit"),
