@@ -1685,6 +1685,24 @@ object SparkEntry {
         withSplit.filter(col("split") === "eval"),
         col("doc_id"), col("text"), 3, 0.5)
     }),
+    "p_split_group" -> ((s, dir) => {
+      // leakage-safe 90/10 split: the split unit is the near-dup
+      // CLUSTER (connected components over the lossless pair list), so
+      // near-duplicates can never straddle the boundary — the
+      // constructive fix for exactly what p_split_leakage audits (the
+      // per-doc split leaks 5 pairs in this corpus; this one leaks zero
+      // by construction, asserted in PipelineSpec). Docs with no
+      // near-dup form singleton groups keyed by their own id.
+      val docs = Tables(s, dir).documents
+      Sampling.splitByGroup(
+          docs,
+          col("doc_id"),
+          Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)),
+          "id", "cluster_id",
+          Seq("train" -> 0.9, "eval" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    }),
     "d_chunk" -> ((s, dir) => {
       // overlapping 64-token / 16-overlap chunk windows (RAG/pretraining
       // sequence shaping); chunk text re-joined with single spaces
@@ -5098,6 +5116,32 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
          |)
          |SELECT id, min(l) AS cluster_id FROM lab GROUP BY id""".stripMargin,
+    "p_split_group" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, $shinglesExpr AS sh FROM d
+         |), p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.5
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+         |), lab(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, lab.l FROM lab JOIN edges e ON lab.id = e.src
+         |), clusters AS (
+         |  SELECT id, min(l) AS cluster_id FROM lab GROUP BY id
+         |)
+         |SELECT doc.doc_id,
+         |  CASE WHEN CAST(concat('0x', substring(
+         |         md5(CAST(coalesce(c.cluster_id, doc.doc_id) AS VARCHAR)), 1, 12))
+         |         AS BIGINT) / 281474976710656.0 < 0.9
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM documents doc LEFT JOIN clusters c ON doc.doc_id = c.id""".stripMargin,
     "d_contamination_frac" ->
       s"""WITH d AS (
          |  SELECT doc_id, $tokensExpr AS w FROM documents

@@ -248,6 +248,38 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Leakage-SAFE split: the unit of assignment is a GROUP (a near-dup
+    * cluster, a source domain, a user), not the row — every member
+    * inherits its group key's md5 split decision, so correlated rows can
+    * never straddle the train/eval boundary. This is the constructive
+    * complement to the p_split_leakage AUDIT: a per-row split leaks
+    * whenever near-duplicates hash to different sides; splitting on the
+    * cluster label leaks zero BY CONSTRUCTION (and the audit then
+    * verifies the empty set).
+    *
+    * `groups` is an (id, group label) frame — [[graft.ops.Dedup]]'s
+    * `connectedComponents` output, typically. Rows absent from it form
+    * singleton groups keyed by their own id (pair generators only emit
+    * docs that HAVE a near-dup). Plan: one left equi-join (the label
+    * table is cluster-count-sized; AQE broadcasts it when small) and the
+    * same per-row md5 bucketing as [[split]] — no new shuffle grain.
+    */
+  def splitByGroup(
+      df: DataFrame,
+      id: Column,
+      groups: DataFrame,
+      idCol: String,
+      groupCol: String,
+      buckets: Seq[(String, Double)]): DataFrame =
+    split(
+      df.join(
+          groups.select(col(idCol).as("__gid"), col(groupCol).as("__grp")),
+          id === col("__gid"), "left_outer")
+        .drop("__gid"),
+      coalesce(col("__grp"), id),
+      buckets)
+      .drop("__grp")
+
   /** Per-group integrity manifest: (group, n_rows, total_weight,
     * ids_md5) where `ids_md5` digests the NUMERICALLY-sorted id list —
     * the dataset-card / reproducibility artifact: two corpus builds (or

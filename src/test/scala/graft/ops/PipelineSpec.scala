@@ -65,6 +65,30 @@ class PipelineSpec extends SparkSpec {
     assert(leaks.isEmpty, "no kept doc may near-dup an eval doc")
   }
 
+  test("splitByGroup: zero cross-split near-dup pairs where the per-doc split leaks") {
+    val docs = graft.io.Tables(spark, "/root/testdata/sf0.01").documents
+    def leaks(withSplit: org.apache.spark.sql.DataFrame): Long =
+      Dedup.crossCorpusNearDups(
+        withSplit.filter(col("split") === "train"),
+        withSplit.filter(col("split") === "eval"),
+        col("doc_id"), col("text"), 3, 0.5).count()
+    // the audit's known corpus fact: the plain per-doc split leaks
+    val perDoc = Sampling.split(docs, col("doc_id"), Seq("train" -> 0.9, "eval" -> 0.1))
+    assert(leaks(perDoc) > 0, "testdata should contain leaked pairs under the per-doc split")
+    // the cluster-keyed split leaks ZERO by construction — same
+    // threshold for the cluster build and the audit, so every potential
+    // leak pair is an edge inside one cluster, and one cluster never
+    // straddles the boundary
+    val byCluster = Sampling.splitByGroup(
+      docs, col("doc_id"),
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)),
+      "id", "cluster_id", Seq("train" -> 0.9, "eval" -> 0.1))
+    assert(leaks(byCluster) == 0, "cluster-keyed split must not leak")
+    // every doc keeps exactly one label and the corpus stays whole
+    assert(byCluster.count() == docs.count())
+  }
+
   test("zorder2 matches the per-bit reference and nulls out-of-range input") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
