@@ -1202,6 +1202,21 @@ object SparkEntry {
         t.documents.filter(col("doc_id") % 2 === 1),
         col("doc_id"), col("text"))
     }),
+    "d_near_ingest" -> ((s, dir) => {
+      // batch-incremental NEAR-dup admission (the daily-crawl posture):
+      // odd-id docs are the incoming batch, even-id the ingested corpus;
+      // a batch doc is rejected if MinHash-LSH + exact-Jaccard ≥ 0.6
+      // matches any corpus doc (near_dup_corpus) or any smaller-id batch
+      // doc (near_dup_batch) — the at-rest twin of
+      // d_dedup_lsh_rebase_stream's resumed index, portable hash family
+      // so the oracle replays signatures → bands → candidates → verify
+      val t = Tables(s, dir)
+      Dedup.incrementalNearIngest(
+        t.documents.filter(col("doc_id") % 2 === 0),
+        t.documents.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
+    }),
     "q_cube_events" -> ((s, dir) => {
       // full cube over (event_type, day): all four grouping sets in ONE
       // Expand + one agg exchange, same single-scan plan family as
@@ -1329,6 +1344,26 @@ object SparkEntry {
       // shallow planes + many tables; see docs/SCALE.md).
       Similarity.cosineNearDupPairsLSH(embeddingsIdVec(Tables(s, dir)), 0.40, dim = 64,
         nPlanes = 4, nTables = 16)
+    }),
+    "d_decon_embed" -> ((s, dir) => {
+      // SEMANTIC decontamination anchor: train (even vec_id) × eval (odd
+      // vec_id) cosine ≥ 0.40 — catches paraphrased benchmark leakage
+      // that shares no shingle with d_decontaminate's n-gram sweep. The
+      // brute cross product is the verify contract; d_decon_embed_lsh is
+      // the declared 100 TB path.
+      val v = embeddingsIdVec(Tables(s, dir))
+      Similarity.crossCorpusCosinePairs(
+        v.filter(col("id") % 2 === 0), v.filter(col("id") % 2 === 1), 0.40)
+    }),
+    "d_decon_embed_lsh" -> ((s, dir) => {
+      // scale path of d_decon_embed: cross-frame sign-LSH blocking (the
+      // d_dedup_embed_lsh hyperplanes, so the oracle replays buckets from
+      // the same embedded literals), exact cosine verify. Acceptance bar
+      // (ApproxGatesSpec): output ⊆ brute cross pairs, recall ≥ 0.9.
+      val v = embeddingsIdVec(Tables(s, dir))
+      Similarity.crossCorpusCosinePairsLSH(
+        v.filter(col("id") % 2 === 0), v.filter(col("id") % 2 === 1), 0.40,
+        dim = 64, nPlanes = 4, nTables = 16)
     }),
     "d_dedup_embed_lsh_stream" -> ((s, dir) => {
       // the embedding sibling of d_dedup_lsh_stream: admission-time
@@ -4134,6 +4169,23 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
       |  FROM rescored
       |) WHERE rank <= 5""".stripMargin
 
+  /** d_decon_embed_lsh oracle: the same embedded-literal sign matrix as
+    * [[dedupEmbedLshSql]], with the self-join replaced by the
+    * train-(even) ⋈ eval-(odd) cross-frame bucket join. */
+  private lazy val deconEmbedLshSql: String =
+    lshBucketCte + """
+      |, cand AS (
+      |  SELECT DISTINCT l.vec_id AS train_id, r.vec_id AS eval_id
+      |  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bucket = r.bucket
+      |  WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 1
+      |)
+      |SELECT c.train_id, c.eval_id,
+      |  CAST(floor(list_cosine_similarity(va.e, vb.e) * 10000) AS BIGINT) AS sim
+      |FROM cand c JOIN v va ON va.vec_id = c.train_id
+      |  JOIN v vb ON vb.vec_id = c.eval_id
+      |WHERE CAST(floor(list_cosine_similarity(va.e, vb.e) * 10000) AS BIGINT)
+      |  >= 4000""".stripMargin
+
   private lazy val dedupEmbedLshSql: String =
     lshBucketCte + """
       |, cand AS (
@@ -4656,6 +4708,38 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |SELECT fp, min(doc_id) AS doc_id FROM inc
          |WHERE fp NOT IN (SELECT fp FROM seen)
          |GROUP BY fp""".stripMargin,
+    // batch-incremental near-dup admission: the portable MinHash chain
+    // replayed over the whole table, candidates restricted to
+    // (corpus→batch) and (earlier-batch→batch) sides, exact hash-set
+    // Jaccard ≥ 0.6 verify — corpus hit outranks batch hit
+    "d_near_ingest" ->
+      s"""${minhashSigCtes()}, cb AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+         |  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+         |), bb AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+         |    AND l.doc_id < r.doc_id
+         |  WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 1
+         |), vcb AS (
+         |  SELECT DISTINCT c.b
+         |  FROM cb c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
+         |  WHERE len(list_intersect(ha.hh, hb.hh)) > 0
+         |    AND CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)
+         |        / (len(ha.hh) + len(hb.hh) - len(list_intersect(ha.hh, hb.hh))) >= 0.6
+         |), vbb AS (
+         |  SELECT DISTINCT c.b
+         |  FROM bb c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
+         |  WHERE len(list_intersect(ha.hh, hb.hh)) > 0
+         |    AND CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)
+         |        / (len(ha.hh) + len(hb.hh) - len(list_intersect(ha.hh, hb.hh))) >= 0.6
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id IN (SELECT b FROM vcb) THEN 'near_dup_corpus'
+         |       WHEN doc_id IN (SELECT b FROM vbb) THEN 'near_dup_batch'
+         |       ELSE 'admitted' END AS verdict
+         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     "q_cube_events" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -6218,6 +6302,15 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
         |  CAST(floor(list_cosine_similarity(a.e, b.e) * 10000) AS BIGINT) AS sim
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE CAST(floor(list_cosine_similarity(a.e, b.e) * 10000) AS BIGINT) >= 4000""".stripMargin,
+    "d_decon_embed" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |)
+        |SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+        |  CAST(floor(list_cosine_similarity(a.e, b.e) * 10000) AS BIGINT) AS sim
+        |FROM v a JOIN v b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        |WHERE CAST(floor(list_cosine_similarity(a.e, b.e) * 10000) AS BIGINT) >= 4000""".stripMargin,
+    "d_decon_embed_lsh" -> deconEmbedLshSql,
     "m_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

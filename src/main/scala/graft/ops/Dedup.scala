@@ -586,7 +586,14 @@ object Dedup {
     * are candidates; verification (exact Jaccard) is the caller's choice —
     * [[minhashDedup]] wires both.
     */
-  private def candidatesFromSignatures(
+  /** (doc_id, band, band_hash) rows from a k-minima signature frame —
+    * the LSH bucket table. Shared seam: [[candidatesFromSignatures]]
+    * self-joins it for at-rest pair dedup; [[incrementalNearIngest]]
+    * joins a batch's band rows against a corpus's (at 100 TB the corpus
+    * side IS this frame, materialized once and bucketed by
+    * (band, band_hash) so each ingest joins without re-shuffling it).
+    */
+  private def bandedFromSignatures(
       sigs: DataFrame, k: Int, bands: Int, portableHash: Boolean): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -597,9 +604,14 @@ object Dedup {
       if (portableHash)
         md5(concat_ws("|", (j * r until (j + 1) * r).map(i => col(s"m$i").cast("string")): _*))
       else xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*)
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "band_hash")))
+  }
+
+  private def candidatesFromSignatures(
+      sigs: DataFrame, k: Int, bands: Int, portableHash: Boolean): DataFrame = {
+    val banded = bandedFromSignatures(sigs, k, bands, portableHash)
     banded
       .as("l")
       .join(
@@ -665,6 +677,99 @@ object Dedup {
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Batch-incremental NEAR-dup admission — the near-dup counterpart of
+    * [[incrementalIngest]] and the at-rest twin of the streaming
+    * admission index ([[graft.streaming.StreamingDedup.lshIndexResumed]]):
+    * which `incoming` docs to ADMIT against an existing `corpus`, where
+    * "already present" means MinHash-LSH candidate + exact n-gram
+    * Jaccard ≥ `threshold` (not just byte equality). The daily-crawl
+    * shape: each batch is screened against everything ingested so far
+    * AND against earlier docs of its own batch (earlier = smaller id,
+    * the arrival-order rule the streaming index uses — a doc that
+    * near-dups ANY smaller-id batch doc drops, matching
+    * `lshIndex`'s every-arrival-indexes semantics).
+    *
+    * Returns one row per incoming doc: (doc_id, verdict) with verdict ∈
+    * 'near_dup_corpus' (corpus hit wins) | 'near_dup_batch' | 'admitted'.
+    *
+    * Scale: signatures/bands for the corpus are recomputed here for the
+    * self-contained form, but at 100 TB they are a STORED index — the
+    * (doc_id, band, band_hash) table and the per-doc shingle-hash sets
+    * are materialized once at first ingest and appended with each
+    * admitted batch (the [[incrementalIngest]] fingerprint-set
+    * discipline), so an increment costs O(batch) band hashing + one
+    * bucket join against a corpus table bucketed by (band, band_hash) —
+    * no corpus re-scan, no corpus shuffle. The batch side is the small
+    * one by assumption; AQE broadcasts its band rows when they fit
+    * (the [[crossCorpusNearDups]] asymmetry note). Verification joins
+    * carry only 32-bit shingle hashes and doc ids, never text.
+    */
+  def incrementalNearIngest(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame = {
+    // one persisted hash-row frame per side feeds signatures AND the
+    // exact-Jaccard verify (the minhashDedup seam)
+    val exC = minhashRows(corpus, id, text, shingleLen, portableHash).distinct().persist()
+    val exB = minhashRows(incoming, id, text, shingleLen, portableHash).distinct().persist()
+    def banded(ex: DataFrame): DataFrame =
+      bandedFromSignatures(
+        signaturesFromRows(ex.withColumn("h32", h32Of(portableHash)), k, seed),
+        k, bands, portableHash)
+    val bndC = banded(exC)
+    val bndB = banded(exB)
+    val candCorpus = bndC
+      .as("l")
+      .join(bndB.as("r"),
+        col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    val candBatch = bndB
+      .as("l")
+      .join(bndB.as("r"),
+        col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    // exact-Jaccard verify through the shingle-hash rows (|A∩B| = joined
+    // row count — the minhashDedup shape); returns the distinct hit set
+    // of batch ids whose candidate survives the threshold
+    def hits(cand: DataFrame, exA: DataFrame): DataFrame = {
+      val na = exA.groupBy(col("doc_id").as("a")).agg(count(lit(1)).as("na"))
+      val nb = exB.groupBy(col("doc_id").as("b")).agg(count(lit(1)).as("nb"))
+      cand
+        .join(exA.select(col("doc_id").as("a"), col("s")), "a")
+        .join(exB.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .join(na, "a")
+        .join(nb, "b")
+        .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= threshold)
+        .select(col("b")).distinct()
+    }
+    incoming
+      .select(id.as("doc_id"))
+      .join(hits(candCorpus, exC).withColumn("__corpus_hit", lit(1)),
+        col("doc_id") === col("b"), "left")
+      .drop("b")
+      .join(hits(candBatch, exB).withColumn("__batch_hit", lit(1)),
+        col("doc_id") === col("b"), "left")
+      .drop("b")
+      .select(
+        col("doc_id"),
+        when(col("__corpus_hit").isNotNull, lit("near_dup_corpus"))
+          .when(col("__batch_hit").isNotNull, lit("near_dup_batch"))
+          .otherwise(lit("admitted"))
+          .as("verdict"))
   }
 
   /** Cross-corpus contamination check: pairs (train doc, eval doc) with

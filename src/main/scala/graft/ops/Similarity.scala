@@ -610,6 +610,58 @@ object Similarity {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** Cross-corpus embedding decontamination — the SEMANTIC companion to
+    * [[graft.ops.Dedup.crossCorpusNearDups]]'s n-gram sweep: pairs
+    * (train doc, eval doc) with cosine ≥ threshold, catching paraphrased
+    * or re-worded benchmark leakage that shares no shingle. Brute-force
+    * cross product — the correct baseline and the verify contract for
+    * [[crossCorpusCosinePairsLSH]], which is the 100 TB path.
+    */
+  def crossCorpusCosinePairs(
+      train: DataFrame, eval: DataFrame, threshold: Double): DataFrame = {
+    val tv = train.select(col("id").as("train_id"), col("vec").cast("array<double>").as("tv"))
+    val ev = eval.select(col("id").as("eval_id"), col("vec").cast("array<double>").as("ev"))
+    tv.crossJoin(ev)
+      .withColumn("sim", quantize(cosine(col("tv"), col("ev"))))
+      .filter(col("sim") >= lit((threshold * 10000).toLong))
+      .select(col("train_id"), col("eval_id"), col("sim"))
+  }
+
+  /** [[crossCorpusCosinePairs]]'s scale path: candidates must share a
+    * sign-LSH (table, bucket) cell across the two frames, then exact
+    * cosine verify — the [[cosineNearDupPairsLSH]] shape with the
+    * self-join replaced by a train-bands ⋈ eval-bands equi-join. The
+    * eval/benchmark side is tiny by assumption, so its banded rows (and
+    * its vectors in the verify join) broadcast under AQE and the train
+    * corpus never shuffles on anything wider than (table, bucket) —
+    * asymmetric corpora need no plan change. Probabilistic recall
+    * (multi-table OR), precision 1 vs the brute sweep.
+    */
+  def crossCorpusCosinePairsLSH(
+      train: DataFrame,
+      eval: DataFrame,
+      threshold: Double,
+      dim: Int,
+      nPlanes: Int = 8,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val tv = train.select(col("id").as("train_id"), col("vec").cast("array<double>").as("tv"))
+    val ev = eval.select(col("id").as("eval_id"), col("vec").cast("array<double>").as("ev"))
+    def banded(df: DataFrame, idCol: String, vecCol: String) = df.select(
+      col(idCol),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col(vecCol), dim, nPlanes, seed + t * 7919L)): _*)).as(Seq("tbl", "bucket")))
+    banded(tv, "train_id", "tv")
+      .join(banded(ev, "eval_id", "ev"), Seq("tbl", "bucket"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+      .join(tv, "train_id")
+      .join(ev, "eval_id")
+      .withColumn("sim", quantize(cosine(col("tv"), col("ev"))))
+      .filter(col("sim") >= lit((threshold * 10000).toLong))
+      .select(col("train_id"), col("eval_id"), col("sim"))
+  }
+
   /** SemDeDup-style cluster-blocked near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): k-means partitions the corpus, candidate pairs
     * must be CO-ASSIGNED to at least one of each vector's `nProbe`

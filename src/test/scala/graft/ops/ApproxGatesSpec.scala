@@ -57,12 +57,57 @@ class ApproxGatesSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
   }
 
+  test("d_near_ingest: verdicts equal those derived from the at-rest LSH pair set") {
+    // The incremental admission must agree with running minhashDedup over
+    // corpus+batch jointly: a batch doc is near_dup_corpus iff it pairs
+    // with ANY corpus doc (either id order), near_dup_batch iff it pairs
+    // with a SMALLER-id batch doc, else admitted. Signatures/bands are
+    // per-doc, so split-side computation can't change the pair set.
+    val corpus = t.documents.filter(col("doc_id") % 2 === 0)
+    val batch = t.documents.filter(col("doc_id") % 2 === 1)
+    val got = Dedup.incrementalNearIngest(
+        corpus, batch, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allPairs = pairs(Dedup.minhashDedup(
+      t.documents, col("doc_id"), col("text"), shingleLen = 3, k = 64, bands = 16,
+      threshold = 0.6, portableHash = true))
+    val batchIds = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expected = batchIds.map { b =>
+      val corpusHit = allPairs.exists { case (x, y) =>
+        (y == b && x % 2 == 0) || (x == b && y % 2 == 0) }
+      val batchHit = allPairs.exists { case (x, y) => y == b && x % 2 == 1 }
+      b -> (if (corpusHit) "near_dup_corpus"
+            else if (batchHit) "near_dup_batch"
+            else "admitted")
+    }.toMap
+    assert(got.size == batchIds.size, "one verdict per incoming doc")
+    assert(expected.valuesIterator.exists(_ != "admitted"),
+      "gate is vacuous: no near-dups cross the corpus/batch split in testdata")
+    assert(got == expected)
+  }
+
   test("d_dedup_embed_lsh: output subset of brute pairs, recall >= 0.9 at 4 planes x 16 tables") {
     // SparkEntry params: threshold=0.40, dim=64, nPlanes=4, nTables=16
     val truth = pairs(Similarity.cosineNearDupPairs(v, 0.40))
     val got = pairs(
       Similarity.cosineNearDupPairsLSH(v, 0.40, dim = 64, nPlanes = 4, nTables = 16))
     assert(truth.nonEmpty, "gate is vacuous: no near-dup pairs in testdata")
+    assert(got.subsetOf(truth), s"precision violated: ${(got -- truth).take(5)}")
+    assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
+  }
+
+  test("d_decon_embed_lsh: output subset of brute cross pairs, recall >= 0.9") {
+    // SparkEntry params: threshold 0.40, 4 planes x 16 tables, parity split
+    def xp(df: DataFrame): Set[(Long, Long)] =
+      df.select("train_id", "eval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val train = v.filter(col("id") % 2 === 0)
+    val eval = v.filter(col("id") % 2 === 1)
+    val truth = xp(Similarity.crossCorpusCosinePairs(train, eval, 0.40))
+    val got = xp(Similarity.crossCorpusCosinePairsLSH(
+      train, eval, 0.40, dim = 64, nPlanes = 4, nTables = 16))
+    assert(truth.nonEmpty, "gate is vacuous: no cross-corpus cosine pairs in testdata")
     assert(got.subsetOf(truth), s"precision violated: ${(got -- truth).take(5)}")
     assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
   }
