@@ -88,7 +88,40 @@ object ScaleProbe {
           graft.io.Tables(s, "/root/testdata/sf0.1").documents
             .filter(F.col("doc_id") % 2 === 0),
           F.col("doc_id"), F.col("text"), 3, 0.5,
-          expectedEvalShingles = 200000L)))
+          expectedEvalShingles = 200000L)),
+      // embedding-decon scale corners: the DECLARED d_decon_embed_lsh
+      // params (0.40, 4 planes x 16 tables) are the recall-driven corner
+      // for a loose threshold on near-uniform vectors — there the 16-way
+      // OR admits most of the cross product, so the blocking buys nothing
+      // (measured; same knee as semantic dedup's near-uniform worst
+      // case). Production decontamination hunts paraphrase-grade
+      // similarity, i.e. TIGHT thresholds, where deep planes prune hard —
+      // these twins measure that corner (0.90, 12 planes x 16 tables,
+      // the d_dedup_bow_lsh geometry) against its own brute anchor.
+      "probe_decon_embed_tight_brute" -> ((s: SparkSession, dir: String) => {
+        val v = graft.io.Tables(s, dir).embeddings
+          .select(F.col("vec_id").as("id"), F.col("embedding").as("vec"))
+        graft.ops.Similarity.crossCorpusCosinePairs(
+          v.filter(F.col("id") % 2 === 0), v.filter(F.col("id") % 2 === 1), 0.90)
+      }),
+      "probe_decon_embed_tight_lsh" -> ((s: SparkSession, dir: String) => {
+        val v = graft.io.Tables(s, dir).embeddings
+          .select(F.col("vec_id").as("id"), F.col("embedding").as("vec"))
+        graft.ops.Similarity.crossCorpusCosinePairsLSH(
+          v.filter(F.col("id") % 2 === 0), v.filter(F.col("id") % 2 === 1), 0.90,
+          dim = 64, nPlanes = 12, nTables = 16)
+      }),
+      // asymmetric axis (the real deployment): train grows with <dir>,
+      // the eval/benchmark side stays pinned to sf0.1's odd-id vectors
+      "probe_decon_embed_asym_lsh" -> ((s: SparkSession, dir: String) =>
+        graft.ops.Similarity.crossCorpusCosinePairsLSH(
+          graft.io.Tables(s, dir).embeddings
+            .select(F.col("vec_id").as("id"), F.col("embedding").as("vec"))
+            .filter(F.col("id") % 2 === 0),
+          graft.io.Tables(s, "/root/testdata/sf0.1").embeddings
+            .select(F.col("vec_id").as("id"), F.col("embedding").as("vec"))
+            .filter(F.col("id") % 2 === 1),
+          0.90, dim = 64, nPlanes = 12, nTables = 16)))
   }
 
   def main(args: Array[String]): Unit = {

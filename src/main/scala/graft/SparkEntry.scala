@@ -1217,6 +1217,20 @@ object SparkEntry {
         col("doc_id"), col("text"),
         shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
     }),
+    "p_near_ingest_e2e" -> ((s, dir) => {
+      // the composed daily-ingest increment, cheap stage first: exact
+      // fingerprint dedup (corpus anti-join + in-batch min-id keeper —
+      // collapses replica mass BEFORE any signature work, the
+      // d_cluster_sizes exact-collapse-first lesson), then the near-dup
+      // screen over keepers only. Exact hits verdict 'dup_exact'; the
+      // near stage's verdicts pass through for keepers.
+      val t = Tables(s, dir)
+      Dedup.ingestIncrement(
+        t.documents.filter(col("doc_id") % 2 === 0),
+        t.documents.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
+    }),
     "q_cube_events" -> ((s, dir) => {
       // full cube over (event_type, day): all four grouping sets in ONE
       // Expand + one agg exchange, same single-scan plan family as
@@ -4708,6 +4722,48 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |SELECT fp, min(doc_id) AS doc_id FROM inc
          |WHERE fp NOT IN (SELECT fp FROM seen)
          |GROUP BY fp""".stripMargin,
+    // composed daily-ingest increment: exact fingerprint keeper stage
+    // first (replayed like p_incremental_ingest), then the near-dup
+    // chain over corpus ∪ keepers only — non-keepers verdict 'dup_exact'
+    "p_near_ingest_e2e" ->
+      s"""WITH f AS (SELECT doc_id, text, $fpExpr AS fp FROM documents),
+         |seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+         |keep AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS k
+         |    FROM f WHERE doc_id % 2 = 1 AND fp NOT IN (SELECT fp FROM seen)
+         |  ) WHERE doc_id = k
+         |), idx AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id, text FROM keep
+         |), ${minhashSigBody("idx")}, cb AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+         |  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+         |), bb AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+         |    AND l.doc_id < r.doc_id
+         |  WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 1
+         |), vcb AS (
+         |  SELECT DISTINCT c.b
+         |  FROM cb c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
+         |  WHERE len(list_intersect(ha.hh, hb.hh)) > 0
+         |    AND CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)
+         |        / (len(ha.hh) + len(hb.hh) - len(list_intersect(ha.hh, hb.hh))) >= 0.6
+         |), vbb AS (
+         |  SELECT DISTINCT c.b
+         |  FROM bb c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
+         |  WHERE len(list_intersect(ha.hh, hb.hh)) > 0
+         |    AND CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)
+         |        / (len(ha.hh) + len(hb.hh) - len(list_intersect(ha.hh, hb.hh))) >= 0.6
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id NOT IN (SELECT doc_id FROM keep) THEN 'dup_exact'
+         |       WHEN doc_id IN (SELECT b FROM vcb) THEN 'near_dup_corpus'
+         |       WHEN doc_id IN (SELECT b FROM vbb) THEN 'near_dup_batch'
+         |       ELSE 'admitted' END AS verdict
+         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     // batch-incremental near-dup admission: the portable MinHash chain
     // replayed over the whole table, candidates restricted to
     // (corpus→batch) and (earlier-batch→batch) sides, exact hash-set

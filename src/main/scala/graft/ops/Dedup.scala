@@ -705,6 +705,11 @@ object Dedup {
     * one by assumption; AQE broadcasts its band rows when they fit
     * (the [[crossCorpusNearDups]] asymmetry note). Verification joins
     * carry only 32-bit shingle hashes and doc ids, never text.
+    *
+    * Cache lifecycle: the two shingle-hash frames persist() for the
+    * plan's lifetime (each feeds signatures AND verify) — the
+    * [[editDistancePairs]] note applies: free between repeated calls
+    * with `spark.catalog.clearCache()` or accept LRU eviction.
     */
   def incrementalNearIngest(
       corpus: DataFrame,
@@ -770,6 +775,39 @@ object Dedup {
           .when(col("__batch_hit").isNotNull, lit("near_dup_batch"))
           .otherwise(lit("admitted"))
           .as("verdict"))
+  }
+
+  /** The composed daily-ingest increment — cheap stage first: exact
+    * fingerprint dedup ([[incrementalIngest]]: corpus anti-join +
+    * in-batch min-id keeper, collapsing replica mass BEFORE any
+    * signature work — the exact-collapse-first lesson), then the
+    * near-dup screen ([[incrementalNearIngest]]) over keepers only.
+    * One row per incoming doc: exact hits verdict 'dup_exact' (exact
+    * stage wins even when the copy would also near-dup the corpus);
+    * keepers carry the near stage's verdict.
+    */
+  def ingestIncrement(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame = {
+    val keepers = incrementalIngest(corpus, incoming, id, text)
+      .select(col("doc_id").as("__keep_id"))
+    val kept = incoming.join(keepers, id === col("__keep_id"), "left_semi")
+    val near = incrementalNearIngest(
+      corpus, kept, id, text, shingleLen, k, bands, threshold, seed, portableHash)
+    incoming
+      .select(id.as("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("verdict"), lit("dup_exact")).as("verdict"))
   }
 
   /** Cross-corpus contamination check: pairs (train doc, eval doc) with

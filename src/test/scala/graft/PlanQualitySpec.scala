@@ -659,6 +659,20 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"shingle doc-frequency must pre-combine map-side:\n$p")
   }
 
+  test("incremental near-dup ingest: every join is a hash equi-join — no pair space, no nested loop") {
+    val p = plan("d_near_ingest")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"admission must stay blocked — corpus x batch must never materialize:\n$p")
+    // signature minima pre-combine map-side before the doc_id exchange
+    assert(p.contains("partial_min"), s"minhash minima must pre-combine:\n$p")
+  }
+
+  test("cross-corpus embed decon LSH twin: bucket equi-join, never the anchor's cross product") {
+    val p = plan("d_decon_embed_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocked twin must not cross-join:\n$p")
+  }
+
   test("LM band filter: corpus LM aggregates pre-combine; only the stratum sort shuffles docs") {
     val p = plan("p_lm_filter")
     assert(!p.contains("CartesianProduct"), p)

@@ -97,6 +97,20 @@ class ApproxGatesSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
   }
 
+  test("incrementalNearIngest: cold start (empty corpus) never emits a corpus verdict") {
+    // first-ever ingest: the corpus frame is empty — every doc must be
+    // admitted or blocked by an EARLIER BATCH doc only, and the empty
+    // side must not break the signature/band aggregates
+    val batch = t.documents.filter(col("doc_id") % 10 === 0)
+    val got = Dedup.incrementalNearIngest(
+        t.documents.filter(lit(false)), batch, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == batch.count(), "one verdict per incoming doc")
+    assert(!got.valuesIterator.contains("near_dup_corpus"),
+      "empty corpus cannot produce a corpus hit")
+  }
+
   test("d_decon_embed_lsh: output subset of brute cross pairs, recall >= 0.9") {
     // SparkEntry params: threshold 0.40, 4 planes x 16 tables, parity split
     def xp(df: DataFrame): Set[(Long, Long)] =

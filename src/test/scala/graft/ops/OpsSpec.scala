@@ -312,6 +312,35 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("ingestIncrement: exact stage wins, near verdicts split corpus vs batch, novel admits") {
+    // corpus doc 0; batch: 1 = byte-identical copy (dup_exact even though
+    // it would also near-dup), 3 = one word off the corpus doc
+    // (near_dup_corpus; J = 0.75, collides deterministically), 5/9 = a
+    // corpus-unrelated pair one trailing word apart (J = 13/15 — checked
+    // against the portable hash family: 4 of 16 bands collide, so 5 is
+    // admitted and 9 is near_dup_batch), 7 = novel (admitted)
+    val base = "the quick brown fox jumps over the lazy dog"
+    val greek = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val corpus = Seq((0L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (5L, greek),
+      (7L, "completely different words about distributed shuffle exchanges"),
+      (9L, greek.stripSuffix("pi") + "rho"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ingestIncrement(
+        corpus, batch, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "dup_exact",
+      3L -> "near_dup_corpus",
+      5L -> "admitted",
+      7L -> "admitted",
+      9L -> "near_dup_batch"))
+  }
+
   test("ngramJaccardPairs finds the planted near-dup pair only") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and often" // 1 word off
