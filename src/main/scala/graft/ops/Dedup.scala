@@ -732,6 +732,81 @@ object Dedup {
         k, bands, portableHash)
     val bndC = banded(exC)
     val bndB = banded(exB)
+    assembleNearIngestVerdicts(incoming, id, exC, bndC, exB, bndB, threshold)
+  }
+
+  /** [[incrementalNearIngest]] against a STORED corpus index — the plan
+    * an actual 100 TB deployment runs every increment: the corpus enters
+    * as its two materialized index tables, never as text.
+    *
+    *  - `corpusHashes` (doc_id, s): distinct shingle hashes per corpus
+    *    doc (the exact-Jaccard verify side).
+    *  - `corpusBands` (doc_id, band, band_hash): the LSH bucket table.
+    *
+    * Both come from [[nearDupIndex]] — built once at first ingest,
+    * appended with each admitted batch's [[nearDupIndex]] rows (the
+    * [[incrementalIngest]] fingerprint-set discipline at near-dup
+    * grain). Output is row-for-row [[incrementalNearIngest]]'s (equality
+    * pinned in OpsSpec); only the corpus side's provenance differs.
+    * Batch-side frames persist here (each feeds banding AND verify);
+    * the stored tables stream through their single consumer each.
+    */
+  def incrementalNearIngestIndexed(
+      corpusHashes: DataFrame,
+      corpusBands: DataFrame,
+      incoming: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame = {
+    val exB = minhashRows(incoming, id, text, shingleLen, portableHash).distinct().persist()
+    val bndB = bandedFromSignatures(
+      signaturesFromRows(exB.withColumn("h32", h32Of(portableHash)), k, seed),
+      k, bands, portableHash)
+    assembleNearIngestVerdicts(incoming, id, corpusHashes, corpusBands, exB, bndB, threshold)
+  }
+
+  /** The stored near-dup index of a corpus (or of an admitted batch — the
+    * per-increment append): (hashRows (doc_id, s), bandRows (doc_id,
+    * band, band_hash)) for [[incrementalNearIngestIndexed]]. At 100 TB
+    * both are materialized tables — bandRows bucketed by (band,
+    * band_hash) so each ingest's bucket join never re-shuffles the
+    * corpus; hashRows clustered by doc_id for the verify join.
+    */
+  def nearDupIndex(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int,
+      k: Int,
+      bands: Int,
+      seed: Long = 42L,
+      portableHash: Boolean = false): (DataFrame, DataFrame) = {
+    val ex = minhashRows(df, id, text, shingleLen, portableHash).distinct()
+    val bnd = bandedFromSignatures(
+      signaturesFromRows(ex.withColumn("h32", h32Of(portableHash)), k, seed),
+      k, bands, portableHash)
+    (ex, bnd)
+  }
+
+  /** Shared back half of the two ingest-screen forms: candidate bucket
+    * joins (corpus→batch, earlier-batch→batch), exact-Jaccard verify
+    * through the shingle-hash rows (|A∩B| = joined row count — the
+    * minhashDedup shape), and the verdict assembly with corpus hits
+    * outranking batch hits.
+    */
+  private def assembleNearIngestVerdicts(
+      incoming: DataFrame,
+      id: Column,
+      exC: DataFrame,
+      bndC: DataFrame,
+      exB: DataFrame,
+      bndB: DataFrame,
+      threshold: Double): DataFrame = {
     val candCorpus = bndC
       .as("l")
       .join(bndB.as("r"),
@@ -745,9 +820,6 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-    // exact-Jaccard verify through the shingle-hash rows (|A∩B| = joined
-    // row count — the minhashDedup shape); returns the distinct hit set
-    // of batch ids whose candidate survives the threshold
     def hits(cand: DataFrame, exA: DataFrame): DataFrame = {
       val na = exA.groupBy(col("doc_id").as("a")).agg(count(lit(1)).as("na"))
       val nb = exB.groupBy(col("doc_id").as("b")).agg(count(lit(1)).as("nb"))

@@ -93,4 +93,74 @@ object TrainingPipeline {
           .when(col("__near"), "near_dup")
           .otherwise("admitted").as("verdict"))
   }
+
+  /** The full daily-admission decision — [[buildCorpus]]'s ingest-time
+    * counterpart, one verdict per incoming doc against a standing corpus
+    * and a frozen eval benchmark, declared as ONE dataflow:
+    * Gopher quality gate → exact fingerprint dedup → MinHash-LSH
+    * near-dup screen → eval-set decontamination. The first stage that
+    * fires names the verdict:
+    * `rejected_quality` | `dup_exact` | `near_dup_corpus` |
+    * `near_dup_batch` | `contaminated` | `admitted`.
+    *
+    * Stage order is [[buildCorpus]]'s cost order applied to the
+    * increment: the per-row codegen'd gate runs at the scan (no
+    * shuffle), so junk never reaches the fingerprint exchange; exact
+    * collapse next, so replica mass dies before any signature work
+    * ([[Dedup.ingestIncrement]]); the LSH screen sees keepers only; and
+    * the shingle decontamination sweep sees just the admitted sliver ×
+    * the (tiny, by definition) benchmark — with
+    * [[Dedup.crossCorpusNearDupsBloom]] as the drop-in when even that
+    * explode is worth pruning. At 100 TB every stage's input is the
+    * previous stage's survivors, so the increment's cost tracks the
+    * admitted fraction, not the crawl size; the corpus side enters only
+    * as its fingerprint set and its LSH band table, both maintained
+    * across ingests (never rescanned at text grain).
+    */
+  def dailyAdmission(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      evalSet: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      nearThreshold: Double = 0.6,
+      deconShingleLen: Int = 3,
+      deconThreshold: Double = 0.5,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame = {
+    // NULL quality signals (degenerate texts) reject on both engines:
+    // coalesce(keep, false) here, COALESCE(cond, false) in the oracle.
+    val quality = TextOps.gopherSignals(incoming, id, text)
+      .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
+    val passed = incoming.join(
+      quality.filter(col("keep")).select(col("doc_id").as("__q_id")),
+      id === col("__q_id"), "left_semi")
+    val dedup = Dedup
+      .ingestIncrement(
+        corpus, passed, id, text, shingleLen, k, bands, nearThreshold, seed, portableHash)
+      .withColumnRenamed("verdict", "__dedup_verdict")
+    val admitted = passed.join(
+      dedup.filter(col("__dedup_verdict") === "admitted").select(col("doc_id").as("__a_id")),
+      id === col("__a_id"), "left_semi")
+    val contaminated = Dedup
+      .crossCorpusNearDups(admitted, evalSet, id, text, deconShingleLen, deconThreshold)
+      .select(col("train_id").as("doc_id"))
+      .distinct()
+      .withColumn("__cont", lit(true))
+    incoming
+      .select(id.as("doc_id"))
+      .join(quality, Seq("doc_id"), "left")
+      .join(dedup, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(!col("keep"), lit("rejected_quality"))
+          .when(col("__dedup_verdict") =!= "admitted", col("__dedup_verdict"))
+          .when(col("__cont"), lit("contaminated"))
+          .otherwise(lit("admitted"))
+          .as("verdict"))
+  }
 }

@@ -341,6 +341,51 @@ class OpsSpec extends SparkSpec {
       9L -> "near_dup_batch"))
   }
 
+  test("incrementalNearIngestIndexed: equals recompute; appended index screens day 2") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val greek = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val corpus = Seq((0L, base)).toDF("doc_id", "text")
+    val day1 = Seq(
+      (1L, base), // no exact stage here: byte-identical -> near_dup_corpus
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (5L, greek),
+      (7L, "completely different words about distributed shuffle exchanges"),
+      (9L, greek.stripSuffix("pi") + "rho"))
+      .toDF("doc_id", "text")
+    def screen(hx: org.apache.spark.sql.DataFrame, bx: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearIngestIndexed(hx, bx, batch, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
+        .as[(Long, String)].collect().toMap
+    val (hx, bx) = Dedup.nearDupIndex(corpus, col("doc_id"), col("text"),
+      shingleLen = 3, k = 64, bands = 16, portableHash = true)
+    val indexed = screen(hx, bx, day1)
+    val recomputed = Dedup.incrementalNearIngest(corpus, day1, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
+      .as[(Long, String)].collect().toMap
+    assert(indexed == recomputed)
+    assert(indexed(1L) == "near_dup_corpus" && indexed(5L) == "admitted")
+    // day 2: append the admitted day-1 docs' index rows (the per-increment
+    // discipline — the corpus is never re-shingled) and screen a new batch;
+    // 20 near-dups day-1 admitted doc 5 (now a CORPUS hit), 22 is novel
+    val admittedIds = indexed.collect { case (i, "admitted") => i }.toSeq
+    val admitted = day1.filter(col("doc_id").isin(admittedIds: _*))
+    val (hA, bA) = Dedup.nearDupIndex(admitted, col("doc_id"), col("text"),
+      shingleLen = 3, k = 64, bands = 16, portableHash = true)
+    val day2 = Seq(
+      (20L, greek.stripSuffix("pi") + "sigma"),
+      (22L, "entirely fresh topic sentences regarding columnar storage formats"))
+      .toDF("doc_id", "text")
+    val got2 = screen(hx.union(hA), bx.union(bA), day2)
+    assert(got2 == Map(20L -> "near_dup_corpus", 22L -> "admitted"))
+    // and the appended index equals re-screening against corpus ∪ admitted text
+    val gotText = Dedup.incrementalNearIngest(corpus.union(admitted), day2,
+        col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
+      .as[(Long, String)].collect().toMap
+    assert(got2 == gotText)
+  }
+
   test("ngramJaccardPairs finds the planted near-dup pair only") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and often" // 1 word off

@@ -89,6 +89,50 @@ class PipelineSpec extends SparkSpec {
     assert(byCluster.count() == docs.count())
   }
 
+  // 60-token Gopher-passing paragraph: "the <w> and" per theme word keeps
+  // every signal inside the keep thresholds (avg token len 4ish, all
+  // alphabetic, stopword hits >> 2, no symbols/bullets/ellipses)
+  private def para(theme: Seq[String]): String =
+    theme.map(w => s"the $w and").mkString(" ")
+  private val themeA = Seq("falcon", "badger", "otter", "marten", "weasel",
+    "ferret", "stoat", "marmot", "beaver", "muskrat", "vole", "shrew",
+    "lemming", "gopher", "pika", "capuchin", "tamarin", "macaque", "gibbon",
+    "langur")
+  private val themeB = Seq("hammer", "chisel", "plane", "rasp", "auger",
+    "brace", "gimlet", "awl", "froe", "adze", "spokeshave", "scriber",
+    "mallet", "clamp", "vise", "level", "square", "bevel", "gauge", "punch")
+  private val themeC = Seq("barley", "millet", "sorghum", "quinoa", "spelt",
+    "teff", "amaranth", "farro", "kamut", "emmer", "einkorn", "durum",
+    "buckwheat", "rye", "oat", "maize", "rice", "fonio", "triticale",
+    "freekeh")
+
+  test("dailyAdmission: all six verdicts fire with the declared precedence") {
+    val q1 = para(themeA)
+    val q2 = para(themeB)
+    val q3 = para(themeC)
+    val corpusDf = Seq((0L, q1)).toDF("doc_id", "text")
+    val evalDf = Seq((2L, q2)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, Seq.fill(60)("#").mkString(" ")), // fails every Gopher rule
+      (4L, q1), // byte-identical to the corpus doc — exact stage wins
+      (7L, para(themeA.init :+ "lynx")), // one word off the corpus doc
+      (10L, q3), // novel, clean -> admitted (and the batch keeper for 13)
+      (13L, para(themeC.init :+ "wheat")), // one word off 10
+      (16L, q2)) // clean vs corpus+batch but a copy of the eval doc
+      .toDF("doc_id", "text")
+    val got = TrainingPipeline
+      .dailyAdmission(corpusDf, incoming, evalDf, col("doc_id"), col("text"),
+        portableHash = true)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "rejected_quality",
+      4L -> "dup_exact",
+      7L -> "near_dup_corpus",
+      10L -> "admitted",
+      13L -> "near_dup_batch",
+      16L -> "contaminated"))
+  }
+
   test("zorder2 matches the per-bit reference and nulls out-of-range input") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
