@@ -1749,6 +1749,40 @@ object SparkEntry {
         TrainingPipeline.ingestVerdicts(docs, hits)
       }
     }),
+    "p_ingest_decon_stream" -> ((s, dir) => {
+      // p_daily_admission's STREAMING posture: the admission gate's two
+      // chained state machines PLUS a stateless stream-static broadcast
+      // screen against the frozen eval benchmark, in ONE streaming query
+      // (the decon branch unions into the gate's hit stream with
+      // band = -1; the benchmark is tiny by definition, so its band
+      // table broadcasts and every executor screens its own arrivals).
+      // doc_id % 3 = 1 docs arrive in id order; % 3 = 2 is the static
+      // benchmark. Oracle replays gates, the min-per-fp keeper,
+      // signatures, banding, and BOTH integer agreement verifies.
+      withRocksDb(s) {
+        val docs = Tables(s, dir).documents
+        val arrivals = docs.filter(col("doc_id") % 3 === 1)
+        val evalBands = graft.streaming.StreamingDedup.evalBandTable(
+          docs.filter(col("doc_id") % 3 === 2), col("doc_id"), col("text"))
+        val out = Replay.docEvents(
+          arrivals.select(
+            lit("").as("key"),
+            timestamp_seconds(col("doc_id")).as("ts"),
+            col("doc_id").cast("string").as("id"),
+            col("text"))) { stream =>
+          val df = stream.toDF()
+          val gate = graft.streaming.StreamingDedup.ingestGate(df).toDF()
+            .select(col("band"), col("a"), col("b"), col("n_agree"))
+          val dec = graft.streaming.StreamingDedup.deconHits(df, evalBands)
+            .select(lit(-1).as("band"),
+              concat(lit("eval:"), col("eval_id")).as("a"),
+              col("b"), col("n_agree"))
+          gate.unionByName(dec)
+        }
+        TrainingPipeline.ingestVerdictsDecon(
+          arrivals, out.filter(col("band") >= 0), out.filter(col("band") === -1))
+      }
+    }),
     "p_corpus_e2e" -> ((s, dir) => {
       // the flagship composition: raw documents → exact dedup → quality +
       // language gate → 90/10 split → eval-leakage decontamination →
@@ -4505,6 +4539,69 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
        |       ELSE 'admitted' END AS verdict
        |FROM keep""".stripMargin
 
+  /** p_ingest_decon_stream oracle: [[ingestStreamSql]]'s chain restricted
+    * to the incoming third, plus the eval third's own portable signature
+    * CTEs and the cross-side band collide + integer agreement verify —
+    * `contaminated` slots between `near_dup` and `admitted`, exactly the
+    * stream's verdict ladder. The decon CTEs range over keepers only:
+    * the stream screens every gated arrival, but verdict precedence
+    * hides decon hits on non-keepers, so the verdicts agree. */
+  private lazy val ingestDeconStreamSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text, $fpExpr AS fp,
+       |    (len($tokensExpr) >= 5 AND $stopCntExpr >= 2) AS ok
+       |  FROM documents WHERE doc_id % 3 = 1
+       |), keep AS (
+       |  SELECT *, min(CASE WHEN ok THEN doc_id END) OVER (PARTITION BY fp) AS keeper
+       |  FROM base
+       |), idx AS (
+       |  SELECT doc_id, text FROM keep WHERE ok AND doc_id = keeper
+       |), ${minhashSigBody("idx")}, cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+       |    AND l.doc_id < r.doc_id
+       |), agree AS (
+       |  SELECT c.a, c.b, count(*) AS n
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m
+       |  GROUP BY 1, 2
+       |), near AS (SELECT DISTINCT b FROM agree WHERE n * 5 >= 192),
+       |ed AS (
+       |  SELECT doc_id, $tokensExpr AS w FROM documents WHERE doc_id % 3 = 2
+       |), eg AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM ed
+       |), ehs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh,
+       |    s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT))) AS hh
+       |  FROM eg
+       |), ehr AS (
+       |  SELECT doc_id, unnest(hh) AS h32 FROM ehs
+       |), esig AS (
+       |  SELECT doc_id, i, min((h32 * pa + pb) % 4294967311) AS m
+       |  FROM ehr, p GROUP BY 1, 2
+       |), eband AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS bh
+       |  FROM esig GROUP BY 1, 2
+       |), dcand AS (
+       |  SELECT DISTINCT r.doc_id AS b, l.doc_id AS e
+       |  FROM eband l JOIN band r ON l.band = r.band AND l.bh = r.bh
+       |), dagree AS (
+       |  SELECT c.b, c.e, count(*) AS n
+       |  FROM dcand c
+       |  JOIN esig sa ON sa.doc_id = c.e
+       |  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m
+       |  GROUP BY 1, 2
+       |), cont AS (SELECT DISTINCT b FROM dagree WHERE n * 5 >= 192)
+       |SELECT doc_id, source,
+       |  CASE WHEN NOT ok THEN 'low_quality'
+       |       WHEN doc_id <> keeper THEN 'dup_exact'
+       |       WHEN doc_id IN (SELECT b FROM near) THEN 'near_dup'
+       |       WHEN doc_id IN (SELECT b FROM cont) THEN 'contaminated'
+       |       ELSE 'admitted' END AS verdict
+       |FROM keep""".stripMargin
+
   private lazy val lshStreamSql: String = {
     s"""${minhashSigCtes()}, cand AS (
        |  SELECT l.band, l.doc_id AS a, r.doc_id AS b
@@ -5805,6 +5902,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     "d_dedup_lsh_stream" -> lshStreamSql,
     "d_dedup_lsh_rebase_stream" -> lshRebaseStreamSql,
     "p_ingest_stream" -> ingestStreamSql,
+    "p_ingest_decon_stream" -> ingestDeconStreamSql,
     "d_dedup_embed_lsh_stream" -> embedLshStreamSql,
     "d_dedup_simhash" -> simhashSql,
     "d_dedup_bow_lsh" -> bowLshSql,

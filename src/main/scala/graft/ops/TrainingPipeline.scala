@@ -94,6 +94,41 @@ object TrainingPipeline {
           .otherwise("admitted").as("verdict"))
   }
 
+  /** [[ingestVerdicts]] plus the streaming decontamination screen
+    * ([[graft.streaming.StreamingDedup.deconHits]]): `contaminated` for
+    * keepers that cleared the near-dup index but hit the frozen eval
+    * benchmark — the [[dailyAdmission]] verdict ladder in its streaming
+    * posture (low_quality | dup_exact | near_dup | contaminated |
+    * admitted). As in [[ingestVerdicts]], only the labeling is
+    * batch-side; both hit sets came off the stream.
+    */
+  def ingestVerdictsDecon(
+      docs: DataFrame, // doc_id, source, text
+      hits: DataFrame, // ingestGate output (b = near-dup arrivals)
+      decon: DataFrame, // deconHits output (b = contaminated arrivals)
+      minTokens: Int = 5,
+      langMinStopwords: Int = 2): DataFrame = {
+    val near = hits.select(col("b").cast("long").as("doc_id")).distinct()
+      .withColumn("__near", lit(true))
+    val cont = decon.select(col("b").cast("long").as("doc_id")).distinct()
+      .withColumn("__cont", lit(true))
+    val ok = TextOps.tokenCount(col("text")) >= minTokens &&
+      TextOps.langId(col("text"), langMinStopwords) === "en"
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    docs
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.fingerprint(col("text")).as("fp"), ok.as("ok"))
+      .withColumn("keeper", min(when(col("ok"), col("doc_id"))).over(w))
+      .join(near, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(!col("ok"), "low_quality")
+          .when(col("doc_id") =!= col("keeper"), "dup_exact")
+          .when(col("__near"), "near_dup")
+          .when(col("__cont"), "contaminated")
+          .otherwise("admitted").as("verdict"))
+  }
+
   /** The full daily-admission decision — [[buildCorpus]]'s ingest-time
     * counterpart, one verdict per incoming doc against a standing corpus
     * and a frozen eval benchmark, declared as ONE dataflow:

@@ -352,6 +352,76 @@ object StreamingDedup {
     lshIndex(events, k, thresholdNumer, thresholdDenom, ttl)
   }
 
+  /** Static band table of a frozen eval benchmark for [[deconHits]]: one
+    * row per (band key, eval doc), the doc's full portable signature
+    * carried so the verify is map-side — benchmark-sized by definition,
+    * so the stream side broadcasts it. */
+  def evalBandTable(
+      evalSet: DataFrame,
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column,
+      k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    evalSet
+      .select(
+        id.cast("string").as("eval_id"),
+        Dedup.portableMinhashSignature(text, k = k).as("eval_sig"))
+      .select(
+        col("eval_id"), col("eval_sig"),
+        explode(array((0 until bands).map(j =>
+          Dedup.portableBandKey(col("eval_sig"), j, k / bands)): _*)).as("key"))
+  }
+
+  /** Streaming decontamination screen — the eval-benchmark counterpart
+    * of [[ingestGate]]'s near-dup index, STATELESS by design: the
+    * benchmark is frozen and tiny, so each arrival's contamination
+    * decision is a pure function of (arrival text, static eval band
+    * table). Same quality gate as the index branch (so both branches see
+    * identical survivors), portable signature + band keys per arrival,
+    * a stream-static BROADCAST join on the band key, then the integer
+    * signature-agreement verify (`n_agree · denom ≥ k · numer`) computed
+    * map-side from the two signatures in the row — one broadcast hash
+    * join per micro-batch, no state, no watermark, nothing accumulates.
+    * Emits one row per colliding (band, arrival, eval doc) like
+    * [[LshDupRow]]; downstream assembly dedups (the cross-band
+    * multiplicity contract). At 100 TB this is exactly how benchmark
+    * decon rides an ingest stream: the eval side is broadcast once and
+    * every executor screens its arrivals locally.
+    */
+  def deconHits(
+      docs: DataFrame, // ts, id, text columns (the DocEvent shape)
+      evalBands: DataFrame, // from [[evalBandTable]]
+      minTokens: Int = 5,
+      langMinStopwords: Int = 2,
+      k: Int = 64,
+      bands: Int = 16,
+      thresholdNumer: Int = 3,
+      thresholdDenom: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextOps}
+    val gated = docs.filter(
+      TextOps.tokenCount(col("text")) >= minTokens &&
+        TextOps.langId(col("text"), langMinStopwords) === "en")
+    val keyed = gated
+      .withColumn("__sig", Dedup.portableMinhashSignature(col("text"), k = k))
+      .select(
+        col("id").cast("string").as("b"),
+        col("__sig").as("sig"),
+        explode(array((0 until bands).map(j =>
+          Dedup.portableBandKey(col("__sig"), j, k / bands)): _*)).as("key"))
+    keyed
+      .join(broadcast(evalBands), "key")
+      .withColumn("n_agree",
+        aggregate(
+          zip_with(col("sig"), col("eval_sig"),
+            (a, b) => when(a === b, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, x) => acc + x))
+      .filter(col("n_agree") * thresholdDenom >= k * thresholdNumer)
+      .select(col("b"), col("eval_id"), col("n_agree").cast("int").as("n_agree"))
+  }
+
   def lshIndex(
       events: Dataset[BandEvent],
       k: Int,

@@ -62,6 +62,44 @@ class StreamingDedupSpec extends SparkSpec {
     } finally spark.conf.unset(ProviderConf)
   }
 
+  test("deconHits: the streaming verdict ladder fires all five classes in one query") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val base = "the quick brown fox jumps over the lazy dog"
+      val evalText = "we walked to the store and bought a loaf of bread"
+      val arrivals = Seq(
+        (1L, "web", "xx"), // fails the token-count gate
+        (3L, "web", base), // first arrival of base -> admitted
+        (5L, "web", base), // byte-identical -> dup_exact (firstPerKey)
+        (7L, "web", "the quick brown fox jumps over the lazy cat"), // near_dup of 3
+        (9L, "web", evalText), // clean vs arrivals, copies the benchmark
+        (11L, "web", "the results were quite different and the shuffle stayed fast"))
+        .toDF("doc_id", "source", "text")
+      val evalBands = StreamingDedup.evalBandTable(
+        Seq((2L, evalText)).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      val out = Replay.docEvents(
+        arrivals.select(lit("").as("key"), timestamp_seconds(col("doc_id")).as("ts"),
+          col("doc_id").cast("string").as("id"), col("text"))) { stream =>
+        val df = stream.toDF()
+        StreamingDedup.ingestGate(df).toDF()
+          .select(col("band"), col("a"), col("b"), col("n_agree"))
+          .unionByName(StreamingDedup.deconHits(df, evalBands)
+            .select(lit(-1).as("band"), concat(lit("eval:"), col("eval_id")).as("a"),
+              col("b"), col("n_agree")))
+      }
+      val got = graft.ops.TrainingPipeline.ingestVerdictsDecon(
+          arrivals, out.filter(col("band") >= 0), out.filter(col("band") === -1))
+        .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+      assert(got == Map(
+        1L -> "low_quality",
+        3L -> "admitted",
+        5L -> "dup_exact",
+        7L -> "near_dup",
+        9L -> "contaminated",
+        11L -> "admitted"))
+    } finally spark.conf.unset(ProviderConf)
+  }
+
   test("the ttl knob bounds index state: expired entries stop matching, long ttl matches NONE") {
     // the production state-bounding posture SCALE.md documents
     // (dedup-within-horizon): an entry older than the TTL is filtered on
