@@ -1835,6 +1835,16 @@ object SparkEntry {
       // oracle
       Chunking.contentDefinedChunks(Tables(s, dir).documents, col("doc_id"), col("text"))
     }),
+    "d_chunk_dedup" -> ((s, dir) => {
+      // chunk-grain dedup accounting over the CDC chunks — the
+      // dedup-storage / RAG-ingest shape content-defined boundaries
+      // exist for: per doc, how many of its chunks (and how much token
+      // mass) the corpus already stores under another (doc, chunk)
+      // owner. One fingerprint-grain exchange + one doc-grain aggregate;
+      // exact integers so the row hashes identically on any engine.
+      Chunking.chunkDedupStats(
+        Chunking.contentDefinedChunks(Tables(s, dir).documents, col("doc_id"), col("text")))
+    }),
 
     // ---- text analysis ----
     "t_tokens" -> ((s, dir) => {
@@ -4796,6 +4806,54 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
        |       ELSE 'admitted' END AS verdict
        |FROM documents WHERE doc_id % 2 = 1""".stripMargin
 
+  private lazy val chunkCdcSql: String =
+    s"""WITH t AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), t2 AS (
+         |  SELECT doc_id, w, len(w) AS n,
+         |    list_transform(w, t ->
+         |      CAST(concat('0x', substring(md5(t), 1, 10)) AS BIGINT)) AS h
+         |  FROM t WHERE len(w) > 0 AND w != ['']
+         |), cuts AS (
+         |  SELECT doc_id, w, n,
+         |    list_sort(list_distinct(list_concat(list_concat([0],
+         |      list_filter(CASE WHEN n >= 8 THEN range(8, n + 1) ELSE [] END,
+         |        i -> list_reduce(h[i - 7 : i],
+         |               (a, x) -> (a * 31 + x) % 1099511627776) % 32 = 0)),
+         |      [CAST(n AS BIGINT)]))) AS b1
+         |  FROM t2
+         |), b AS (
+         |  SELECT doc_id, w,
+         |    list_sort(list_distinct(list_concat(b1,
+         |      flatten(list_transform(range(1, len(b1)), j ->
+         |        CASE WHEN b1[CAST(j + 1 AS INT)] - b1[CAST(j AS INT)] > 128
+         |             THEN range(b1[CAST(j AS INT)] + 128, b1[CAST(j + 1 AS INT)], 128)
+         |             ELSE [] END))))) AS bs
+         |  FROM cuts
+         |), e AS (
+         |  SELECT doc_id, w, bs, unnest(range(1, len(bs))) AS j FROM b
+         |)
+         |SELECT doc_id, j - 1 AS chunk_id,
+         |  bs[CAST(j + 1 AS INT)] - bs[CAST(j AS INT)] AS n_tokens,
+         |  array_to_string(w[CAST(bs[CAST(j AS INT)] + 1 AS INT) : CAST(bs[CAST(j + 1 AS INT)] AS INT)], ' ') AS chunk
+         |FROM e""".stripMargin
+
+  /** d_chunk_dedup oracle: the CDC chain nested as a CTE, md5 chunk
+    * fingerprints, first (doc_id, chunk_id) owner by row_number, exact
+    * integer per-doc rollup (sums cast from HUGEINT to BIGINT). */
+  private lazy val chunkDedupSql: String =
+    s"""WITH cdc AS ($chunkCdcSql),
+       |fp AS (SELECT doc_id, chunk_id, n_tokens, md5(chunk) AS fp FROM cdc),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) AS rn
+       |  FROM fp
+       |)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
+       |FROM r GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_pv_hourly" -> pvHourlySql,
     "q_pv_hourly_stream" -> pvHourlySql,
@@ -5630,37 +5688,8 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
          |)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, shard, pack_id, offset_tokens FROM r""".stripMargin,
-    "d_chunk_cdc" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $tokensExpr AS w FROM documents
-         |), t2 AS (
-         |  SELECT doc_id, w, len(w) AS n,
-         |    list_transform(w, t ->
-         |      CAST(concat('0x', substring(md5(t), 1, 10)) AS BIGINT)) AS h
-         |  FROM t WHERE len(w) > 0 AND w != ['']
-         |), cuts AS (
-         |  SELECT doc_id, w, n,
-         |    list_sort(list_distinct(list_concat(list_concat([0],
-         |      list_filter(CASE WHEN n >= 8 THEN range(8, n + 1) ELSE [] END,
-         |        i -> list_reduce(h[i - 7 : i],
-         |               (a, x) -> (a * 31 + x) % 1099511627776) % 32 = 0)),
-         |      [CAST(n AS BIGINT)]))) AS b1
-         |  FROM t2
-         |), b AS (
-         |  SELECT doc_id, w,
-         |    list_sort(list_distinct(list_concat(b1,
-         |      flatten(list_transform(range(1, len(b1)), j ->
-         |        CASE WHEN b1[CAST(j + 1 AS INT)] - b1[CAST(j AS INT)] > 128
-         |             THEN range(b1[CAST(j AS INT)] + 128, b1[CAST(j + 1 AS INT)], 128)
-         |             ELSE [] END))))) AS bs
-         |  FROM cuts
-         |), e AS (
-         |  SELECT doc_id, w, bs, unnest(range(1, len(bs))) AS j FROM b
-         |)
-         |SELECT doc_id, j - 1 AS chunk_id,
-         |  bs[CAST(j + 1 AS INT)] - bs[CAST(j AS INT)] AS n_tokens,
-         |  array_to_string(w[CAST(bs[CAST(j AS INT)] + 1 AS INT) : CAST(bs[CAST(j + 1 AS INT)] AS INT)], ' ') AS chunk
-         |FROM e""".stripMargin,
+    "d_chunk_cdc" -> chunkCdcSql,
+    "d_chunk_dedup" -> chunkDedupSql,
     "d_chunk" ->
       s"""WITH t AS (SELECT doc_id, $tokensExpr AS w FROM documents),
          |s AS (

@@ -233,4 +233,37 @@ object Chunking {
         array_join(slice(col("__w"), col("__c.s") + 1, col("__c.e") - col("__c.s")), " ")
           .as("chunk"))
   }
+
+  /** Chunk-grain dedup over a chunk frame ([[contentDefinedChunks]]'s
+    * output shape: doc_id, chunk_id, n_tokens, chunk) — the
+    * dedup-storage / RAG-ingest accounting CDC boundaries exist for:
+    * fingerprint every chunk, first owner in (doc_id, chunk_id) order
+    * keeps it, and each doc reports how much of its chunk/token mass is
+    * already stored elsewhere. Because the boundaries are
+    * content-defined, an upstream edit re-chunks only the edited region,
+    * so unchanged chunks keep their fingerprints and keep deduping
+    * across corpus snapshots.
+    *
+    * Returns (doc_id, n_chunks, dup_chunks, n_tokens, dup_tokens) in
+    * exact integers (ratios are the consumer's division — keeps the row
+    * hash-portable across engines).
+    *
+    * Scale: one exchange at chunk-fingerprint grain (the md5 is 16
+    * bytes/chunk; chunk text never shuffles — only its length rides
+    * along) and one at doc grain; no joins, no pair space.
+    */
+  def chunkDedupStats(chunks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), md5(col("chunk")).as("__fp"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("__rn") > 1, col("n_tokens")).otherwise(0L)).as("dup_tokens"))
+  }
 }

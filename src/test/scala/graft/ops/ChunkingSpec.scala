@@ -178,6 +178,24 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("chunkDedupStats: repeated chunks dedupe to the first (doc, chunk) owner; integers exact") {
+    // doc 1 and doc 2 are byte-identical (every doc-2 chunk is a dup of
+    // doc-1's under the shared fingerprint); doc 3 shares no token
+    val t = (0 until 200).map(i => s"alpha$i").mkString(" ")
+    val u = (0 until 90).map(i => s"omega$i").mkString(" ")
+    val df = Seq((1L, t), (2L, t), (3L, u)).toDF("doc_id", "text")
+    val got = Chunking
+      .chunkDedupStats(Chunking.contentDefinedChunks(df, col("doc_id"), col("text")))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (n1, d1, t1, dt1) = got(1L)
+    val (n2, d2, t2, dt2) = got(2L)
+    val (n3, d3, t3, dt3) = got(3L)
+    assert(d1 == 0 && dt1 == 0 && t1 == 200) // distinct tokens -> no internal repeats
+    assert((n2, t2) == ((n1, t1)) && d2 == n2 && dt2 == t2) // all of doc 2 already stored
+    assert(d3 == 0 && dt3 == 0 && t3 == 90)
+  }
+
   test("contentDefinedChunks matches the per-token reference on real docs (sf0.001)") {
     val docs = graft.io.Tables(spark, "/root/testdata/sf0.001").documents
     val got = Chunking.contentDefinedChunks(docs, col("doc_id"), col("text"))
