@@ -1267,6 +1267,26 @@ object SparkEntry {
         shingleLen = 3, k = 64, bands = 16, nearThreshold = 0.6,
         deconShingleLen = 3, deconThreshold = 0.5, portableHash = true)
     }),
+    "p_daily_admission_indexed" -> ((s, dir) => {
+      // p_daily_admission against STORED corpus artifacts only — the
+      // form the scheduled daily job actually runs: the corpus enters as
+      // its fingerprint set + its two nearDupIndex tables (at scale
+      // materialized once and appended per admitted batch); corpus TEXT
+      // is never read anywhere in the plan. Same verdicts, one shared
+      // oracle (PipelineSpec pins equality with the recompute form).
+      val t = Tables(s, dir)
+      val corpus = t.documents.filter(col("doc_id") % 3 === 0)
+      val (hx, bx) = Dedup.nearDupIndex(
+        corpus, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, portableHash = true)
+      TrainingPipeline.dailyAdmissionIndexed(
+        Dedup.fingerprintSet(corpus, col("text")), hx, bx,
+        t.documents.filter(col("doc_id") % 3 === 1),
+        t.documents.filter(col("doc_id") % 3 === 2),
+        col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, nearThreshold = 0.6,
+        deconShingleLen = 3, deconThreshold = 0.5, portableHash = true)
+    }),
     "q_cube_events" -> ((s, dir) => {
       // full cube over (event_type, day): all four grouping sets in ONE
       // Expand + one agg exchange, same single-scan plan family as
@@ -4854,6 +4874,95 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
        |  CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
        |FROM r GROUP BY 1""".stripMargin
 
+  /** Shared by p_daily_admission and its stored-artifact twin — only
+    * the corpus side's provenance (fingerprint set + nearDupIndex
+    * tables vs text recompute) differs, the verdicts are identical. */
+  private lazy val dailyAdmissionSql: String =
+    s"""WITH gq AS (
+         |  SELECT doc_id,
+         |    CAST(len($tokensExpr) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |      / len($tokensExpr) AS avg_token_len,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |      / len($tokensExpr) AS symbol_ratio,
+         |    CAST(len(list_filter($tokensExpr,
+         |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+         |      / len($tokensExpr) AS alpha_word_ratio,
+         |    CAST($stopCntExpr AS BIGINT) AS stop_hits,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+         |      / greatest(1, len(string_split(text, chr(10)))) AS bullet_line_frac,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
+         |      / greatest(1, len(string_split(text, chr(10)))) AS ellipsis_line_frac
+         |  FROM documents WHERE doc_id % 3 = 1
+         |), q AS (
+         |  SELECT doc_id FROM gq
+         |  WHERE COALESCE(n_tokens BETWEEN 50 AND 100000
+         |    AND avg_token_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_ratio < 0.1
+         |    AND alpha_word_ratio > 0.8
+         |    AND stop_hits >= 2
+         |    AND bullet_line_frac < 0.9
+         |    AND ellipsis_line_frac < 0.3, FALSE)
+         |), f AS (SELECT doc_id, text, $fpExpr AS fp FROM documents),
+         |seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+         |keep AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS kk
+         |    FROM f WHERE doc_id IN (SELECT doc_id FROM q)
+         |      AND fp NOT IN (SELECT fp FROM seen)
+         |  ) WHERE doc_id = kk
+         |), idx AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id, text FROM keep
+         |), ${minhashSigBody("idx")}, cb AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+         |  WHERE l.doc_id % 3 = 0 AND r.doc_id % 3 = 1
+         |), bb AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
+         |    AND l.doc_id < r.doc_id
+         |  WHERE l.doc_id % 3 = 1 AND r.doc_id % 3 = 1
+         |), vcb AS (
+         |  SELECT DISTINCT c.b
+         |  FROM cb c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
+         |  WHERE len(list_intersect(ha.hh, hb.hh)) > 0
+         |    AND CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)
+         |        / (len(ha.hh) + len(hb.hh) - len(list_intersect(ha.hh, hb.hh))) >= 0.6
+         |), vbb AS (
+         |  SELECT DISTINCT c.b
+         |  FROM bb c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
+         |  WHERE len(list_intersect(ha.hh, hb.hh)) > 0
+         |    AND CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)
+         |        / (len(ha.hh) + len(hb.hh) - len(list_intersect(ha.hh, hb.hh))) >= 0.6
+         |), adm AS (
+         |  SELECT doc_id FROM keep
+         |  WHERE doc_id NOT IN (SELECT b FROM vcb)
+         |    AND doc_id NOT IN (SELECT b FROM vbb)
+         |), dd AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |  WHERE doc_id % 3 = 2 OR doc_id IN (SELECT doc_id FROM adm)
+         |), dgs AS (
+         |  SELECT doc_id, $shinglesExpr AS sh FROM dd
+         |), cont AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM dgs a JOIN dgs b ON a.doc_id % 3 = 1 AND b.doc_id % 3 = 2
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.5
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id NOT IN (SELECT doc_id FROM q) THEN 'rejected_quality'
+         |       WHEN doc_id NOT IN (SELECT doc_id FROM keep) THEN 'dup_exact'
+         |       WHEN doc_id IN (SELECT b FROM vcb) THEN 'near_dup_corpus'
+         |       WHEN doc_id IN (SELECT b FROM vbb) THEN 'near_dup_batch'
+         |       WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         |       ELSE 'admitted' END AS verdict
+         |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_pv_hourly" -> pvHourlySql,
     "q_pv_hourly_stream" -> pvHourlySql,
@@ -4997,91 +5106,8 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     // portable MinHash chain over corpus ∪ keepers, then the 3-gram
     // Jaccard decontamination sweep of the admitted sliver against the
     // eval third — verdict precedence identical to the Spark dataflow
-    "p_daily_admission" ->
-      s"""WITH gq AS (
-         |  SELECT doc_id,
-         |    CAST(len($tokensExpr) AS BIGINT) AS n_tokens,
-         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-         |      / len($tokensExpr) AS avg_token_len,
-         |    CAST(len(regexp_extract_all(text, '#'))
-         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
-         |      / len($tokensExpr) AS symbol_ratio,
-         |    CAST(len(list_filter($tokensExpr,
-         |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-         |      / len($tokensExpr) AS alpha_word_ratio,
-         |    CAST($stopCntExpr AS BIGINT) AS stop_hits,
-         |    CAST(len(list_filter(string_split(text, chr(10)),
-         |        l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
-         |      / greatest(1, len(string_split(text, chr(10)))) AS bullet_line_frac,
-         |    CAST(len(list_filter(string_split(text, chr(10)),
-         |        l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
-         |      / greatest(1, len(string_split(text, chr(10)))) AS ellipsis_line_frac
-         |  FROM documents WHERE doc_id % 3 = 1
-         |), q AS (
-         |  SELECT doc_id FROM gq
-         |  WHERE COALESCE(n_tokens BETWEEN 50 AND 100000
-         |    AND avg_token_len BETWEEN 3.0 AND 10.0
-         |    AND symbol_ratio < 0.1
-         |    AND alpha_word_ratio > 0.8
-         |    AND stop_hits >= 2
-         |    AND bullet_line_frac < 0.9
-         |    AND ellipsis_line_frac < 0.3, FALSE)
-         |), f AS (SELECT doc_id, text, $fpExpr AS fp FROM documents),
-         |seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
-         |keep AS (
-         |  SELECT doc_id, text FROM (
-         |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS kk
-         |    FROM f WHERE doc_id IN (SELECT doc_id FROM q)
-         |      AND fp NOT IN (SELECT fp FROM seen)
-         |  ) WHERE doc_id = kk
-         |), idx AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-         |  UNION ALL SELECT doc_id, text FROM keep
-         |), ${minhashSigBody("idx")}, cb AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
-         |  WHERE l.doc_id % 3 = 0 AND r.doc_id % 3 = 1
-         |), bb AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM band l JOIN band r ON l.band = r.band AND l.bh = r.bh
-         |    AND l.doc_id < r.doc_id
-         |  WHERE l.doc_id % 3 = 1 AND r.doc_id % 3 = 1
-         |), vcb AS (
-         |  SELECT DISTINCT c.b
-         |  FROM cb c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
-         |  WHERE len(list_intersect(ha.hh, hb.hh)) > 0
-         |    AND CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)
-         |        / (len(ha.hh) + len(hb.hh) - len(list_intersect(ha.hh, hb.hh))) >= 0.6
-         |), vbb AS (
-         |  SELECT DISTINCT c.b
-         |  FROM bb c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
-         |  WHERE len(list_intersect(ha.hh, hb.hh)) > 0
-         |    AND CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)
-         |        / (len(ha.hh) + len(hb.hh) - len(list_intersect(ha.hh, hb.hh))) >= 0.6
-         |), adm AS (
-         |  SELECT doc_id FROM keep
-         |  WHERE doc_id NOT IN (SELECT b FROM vcb)
-         |    AND doc_id NOT IN (SELECT b FROM vbb)
-         |), dd AS (
-         |  SELECT doc_id, $tokensExpr AS w FROM documents
-         |  WHERE doc_id % 3 = 2 OR doc_id IN (SELECT doc_id FROM adm)
-         |), dgs AS (
-         |  SELECT doc_id, $shinglesExpr AS sh FROM dd
-         |), cont AS (
-         |  SELECT DISTINCT a.doc_id
-         |  FROM dgs a JOIN dgs b ON a.doc_id % 3 = 1 AND b.doc_id % 3 = 2
-         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
-         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / len(list_distinct(a.sh || b.sh)) >= 0.5
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN doc_id NOT IN (SELECT doc_id FROM q) THEN 'rejected_quality'
-         |       WHEN doc_id NOT IN (SELECT doc_id FROM keep) THEN 'dup_exact'
-         |       WHEN doc_id IN (SELECT b FROM vcb) THEN 'near_dup_corpus'
-         |       WHEN doc_id IN (SELECT b FROM vbb) THEN 'near_dup_batch'
-         |       WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
-         |       ELSE 'admitted' END AS verdict
-         |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+    "p_daily_admission" -> dailyAdmissionSql,
+    "p_daily_admission_indexed" -> dailyAdmissionSql,
     "q_cube_events" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -55,14 +55,29 @@ object Dedup {
       corpus: DataFrame,
       incoming: DataFrame,
       id: Column,
-      text: Column): DataFrame = {
-    val seen = corpus.select(TextOps.fingerprint(text).as("fp")).distinct()
+      text: Column): DataFrame =
+    incrementalIngestIndexed(fingerprintSet(corpus, text), incoming, id, text)
+
+  /** The stored fingerprint set of a corpus (or of an admitted batch —
+    * the per-increment append): the 16-byte-per-doc exact-dedup side
+    * table [[incrementalIngestIndexed]] screens against. At 100 TB this
+    * is a materialized table maintained across ingests, exactly the
+    * [[nearDupIndex]] discipline at fingerprint grain. */
+  def fingerprintSet(df: DataFrame, text: Column): DataFrame =
+    df.select(TextOps.fingerprint(text).as("fp")).distinct()
+
+  /** [[incrementalIngest]] against a STORED fingerprint set — the corpus
+    * enters as its (fp) table, never as text. */
+  def incrementalIngestIndexed(
+      seenFps: DataFrame, // (fp)
+      incoming: DataFrame,
+      id: Column,
+      text: Column): DataFrame =
     incoming
       .select(TextOps.fingerprint(text).as("fp"), id.as("doc_id"))
-      .join(seen, Seq("fp"), "left_anti")
+      .join(seenFps, Seq("fp"), "left_anti")
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
-  }
 
   /** Cluster-size distribution of the near-dup graph: for each component
     * size ≥ 2, how many clusters have that size — the dedup QA view that
@@ -874,6 +889,41 @@ object Dedup {
     val kept = incoming.join(keepers, id === col("__keep_id"), "left_semi")
     val near = incrementalNearIngest(
       corpus, kept, id, text, shingleLen, k, bands, threshold, seed, portableHash)
+    incoming
+      .select(id.as("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("verdict"), lit("dup_exact")).as("verdict"))
+  }
+
+  /** [[ingestIncrement]] against STORED corpus artifacts only — the form
+    * a deployment actually schedules daily: the corpus enters as its
+    * fingerprint set ([[fingerprintSet]]) and its two near-dup index
+    * tables ([[nearDupIndex]]), all three maintained across ingests by
+    * appending each admitted batch's rows; corpus text is never read.
+    * Output is row-for-row [[ingestIncrement]]'s (PipelineSpec pins the
+    * composed equality through [[TrainingPipeline.dailyAdmissionIndexed]]).
+    */
+  def ingestIncrementIndexed(
+      corpusFps: DataFrame, // (fp)
+      corpusHashes: DataFrame, // (doc_id, s)
+      corpusBands: DataFrame, // (doc_id, band, band_hash)
+      incoming: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame = {
+    val keepers = incrementalIngestIndexed(corpusFps, incoming, id, text)
+      .select(col("doc_id").as("__keep_id"))
+    val kept = incoming.join(keepers, id === col("__keep_id"), "left_semi")
+    val near = incrementalNearIngestIndexed(
+      corpusHashes, corpusBands, kept, id, text,
+      shingleLen, k, bands, threshold, seed, portableHash)
     incoming
       .select(id.as("doc_id"))
       .join(near, Seq("doc_id"), "left")

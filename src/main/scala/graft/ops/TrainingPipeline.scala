@@ -165,18 +165,67 @@ object TrainingPipeline {
       deconShingleLen: Int = 3,
       deconThreshold: Double = 0.5,
       seed: Long = 42L,
-      portableHash: Boolean = false): DataFrame = {
-    // NULL quality signals (degenerate texts) reject on both engines:
-    // coalesce(keep, false) here, COALESCE(cond, false) in the oracle.
+      portableHash: Boolean = false): DataFrame =
+    admissionLadder(incoming, evalSet, id, text, deconShingleLen, deconThreshold) { passed =>
+      Dedup.ingestIncrement(
+        corpus, passed, id, text, shingleLen, k, bands, nearThreshold, seed, portableHash)
+    }
+
+  /** [[dailyAdmission]] against STORED corpus artifacts only — what the
+    * scheduled daily job actually runs at 100 TB: the corpus enters as
+    * its fingerprint set and its two near-dup index tables (all three
+    * appended per admitted batch, maintained by
+    * [[Dedup.fingerprintSet]] / [[Dedup.nearDupIndex]] over each round's
+    * admits); corpus TEXT is never read anywhere in the plan. Same
+    * verdicts as [[dailyAdmission]] given artifacts derived from the
+    * same corpus (PipelineSpec pins the equality), so both share one
+    * oracle.
+    */
+  def dailyAdmissionIndexed(
+      corpusFps: DataFrame, // (fp)
+      corpusHashes: DataFrame, // (doc_id, s)
+      corpusBands: DataFrame, // (doc_id, band, band_hash)
+      incoming: DataFrame,
+      evalSet: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      nearThreshold: Double = 0.6,
+      deconShingleLen: Int = 3,
+      deconThreshold: Double = 0.5,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame =
+    admissionLadder(incoming, evalSet, id, text, deconShingleLen, deconThreshold) { passed =>
+      Dedup.ingestIncrementIndexed(
+        corpusFps, corpusHashes, corpusBands, passed, id, text,
+        shingleLen, k, bands, nearThreshold, seed, portableHash)
+    }
+
+  /** The shared admission ladder: quality gate in, dedup screen via
+    * `screen` (recompute or stored-index), decontamination of the
+    * admitted sliver, verdict assembly with the declared precedence.
+    * NULL quality signals (degenerate texts) reject on both engines:
+    * coalesce(keep, false) here, COALESCE(cond, false) in the oracle.
+    * The quality frame is deliberately NOT persisted: it feeds five
+    * downstream subtrees, but caching it measured flat at sf0.1
+    * (7.45 vs 7.49 s) — the d_cluster_sizes counter-lesson again (the
+    * near-dup stage dominates; the regex re-runs are noise next to it).
+    */
+  private def admissionLadder(
+      incoming: DataFrame,
+      evalSet: DataFrame,
+      id: Column,
+      text: Column,
+      deconShingleLen: Int,
+      deconThreshold: Double)(screen: DataFrame => DataFrame): DataFrame = {
     val quality = TextOps.gopherSignals(incoming, id, text)
       .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
     val passed = incoming.join(
       quality.filter(col("keep")).select(col("doc_id").as("__q_id")),
       id === col("__q_id"), "left_semi")
-    val dedup = Dedup
-      .ingestIncrement(
-        corpus, passed, id, text, shingleLen, k, bands, nearThreshold, seed, portableHash)
-      .withColumnRenamed("verdict", "__dedup_verdict")
+    val dedup = screen(passed).withColumnRenamed("verdict", "__dedup_verdict")
     val admitted = passed.join(
       dedup.filter(col("__dedup_verdict") === "admitted").select(col("doc_id").as("__a_id")),
       id === col("__a_id"), "left_semi")

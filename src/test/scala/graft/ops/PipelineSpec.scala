@@ -131,6 +131,16 @@ class PipelineSpec extends SparkSpec {
       10L -> "admitted",
       13L -> "near_dup_batch",
       16L -> "contaminated"))
+    // the stored-artifact form sees the corpus only through its
+    // fingerprint set + nearDupIndex tables and lands identical verdicts
+    val (hx, bx) = Dedup.nearDupIndex(corpusDf, col("doc_id"), col("text"),
+      shingleLen = 3, k = 64, bands = 16, portableHash = true)
+    val gotIndexed = TrainingPipeline
+      .dailyAdmissionIndexed(
+        Dedup.fingerprintSet(corpusDf, col("text")), hx, bx,
+        incoming, evalDf, col("doc_id"), col("text"), portableHash = true)
+      .as[(Long, String)].collect().toMap
+    assert(gotIndexed == got)
   }
 
   test("zorder2 matches the per-bit reference and nulls out-of-range input") {
