@@ -727,4 +727,31 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"(N,V) totals and the vocab join build side must broadcast:\n$p")
   }
+
+  test("chunk dedup: chunk text never crosses an exchange") {
+    val df = SparkEntry.queries("d_chunk_dedup")(spark, dir)
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, df.queryExecution.executedPlan.toString)
+    // the fingerprint exchange carries (ids, length, 16-byte md5) only;
+    // a `chunk` attribute in any exchange's output means the text itself
+    // is shuffling — the regression this pin exists to catch
+    for (e <- exchanges)
+      assert(!e.output.exists(_.name == "chunk"), s"chunk text must not shuffle:\n$e")
+  }
+
+  test("streaming decon screen: the benchmark band table broadcasts (stream-static shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docsDf = Seq(("1", "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val evalBands = graft.streaming.StreamingDedup.evalBandTable(
+      Seq((2L, "we walked to the store and bought a loaf of bread")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    val p = graft.streaming.StreamingDedup.deconHits(docsDf, evalBands)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark side must broadcast — per micro-batch this is the whole point:\n$p")
+  }
 }
