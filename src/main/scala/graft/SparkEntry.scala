@@ -1547,6 +1547,19 @@ object SparkEntry {
         col("doc_id"), col("text"), 3, 0.5)
     }),
 
+    "d_decontaminate_hard13" -> ((s, dir) => {
+      // GPT-3-style hard decontamination (Brown et al. 2020 App. C):
+      // flag a train doc on ANY shared exact word 13-gram with the eval
+      // side — catches verbatim leaked spans inside otherwise-different
+      // docs, the case d_decontaminate's Jaccard threshold misses by
+      // construction. Same odd/even stand-in split; portable md5→32-bit
+      // shingle hashes so the oracle replays the join at hash grain.
+      val docs = Tables(s, dir).documents
+      Dedup.exactNgramCollisions(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), n = 13, portableHash = true)
+    }),
     "d_decontaminate_bloom" -> ((s, dir) => {
       // the 100 TB decontamination plan: the train explode filters
       // through a codegen'd might_contain over the benchmark's shingle
@@ -5537,6 +5550,27 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
          |GROUP BY t.doc_id, len(t.ws)""".stripMargin,
     "d_decontaminate" -> decontaminateSql,
+    // hard decon: the exact-13-gram collision join replayed at the SAME
+    // portable hash grain as the Spark plan (md5→32-bit), so even hash
+    // collisions agree; docs under 13 tokens fall back to one
+    // whole-text shingle on both engines
+    "d_decontaminate_hard13" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 13
+         |    THEN list_distinct([array_to_string(w[i:i+12], ' ')
+         |                        for i in range(1, len(w) - 11)])
+         |    ELSE [array_to_string(w, ' ')] END AS sh
+         |  FROM d
+         |), e AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM g)
+         |)
+         |SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+         |FROM e a JOIN e b ON a.h = b.h
+         |  AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin,
     "d_decontaminate_bloom" -> decontaminateSql,
     "d_dedup_ngram" ->
       s"""WITH d AS (

@@ -967,6 +967,44 @@ object Dedup {
       .select(col("train_id"), col("eval_id"), col("jaccard"))
   }
 
+  /** Hard decontamination at exact n-gram grain — the GPT-3 discipline
+    * (Brown et al. 2020, Appendix C uses n = 13): a train doc is flagged
+    * if it shares ANY exact word n-gram with the eval benchmark. No
+    * Jaccard, no threshold, no signature — ONE equi-join on shingle
+    * hashes, so it catches verbatim leaked spans that sit inside an
+    * otherwise-different document (the case a similarity threshold
+    * misses by construction). Complements [[crossCorpusNearDups]]
+    * (paraphrase-grade overlap) and the per-doc overlap score
+    * (`d_contamination_frac`). Docs shorter than n collapse to one
+    * whole-text shingle (the [[graft.ops.TextOps.shingleHashRows]]
+    * fallback), so short eval items still screen.
+    *
+    * Returns distinct (train_id, eval_id) collision pairs; semi-join the
+    * train side against it to drop.
+    *
+    * Scale: shuffle keys are 32/64-bit shingle hashes — the benchmark
+    * side is tiny, so AQE broadcasts its explode and the train corpus
+    * never shuffles (the [[crossCorpusNearDups]] asymmetry note); the
+    * bloom-pruned variant composes the same way when even that join is
+    * worth pruning.
+    */
+  def exactNgramCollisions(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      portableHash: Boolean = false): DataFrame = {
+    def rows(df: DataFrame) =
+      (if (portableHash) TextOps.portableShingleHashRows(df, id, text, n)
+       else TextOps.shingleHashRows(df, id, text, n)).distinct()
+    rows(train)
+      .as("l")
+      .join(rows(eval).as("r"), col("l.s") === col("r.s"))
+      .select(col("l.doc_id").as("train_id"), col("r.doc_id").as("eval_id"))
+      .distinct()
+  }
+
   /** [[crossCorpusNearDups]]'s 100 TB plan: prune the TRAIN explode
     * through a bloom filter of the eval corpus's distinct shingle hashes
     * BEFORE any join — the benchmark side is tiny (that's what makes it

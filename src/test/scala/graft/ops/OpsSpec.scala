@@ -386,6 +386,25 @@ class OpsSpec extends SparkSpec {
     assert(got2 == gotText)
   }
 
+  test("exactNgramCollisions: a verbatim 13-token span flags; high-overlap-no-run does not") {
+    val span = (1 to 13).map(i => s"leak$i").mkString(" ") // the verbatim 13-gram
+    val evalDoc = s"benchmark question about $span and its answer"
+    // train 1 embeds the span verbatim inside otherwise-different text;
+    // train 3 shares many tokens with the eval doc but never 13 in a row;
+    // train 5 is clean; eval ids are even
+    val train1 = s"some unrelated prose then $span then more unrelated prose"
+    val train3 = (1 to 13).map(i => s"leak$i pad$i").mkString(" ") // interleaved: no run
+    val df = Seq(
+      (0L, evalDoc), (2L, "another benchmark item entirely"),
+      (1L, train1), (3L, train3), (5L, "wholly clean document text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactNgramCollisions(
+        df.filter(col("doc_id") % 2 === 1), df.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), n = 13, portableHash = true)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L)))
+  }
+
   test("ngramJaccardPairs finds the planted near-dup pair only") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and often" // 1 word off
