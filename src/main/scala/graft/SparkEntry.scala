@@ -1560,6 +1560,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         col("doc_id"), col("text"), n = 13, portableHash = true)
     }),
+    "d_decontaminate_hard13_bloom" -> ((s, dir) => {
+      // hard13's 100 TB sweep plan: the train explode filters through a
+      // codegen'd might_contain over the benchmark's 13-gram bloom
+      // BEFORE any exchange — same output as d_decontaminate_hard13
+      // (the exact join removes bloom false positives), one shared
+      // oracle, plan-pinned in PlanQualitySpec.
+      val docs = Tables(s, dir).documents
+      Dedup.exactNgramCollisionsBloom(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), n = 13,
+        expectedEvalShingles = 200000L, portableHash = true)
+    }),
     "d_decontaminate_bloom" -> ((s, dir) => {
       // the 100 TB decontamination plan: the train explode filters
       // through a codegen'd might_contain over the benchmark's shingle
@@ -4976,6 +4989,27 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |       ELSE 'admitted' END AS verdict
          |FROM documents WHERE doc_id % 3 = 1""".stripMargin
 
+  /** Shared by the exact-13-gram collision sweep and its bloom-pruned
+    * scale twin (the bloom only prunes; the exact join restores
+    * exactness). Replays at the portable md5->32-bit hash grain. */
+  private lazy val hard13Sql: String =
+    s"""WITH d AS (
+         |  SELECT doc_id, $tokensExpr AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 13
+         |    THEN list_distinct([array_to_string(w[i:i+12], ' ')
+         |                        for i in range(1, len(w) - 11)])
+         |    ELSE [array_to_string(w, ' ')] END AS sh
+         |  FROM d
+         |), e AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM g)
+         |)
+         |SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+         |FROM e a JOIN e b ON a.h = b.h
+         |  AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_pv_hourly" -> pvHourlySql,
     "q_pv_hourly_stream" -> pvHourlySql,
@@ -5554,23 +5588,8 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     // portable hash grain as the Spark plan (md5→32-bit), so even hash
     // collisions agree; docs under 13 tokens fall back to one
     // whole-text shingle on both engines
-    "d_decontaminate_hard13" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, $tokensExpr AS w FROM documents
-         |), g AS (
-         |  SELECT doc_id, CASE WHEN len(w) >= 13
-         |    THEN list_distinct([array_to_string(w[i:i+12], ' ')
-         |                        for i in range(1, len(w) - 11)])
-         |    ELSE [array_to_string(w, ' ')] END AS sh
-         |  FROM d
-         |), e AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h
-         |  FROM (SELECT doc_id, unnest(sh) AS s FROM g)
-         |)
-         |SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
-         |FROM e a JOIN e b ON a.h = b.h
-         |  AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin,
+    "d_decontaminate_hard13" -> hard13Sql,
+    "d_decontaminate_hard13_bloom" -> hard13Sql,
     "d_decontaminate_bloom" -> decontaminateSql,
     "d_dedup_ngram" ->
       s"""WITH d AS (

@@ -1005,6 +1005,45 @@ object Dedup {
       .distinct()
   }
 
+  /** [[exactNgramCollisions]]'s 100 TB plan — the same bloom-prune
+    * discipline as [[crossCorpusNearDupsBloom]]: the train explode
+    * filters through a codegen'd `might_contain` over the benchmark's
+    * shingle bloom BEFORE any exchange, so at decontamination scale
+    * virtually every train shingle misses and never reaches the join.
+    * Output is EXACTLY the plain sweep's (one shared oracle): the bloom
+    * admits false positives only and the exact hash equi-join behind it
+    * removes them. Driver holds one bloom of `expectedEvalShingles` keys
+    * at `fpp` (the [[graft.ops.Joins.bloomPrunedSemiJoin]] sizing rule);
+    * the eval explode persists for its two consumers (bloom build,
+    * join).
+    */
+  def exactNgramCollisionsBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      expectedEvalShingles: Long,
+      fpp: Double = 0.01,
+      portableHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graft.BloomJoinExpressions
+    import org.apache.spark.util.sketch.BloomFilter
+    def rows(df: DataFrame) =
+      (if (portableHash) TextOps.portableShingleHashRows(df, id, text, n)
+       else TextOps.shingleHashRows(df, id, text, n)).distinct()
+    val evalEx = rows(eval).persist()
+    val numBits = BloomFilter.optimalNumOfBits(expectedEvalShingles, fpp)
+    val bits = evalEx
+      .agg(BloomJoinExpressions.bloomAgg(col("s"), expectedEvalShingles, numBits).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+    rows(train)
+      .filter(BloomJoinExpressions.mightContain(bits, col("s")))
+      .as("l")
+      .join(evalEx.as("r"), col("l.s") === col("r.s"))
+      .select(col("l.doc_id").as("train_id"), col("r.doc_id").as("eval_id"))
+      .distinct()
+  }
+
   /** [[crossCorpusNearDups]]'s 100 TB plan: prune the TRAIN explode
     * through a bloom filter of the eval corpus's distinct shingle hashes
     * BEFORE any join — the benchmark side is tiny (that's what makes it

@@ -347,6 +347,14 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"per-doc counts must not plan a count-over-window on the explode:\n$p")
   }
 
+  test("hard-decon bloom twin: train 13-gram explode prunes through might_contain") {
+    val p = plan("d_decontaminate_hard13_bloom")
+    assert(p.contains("might_contain"),
+      s"bloom prune missing from the train side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the collision join must stay a hash equi-join:\n$p")
+  }
+
   test("latest snapshot: WindowGroupLimit prunes per-key history before the exchange") {
     val p = plan("q_latest_snapshot")
     assert(p.contains("WindowGroupLimit"),
