@@ -143,6 +143,54 @@ class PipelineSpec extends SparkSpec {
     assert(gotIndexed == got)
   }
 
+  test("property: dailyAdmission verdicts partition the batch; admits re-screen clean") {
+    // seeded pseudo-random corpus: quality word-soup docs with planted
+    // exact dups and near-dups — properties below are distribution-free
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 200).map(i => s"word$i")
+    def doc(): String =
+      (0 until 20).map(_ => s"the ${vocab(rnd.nextInt(vocab.size))} and").mkString(" ")
+    def mutate(s: String): String = { // one word off -> near-dup
+      val w = s.split(" "); w(w.length - 2) = "mutant"; w.mkString(" ")
+    }
+    val corpusDocs = (0 until 15).map(i => (i * 10L, doc()))
+    val evalDocs = (0 until 8).map(i => (1000L + i, doc()))
+    val base = (0 until 20).map(i => (5000L + i * 10, doc()))
+    val incomingDocs = base ++ Seq(
+      (6000L, corpusDocs(3)._2), // exact corpus dup
+      (6010L, mutate(corpusDocs(5)._2)), // near corpus dup
+      (6020L, base(2)._2), // exact in-batch dup
+      (6030L, mutate(base(4)._2)), // near in-batch dup
+      (6040L, evalDocs(1)._2), // contaminated
+      (6050L, "## ##")) // junk
+    val corpusDf = corpusDocs.toDF("doc_id", "text")
+    val evalDf = evalDocs.toDF("doc_id", "text")
+    val incoming = incomingDocs.toDF("doc_id", "text")
+    val got = TrainingPipeline
+      .dailyAdmission(corpusDf, incoming, evalDf, col("doc_id"), col("text"),
+        portableHash = true)
+      .as[(Long, String)].collect()
+    // (a) exactly one verdict per incoming doc, from the declared ladder
+    assert(got.map(_._1).sorted.toSeq == incomingDocs.map(_._1).sorted)
+    val classes = Set("rejected_quality", "dup_exact", "near_dup_corpus",
+      "near_dup_batch", "contaminated", "admitted")
+    assert(got.forall(v => classes(v._2)), got.mkString(","))
+    // (b) self-consistency: re-screening the admitted set against
+    // corpus ∪ itself finds nothing — every admit is genuinely novel
+    val admittedIds = got.collect { case (i, "admitted") => i }
+    assert(admittedIds.nonEmpty)
+    val admitted = incoming.filter(col("doc_id").isin(admittedIds: _*))
+    val rescreen = Dedup.ingestIncrement(
+        corpusDf, admitted, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.6, portableHash = true)
+      .as[(Long, String)].collect()
+    assert(rescreen.forall(_._2 == "admitted"), rescreen.mkString(","))
+    // (c) no admit near-dups the eval benchmark at the decon threshold
+    val leaks = Dedup.crossCorpusNearDups(
+      admitted, evalDf, col("doc_id"), col("text"), 3, 0.5).count()
+    assert(leaks == 0)
+  }
+
   test("zorder2 matches the per-bit reference and nulls out-of-range input") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
