@@ -89,6 +89,22 @@ object ScaleProbe {
             .filter(F.col("doc_id") % 2 === 0),
           F.col("doc_id"), F.col("text"), 3, 0.5,
           expectedEvalShingles = 200000L)),
+      // hard-decon asymmetric axis: train grows with <dir>, benchmark
+      // pinned to sf0.1's even docs — the deployment shape for the
+      // exact-13-gram sweep and its bloom twin
+      "probe_hard13_asym_anchor" -> ((s: SparkSession, dir: String) =>
+        graft.ops.Dedup.exactNgramCollisions(
+          graft.io.Tables(s, dir).documents.filter(F.col("doc_id") % 2 === 1),
+          graft.io.Tables(s, "/root/testdata/sf0.1").documents
+            .filter(F.col("doc_id") % 2 === 0),
+          F.col("doc_id"), F.col("text"), 13, portableHash = true)),
+      "probe_hard13_asym_bloom" -> ((s: SparkSession, dir: String) =>
+        graft.ops.Dedup.exactNgramCollisionsBloom(
+          graft.io.Tables(s, dir).documents.filter(F.col("doc_id") % 2 === 1),
+          graft.io.Tables(s, "/root/testdata/sf0.1").documents
+            .filter(F.col("doc_id") % 2 === 0),
+          F.col("doc_id"), F.col("text"), 13,
+          expectedEvalShingles = 400000L, portableHash = true)),
       // embedding-decon scale corners: the DECLARED d_decon_embed_lsh
       // params (0.40, 4 planes x 16 tables) are the recall-driven corner
       // for a loose threshold on near-uniform vectors — there the 16-way

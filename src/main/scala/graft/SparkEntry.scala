@@ -1573,6 +1573,30 @@ object SparkEntry {
         col("doc_id"), col("text"), n = 13,
         expectedEvalShingles = 200000L, portableHash = true)
     }),
+    "d_decon_hard13_stream" -> ((s, dir) => {
+      // the hard sweep riding the ingest stream: odd-id docs arrive in
+      // id order, each one's shingle-hash set (pure array projection —
+      // no window, streaming-legal) joins stream-static against the
+      // broadcast benchmark table. Stateless, so the replayed hit set is
+      // EXACTLY the batch join's — one shared oracle with
+      // d_decontaminate_hard13 (batch assembly dedups the per-shingle
+      // hit multiplicity; cross-engine hash grain identical).
+      val docs = Tables(s, dir).documents
+      val evalSh = graft.streaming.StreamingDedup.evalShingleTable(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), 13)
+      val out = Replay.docEvents(
+        docs.filter(col("doc_id") % 2 === 1).select(
+          lit("").as("key"),
+          timestamp_seconds(col("doc_id")).as("ts"),
+          col("doc_id").cast("string").as("id"),
+          col("text"))) { stream =>
+        graft.streaming.StreamingDedup.deconHitsExact(stream.toDF(), evalSh, 13)
+      }
+      out.select(
+          col("b").cast("long").as("train_id"),
+          col("eval_id").cast("long").as("eval_id"))
+        .distinct()
+    }),
     "d_decontaminate_bloom" -> ((s, dir) => {
       // the 100 TB decontamination plan: the train explode filters
       // through a codegen'd might_contain over the benchmark's shingle
@@ -5590,6 +5614,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     // whole-text shingle on both engines
     "d_decontaminate_hard13" -> hard13Sql,
     "d_decontaminate_hard13_bloom" -> hard13Sql,
+    "d_decon_hard13_stream" -> hard13Sql,
     "d_decontaminate_bloom" -> decontaminateSql,
     "d_dedup_ngram" ->
       s"""WITH d AS (

@@ -514,6 +514,26 @@ object Dedup {
     }
   }
 
+  /** The distinct portable shingle-hash SET of one document as a pure
+    * array projection — the streaming-legal equivalent of
+    * [[graft.ops.TextOps.portableShingleHashRows]] (whose window `lead`
+    * is illegal on a stream): same tokens, same n-gram join, same
+    * md5→32-bit hash, same whole-text fallback for docs shorter than
+    * `n`; OpsSpec pins set equality. Powers the stream-static exact
+    * n-gram decontamination screen. */
+  def portableShingleHashArray(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle length must be >= 1")
+    bindOnce(TextOps.tokens(text)) { w =>
+      val sh = when(
+        size(w) >= n,
+        transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+        .otherwise(array(array_join(w, " ")))
+      array_distinct(transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
+    }
+  }
+
   /** The portable LSH band key over a [[portableMinhashSignature]]
     * column: md5 of the '|'-joined decimal minima of band `j` — the same
     * key `minhashDedup(portableHash = true)` buckets on, prefixed with

@@ -374,6 +374,43 @@ object StreamingDedup {
           Dedup.portableBandKey(col("eval_sig"), j, k / bands)): _*)).as("key"))
   }
 
+  /** Static shingle-hash table of a frozen eval benchmark for
+    * [[deconHitsExact]]: distinct (s, eval_id) portable 32-bit shingle
+    * hashes — benchmark-sized, so the stream side broadcasts it. */
+  def evalShingleTable(
+      evalSet: DataFrame,
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column,
+      n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.ops.TextOps.portableShingleHashRows(evalSet, id, text, n)
+      .distinct()
+      .select(col("doc_id").as("eval_id"), col("s"))
+  }
+
+  /** The HARD decontamination screen riding the ingest stream — the
+    * streaming twin of [[graft.ops.Dedup.exactNgramCollisions]] (GPT-3's
+    * exact-13-gram rule): each arrival's distinct shingle-hash set comes
+    * from a pure array projection ([[graft.ops.Dedup.portableShingleHashArray]]
+    * — window `lead` is illegal on a stream), exploded and joined
+    * stream-static against the broadcast benchmark table. Stateless: no
+    * watermark, nothing accumulates; emits one row per shared shingle
+    * (b, eval_id) — downstream assembly dedups, exactly the
+    * [[LshDupRow]] multiplicity contract (a streaming `distinct` would
+    * itself be a stateful op). */
+  def deconHitsExact(
+      docs: DataFrame, // ts, id, text columns (the DocEvent shape)
+      evalShingles: DataFrame, // from [[evalShingleTable]]
+      n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .select(
+        col("id").cast("string").as("b"),
+        explode(graft.ops.Dedup.portableShingleHashArray(col("text"), n)).as("s"))
+      .join(broadcast(evalShingles), "s")
+      .select(col("b"), col("eval_id"))
+  }
+
   /** Streaming decontamination screen — the eval-benchmark counterpart
     * of [[ingestGate]]'s near-dup index, STATELESS by design: the
     * benchmark is frozen and tiny, so each arrival's contamination

@@ -386,6 +386,22 @@ class OpsSpec extends SparkSpec {
     assert(got2 == gotText)
   }
 
+  test("portableShingleHashArray equals portableShingleHashRows (incl. short-doc fallback)") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "short doc"), // < n tokens -> whole-text shingle
+      (3L, (1 to 40).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextOps.portableShingleHashRows(df, col("doc_id"), col("text"), 13)
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val arr = df.select(col("doc_id"),
+        Dedup.portableShingleHashArray(col("text"), 13).as("hs"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (i, hs) => i -> hs.toSet }.toMap
+    assert(arr == rows)
+  }
+
   test("exactNgramCollisions: a verbatim 13-token span flags; high-overlap-no-run does not") {
     val span = (1 to 13).map(i => s"leak$i").mkString(" ") // the verbatim 13-gram
     val evalDoc = s"benchmark question about $span and its answer"
