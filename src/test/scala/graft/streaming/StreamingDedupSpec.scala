@@ -100,6 +100,35 @@ class StreamingDedupSpec extends SparkSpec {
     } finally spark.conf.unset(ProviderConf)
   }
 
+  test("deconHitsExact under 2s order jitter: hit set is order-invariant and equals batch") {
+    // the stateless stream-static screen must not care about arrival
+    // order (unlike the index branch, whose first-arrival contract makes
+    // id-order part of its oracle) — soak it jittered AND unjittered
+    // against the batch collision join (10 planted pairs at sf0.001)
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables(spark, dir).documents
+    val evalSh = StreamingDedup.evalShingleTable(
+      docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), 13)
+    def run(jitter: Long) = Replay.docEvents(
+        docs.filter(col("doc_id") % 2 === 1).select(
+          lit("").as("key"),
+          timestamp_seconds(col("doc_id")).as("ts"),
+          col("doc_id").cast("string").as("id"),
+          col("text")),
+        orderJitterSec = jitter) { stream =>
+        StreamingDedup.deconHitsExact(stream.toDF(), evalSh, 13)
+      }
+      .select(col("b").cast("long"), col("eval_id").cast("long"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val batch = Dedup.exactNgramCollisions(
+        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), n = 13, portableHash = true)
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(run(0) == batch)
+    assert(run(2) == batch)
+  }
+
   test("the ttl knob bounds index state: expired entries stop matching, long ttl matches NONE") {
     // the production state-bounding posture SCALE.md documents
     // (dedup-within-horizon): an entry older than the TTL is filtered on
