@@ -61,6 +61,36 @@ object ScaleProbe {
       }
     }
 
+    // the round-13 chunk-dedup skew adversary: every doc carries the same
+    // ~1500-token boilerplate tail, so ~45 CDC chunk fingerprints are
+    // duplicated across the WHOLE corpus (cut positions synchronize once
+    // the rolling window is inside the shared region). The declared
+    // de-skewed plan (partial-min owner election) must scale flat on it;
+    // the round-12 row_number-over-Window.partitionBy(fp) formulation
+    // (kept below as a probe foil) concentrates each hot fingerprint's
+    // full copy set in one sort task.
+    val boiler = (0 until 1500).map(i => "boiler" + (i * 2654435761L % 9973)).mkString(" ")
+    def boilerChunks(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Chunking.contentDefinedChunks(
+        graft.io.Tables(s, dir).documents
+          .select(F.col("doc_id"), F.concat_ws(" ", F.col("text"), F.lit(boiler)).as("text")),
+        F.col("doc_id"), F.col("text"))
+    def chunkDedupStatsWindowed(chunks: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(F.col("__fp"))
+        .orderBy(F.col("doc_id"), F.col("chunk_id"))
+      chunks
+        .select(F.col("doc_id"), F.col("chunk_id"), F.col("n_tokens"),
+          F.md5(F.col("chunk")).as("__fp"))
+        .withColumn("__rn", F.row_number().over(w))
+        .groupBy(F.col("doc_id"))
+        .agg(
+          F.count(F.lit(1)).as("n_chunks"),
+          F.sum(F.when(F.col("__rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+          F.sum(F.col("n_tokens")).as("n_tokens"),
+          F.sum(F.when(F.col("__rn") > 1, F.col("n_tokens")).otherwise(0L)).as("dup_tokens"))
+    }
+
     Map(
       // the single-machine per-window top-N (raw events keyed by window
       // start): the round-12 two-stage q_hot_items_stream replaced it as
@@ -68,6 +98,23 @@ object ScaleProbe {
       // default (heap) store and on RocksDB, where the fGWS whole-map
       // state rewrite is real serialization I/O per window per batch
       "probe_hot_items_stream_eventgrain" -> eventGrain _,
+      // the round-12 two-stage form with SLIDING stage 1 (each event
+      // writes size/slide window states): the round-13 pane-grain stage 1
+      // replaced it as the declared plan; this row is its foil
+      "probe_hot_items_stream_sliding1" ->
+        ((s: SparkSession, dir: String) =>
+          graft.streaming.Replay.keyedEvents(hotItemsInput(s, dir)) { stream =>
+            shape(graft.streaming.StateMachines.windowTopN(
+              stream, sizeUs = 3600000000L, slideUs = 300000000L, n = 5,
+              paneStage1 = false))
+          }),
+      // boilerplate-chunk skew axis: declared de-skewed accounting vs the
+      // round-12 window-sort formulation, both over the injected corpus
+      "probe_chunk_dedup_boiler" ->
+        ((s: SparkSession, dir: String) =>
+          graft.ops.Chunking.chunkDedupStats(boilerChunks(s, dir))),
+      "probe_chunk_dedup_boiler_window" ->
+        ((s: SparkSession, dir: String) => chunkDedupStatsWindowed(boilerChunks(s, dir))),
       "probe_hot_items_stream_eventgrain_rocksdb" ->
         ((s: SparkSession, dir: String) => withRocksDb(s)(eventGrain(s, dir))),
       "probe_hot_items_stream_rocksdb" ->

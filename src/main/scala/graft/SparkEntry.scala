@@ -1287,6 +1287,41 @@ object SparkEntry {
         shingleLen = 3, k = 64, bands = 16, nearThreshold = 0.6,
         deconShingleLen = 3, deconThreshold = 0.5, portableHash = true)
     }),
+    "p_daily_admission_hard13" -> ((s, dir) => {
+      // the admission ladder with GPT-3's decontamination rule: the
+      // admitted sliver is screened for ANY verbatim 13-token run shared
+      // with the frozen benchmark (exactNgramCollisions — one equi-join
+      // on portable 32-bit shingle hashes) instead of the Jaccard sweep.
+      // Batch twin of the d_decon_hard13_stream screen; same %3 corpus /
+      // batch / benchmark split as p_daily_admission.
+      val t = Tables(s, dir)
+      TrainingPipeline.dailyAdmissionHard13(
+        t.documents.filter(col("doc_id") % 3 === 0),
+        t.documents.filter(col("doc_id") % 3 === 1),
+        t.documents.filter(col("doc_id") % 3 === 2),
+        col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, nearThreshold = 0.6,
+        deconNgram = 13, portableHash = true)
+    }),
+    "p_daily_admission_hard13_indexed" -> ((s, dir) => {
+      // the hard-13 ladder the scheduled job runs at 100 TB: stored
+      // corpus artifacts (fp set + nearDupIndex tables — corpus text
+      // never in the plan) AND the bloom-pruned 13-gram screen
+      // (might_contain kills train shingles before any exchange; the
+      // exact join restores exactness). Shares hard13's oracle exactly.
+      val t = Tables(s, dir)
+      val corpus = t.documents.filter(col("doc_id") % 3 === 0)
+      val (hx, bx) = Dedup.nearDupIndex(
+        corpus, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, portableHash = true)
+      TrainingPipeline.dailyAdmissionHard13Indexed(
+        Dedup.fingerprintSet(corpus, col("text")), hx, bx,
+        t.documents.filter(col("doc_id") % 3 === 1),
+        t.documents.filter(col("doc_id") % 3 === 2),
+        col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, bands = 16, nearThreshold = 0.6,
+        deconNgram = 13, expectedEvalShingles = 400000L, portableHash = true)
+    }),
     "q_cube_events" -> ((s, dir) => {
       // full cube over (event_type, day): all four grouping sets in ONE
       // Expand + one agg exchange, same single-scan plan family as
@@ -1910,8 +1945,10 @@ object SparkEntry {
       // dedup-storage / RAG-ingest shape content-defined boundaries
       // exist for: per doc, how many of its chunks (and how much token
       // mass) the corpus already stores under another (doc, chunk)
-      // owner. One fingerprint-grain exchange + one doc-grain aggregate;
-      // exact integers so the row hashes identically on any engine.
+      // owner. Owner election is a map-side-combined min-struct per
+      // fingerprint (no window sort — a boilerplate chunk can't
+      // concentrate one task); doc-grain totals join doc-grain owner
+      // counts. Exact integers so the row hashes identically anywhere.
       Chunking.chunkDedupStats(
         Chunking.contentDefinedChunks(Tables(s, dir).documents, col("doc_id"), col("text")))
     }),
@@ -2668,23 +2705,26 @@ object SparkEntry {
         .select(col("key").as("label"), col("pos"), col("mean_v"))
     }),
     "e_kmeans_fit" -> ((s, dir) => {
-      // distributed Lloyd k-means over the FULL embedding corpus (k=8,
-      // 3 E/M rounds) — the at-scale fit the sample-bounded IVF codebook
-      // fit deliberately isn't. E-step: codegen'd integer NearestCentroid
-      // scan (centroids plan-time broadcast); M-step: (cluster, dim)
-      // aggregated exchange, driver collects k·d rows. The 1e-6 integer
-      // grid makes every distance, argmin, and centroid update
-      // bit-identical cross-engine, so the oracle replays the whole fit
-      // trajectory as 3 unrolled SQL rounds (the BPE-train discipline).
-      // Record: per-cluster size + exact integer inertia from the final
-      // assignment — pins the assignment without hashing arrays.
+      // distributed Lloyd k-means over the FULL embedding corpus (k=64,
+      // 3 E/M rounds — production curation balances over many clusters,
+      // so the declared fit runs well beyond the old 4-bit pack) — the
+      // at-scale fit the sample-bounded IVF codebook fit deliberately
+      // isn't. E-step: codegen'd integer NearestCentroid scan (centroids
+      // plan-time broadcast; list_id packs in 14 bits, k ≤ 16384);
+      // M-step: (cluster, dim) aggregated exchange, driver collects k·d
+      // rows. The 1e-6 integer grid makes every distance, argmin, and
+      // centroid update bit-identical cross-engine, so the oracle
+      // replays the whole fit trajectory as 3 unrolled SQL rounds (the
+      // BPE-train discipline). Record: per-cluster size + exact integer
+      // inertia from the final assignment — pins the assignment without
+      // hashing arrays.
       Embeddings.kMeansFitStats(
         Tables(s, dir).embeddings, col("vec_id"), col("embedding"),
-        k = 8, iters = 3)
+        k = 64, iters = 3)
     }),
     "e_cluster_sample" -> ((s, dir) => {
       // cluster-balanced subsample: the e_kmeans_fit fit's final
-      // assignment capped at 25 members per cluster in (md5(id), id)
+      // assignment capped at 4 members per cluster in (md5(id), id)
       // order — rare clusters survive at full strength, dominant ones
       // are capped (the embedding-space diversity draw uniform md5
       // sampling can't express). Rank exchange on list_id with
@@ -2692,7 +2732,7 @@ object SparkEntry {
       // assignment + draw end-to-end.
       Embeddings.kMeansBalancedSample(
         Tables(s, dir).embeddings, col("vec_id"), col("embedding"),
-        k = 8, iters = 3, n = 25)
+        k = 64, iters = 3, n = 4)
         .select(col("id").as("vec_id"), col("list_id"))
     }),
     "e_quantize_int8" -> ((s, dir) => {
@@ -4926,8 +4966,11 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
 
   /** Shared by p_daily_admission and its stored-artifact twin — only
     * the corpus side's provenance (fingerprint set + nearDupIndex
-    * tables vs text recompute) differs, the verdicts are identical. */
-  private lazy val dailyAdmissionSql: String =
+    * tables vs text recompute) differs, the verdicts are identical.
+    * `contCtes` plugs the decontamination screen ending in a
+    * `cont(doc_id)` CTE: the 3-gram Jaccard sweep for the base pair,
+    * the exact-13-gram collision rule for the hard13 pair. */
+  private def dailyAdmissionSqlWith(contCtes: String): String =
     s"""WITH gq AS (
          |  SELECT doc_id,
          |    CAST(len($tokensExpr) AS BIGINT) AS n_tokens,
@@ -4995,15 +5038,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |), dd AS (
          |  SELECT doc_id, $tokensExpr AS w FROM documents
          |  WHERE doc_id % 3 = 2 OR doc_id IN (SELECT doc_id FROM adm)
-         |), dgs AS (
-         |  SELECT doc_id, $shinglesExpr AS sh FROM dd
-         |), cont AS (
-         |  SELECT DISTINCT a.doc_id
-         |  FROM dgs a JOIN dgs b ON a.doc_id % 3 = 1 AND b.doc_id % 3 = 2
-         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
-         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / len(list_distinct(a.sh || b.sh)) >= 0.5
-         |)
+         |), $contCtes
          |SELECT doc_id,
          |  CASE WHEN doc_id NOT IN (SELECT doc_id FROM q) THEN 'rejected_quality'
          |       WHEN doc_id NOT IN (SELECT doc_id FROM keep) THEN 'dup_exact'
@@ -5012,6 +5047,37 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |       WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
          |       ELSE 'admitted' END AS verdict
          |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
+  private lazy val dailyAdmissionSql: String = dailyAdmissionSqlWith(
+    s"""dgs AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM dd
+       |), cont AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM dgs a JOIN dgs b ON a.doc_id % 3 = 1 AND b.doc_id % 3 = 2
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(a.sh || b.sh)) >= 0.5
+       |)""".stripMargin)
+
+  /** The hard13 ladder pair's oracle: identical prefix, decon via the
+    * exact-13-gram collision rule at the portable md5→32-bit hash grain
+    * (the hard13Sql shingle chain over admitted ∪ benchmark). */
+  private lazy val dailyAdmissionHard13Sql: String = dailyAdmissionSqlWith(
+    """g13 AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 13
+      |    THEN list_distinct([array_to_string(w[i:i+12], ' ')
+      |                        for i in range(1, len(w) - 11)])
+      |    ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM dd
+      |), e13 AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM g13)
+      |), cont AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM e13 a JOIN e13 b ON a.h = b.h
+      |    AND a.doc_id % 3 = 1 AND b.doc_id % 3 = 2
+      |)""".stripMargin)
 
   /** Shared by the exact-13-gram collision sweep and its bloom-pruned
     * scale twin (the bloom only prunes; the exact join restores
@@ -5179,6 +5245,8 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
     // eval third — verdict precedence identical to the Spark dataflow
     "p_daily_admission" -> dailyAdmissionSql,
     "p_daily_admission_indexed" -> dailyAdmissionSql,
+    "p_daily_admission_hard13" -> dailyAdmissionHard13Sql,
+    "p_daily_admission_hard13_indexed" -> dailyAdmissionHard13Sql,
     "q_cube_events" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -6524,14 +6592,14 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
         |        (x, i) -> {'pos': i - 1, 'v': x})) AS u
         |      FROM embeddings)
         |GROUP BY label, u.pos""".stripMargin,
-    "e_kmeans_fit" -> kmeansFitOracle(k = 8, iters = 3, dim = 64),
-    "e_cluster_sample" -> kmeansFitOracle(k = 8, iters = 3, dim = 64,
+    "e_kmeans_fit" -> kmeansFitOracle(k = 64, iters = 3, dim = 64),
+    "e_cluster_sample" -> kmeansFitOracle(k = 64, iters = 3, dim = 64,
       finalSelect =
         """SELECT id AS vec_id, list_id FROM (
           |  SELECT id, list_id,
           |         row_number() OVER (PARTITION BY list_id
           |                            ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
-          |  FROM a_FINAL) WHERE rn <= 25""".stripMargin),
+          |  FROM a_FINAL) WHERE rn <= 4""".stripMargin),
     "e_jl_project" ->
       """WITH s AS (
         |  SELECT j.range AS j, i.range AS i,

@@ -248,22 +248,43 @@ object Chunking {
     * exact integers (ratios are the consumer's division — keeps the row
     * hash-portable across engines).
     *
-    * Scale: one exchange at chunk-fingerprint grain (the md5 is 16
-    * bytes/chunk; chunk text never shuffles — only its length rides
-    * along) and one at doc grain; no joins, no pair space.
+    * Scale: every exchange is partial-aggregated. The owner election is
+    * `groupBy(__fp).agg(min(struct(doc_id, chunk_id, n_tokens)))` — the
+    * map-side combine collapses a boilerplate chunk duplicated a
+    * billion times to one partial row per task BEFORE the fingerprint
+    * exchange, so no task ever materializes (let alone sorts) the full
+    * copy set of a hot fingerprint (the `row_number over
+    * partitionBy(fp)` formulation this replaced did exactly that). The
+    * per-doc totals and the per-doc owner counts each reduce at doc
+    * grain, and the final join matches one row to at most one row per
+    * doc. Chunk text never shuffles — only its 16-byte md5 and its
+    * length ride any exchange.
     */
   def chunkDedupStats(chunks: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp"))
-      .orderBy(col("doc_id"), col("chunk_id"))
-    chunks
-      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), md5(col("chunk")).as("__fp"))
-      .withColumn("__rn", row_number().over(w))
+    val fpRows = chunks.select(
+      col("doc_id"), col("chunk_id"), col("n_tokens"), md5(col("chunk")).as("__fp"))
+    // One owner per distinct fingerprint: first (doc_id, chunk_id) in
+    // order. n_tokens rides in the struct tail (identical across copies
+    // of a fingerprint anyway) so the owner's token mass needs no join
+    // back to the chunk frame.
+    val ownersPerDoc = fpRows
+      .groupBy(col("__fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"), col("n_tokens"))).as("__own"))
+      .groupBy(col("__own.doc_id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("__own_chunks"),
+        sum(col("__own.n_tokens")).as("__own_tokens"))
+    fpRows
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
-        sum(col("n_tokens")).as("n_tokens"),
-        sum(when(col("__rn") > 1, col("n_tokens")).otherwise(0L)).as("dup_tokens"))
+        sum(col("n_tokens")).as("n_tokens"))
+      .join(ownersPerDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__own_chunks"), lit(0L))).as("dup_chunks"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__own_tokens"), lit(0L))).as("dup_tokens"))
   }
 }

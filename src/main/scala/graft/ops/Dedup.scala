@@ -811,6 +811,15 @@ object Dedup {
     * both are materialized tables — bandRows bucketed by (band,
     * band_hash) so each ingest's bucket join never re-shuffles the
     * corpus; hashRows clustered by doc_id for the verify join.
+    *
+    * The hash-row frame is persisted here: when the pair is consumed
+    * in-memory instead of from storage, hashRows feeds the band
+    * derivation above PLUS (downstream in
+    * [[incrementalNearIngestIndexed]]) the per-doc shingle counts and
+    * the intersect join — three consumers that would each re-run the
+    * tokenize→shingle→minhash scan. Deployments that materialize the
+    * index read parquet and never hit this cache; in-memory callers get
+    * the scan once.
     */
   def nearDupIndex(
       df: DataFrame,
@@ -821,7 +830,7 @@ object Dedup {
       bands: Int,
       seed: Long = 42L,
       portableHash: Boolean = false): (DataFrame, DataFrame) = {
-    val ex = minhashRows(df, id, text, shingleLen, portableHash).distinct()
+    val ex = minhashRows(df, id, text, shingleLen, portableHash).distinct().persist()
     val bnd = bandedFromSignatures(
       signaturesFromRows(ex.withColumn("h32", h32Of(portableHash)), k, seed),
       k, bands, portableHash)
@@ -1056,8 +1065,14 @@ object Dedup {
     val bits = evalEx
       .agg(BloomJoinExpressions.bloomAgg(col("s"), expectedEvalShingles, numBits).as("__bf"))
       .head.getAs[Array[Byte]](0)
+    // An empty eval side aggregates to a null bloom; no shingle can
+    // collide with an empty benchmark, so prune everything rather than
+    // hand might_contain a null filter (the plain sweep's empty-join
+    // behavior, kept oracle-identical).
+    val prune =
+      if (bits == null) lit(false) else BloomJoinExpressions.mightContain(bits, col("s"))
     rows(train)
-      .filter(BloomJoinExpressions.mightContain(bits, col("s")))
+      .filter(prune)
       .as("l")
       .join(evalEx.as("r"), col("l.s") === col("r.s"))
       .select(col("l.doc_id").as("train_id"), col("r.doc_id").as("eval_id"))
@@ -1104,8 +1119,12 @@ object Dedup {
     val trainEx = rows(train)
     val na = trainEx.groupBy(col("doc_id").as("train_id")).agg(count(lit(1)).as("na"))
     val nb = evalEx.groupBy(col("doc_id").as("eval_id")).agg(count(lit(1)).as("nb"))
+    // empty eval → null bloom → nothing can collide (see
+    // exactNgramCollisionsBloom): prune all instead of a null filter
+    val prune =
+      if (bits == null) lit(false) else BloomJoinExpressions.mightContain(bits, col("s"))
     trainEx
-      .filter(BloomJoinExpressions.mightContain(bits, col("s")))
+      .filter(prune)
       .as("l")
       .join(evalEx.as("r"), col("l.s") === col("r.s"))
       .groupBy(col("l.doc_id").as("train_id"), col("r.doc_id").as("eval_id"))

@@ -146,7 +146,7 @@ object Embeddings {
     for (_ <- 0 until iters) {
       val stats = cached
         .select(nearestCentroid(col("__qv"), cents.flatten, k, d)
-          .bitwiseAND(lit(15L)).cast("int").as("__list"),
+          .bitwiseAND(lit(16383L)).cast("int").as("__list"),
           col("__qv"))
         .select(col("__list"), posexplode(col("__qv")).as(Seq("__pos", "__q")))
         .groupBy(col("__list"), col("__pos"))
@@ -176,8 +176,8 @@ object Embeddings {
         nearestCentroid(col("__qv"), cents.flatten, k, d).as("__packed"))
       .select(
         col("id"),
-        col("__packed").bitwiseAND(lit(15L)).cast("int").as("list_id"),
-        shiftright(col("__packed"), 4).as("dist"))
+        col("__packed").bitwiseAND(lit(16383L)).cast("int").as("list_id"),
+        shiftright(col("__packed"), 14).as("dist"))
   }
 
   def kMeansFitStats(

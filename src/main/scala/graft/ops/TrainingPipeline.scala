@@ -81,11 +81,16 @@ object TrainingPipeline {
       .withColumn("__near", lit(true))
     val ok = TextOps.tokenCount(col("text")) >= minTokens &&
       TextOps.langId(col("text"), langMinStopwords) === "en"
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    docs
-      .select(col("doc_id"), col("source"), col("text"),
-        TextOps.fingerprint(col("text")).as("fp"), ok.as("ok"))
-      .withColumn("keeper", min(when(col("ok"), col("doc_id"))).over(w))
+    val flagged = docs.select(col("doc_id"), col("source"),
+      TextOps.fingerprint(col("text")).as("fp"), ok.as("ok"))
+    // Keeper per fingerprint via a map-side-combined aggregate, not
+    // `min(...) over Window.partitionBy(fp)`: a text duplicated 10^9
+    // times must not concentrate its copy set in one window-sort task.
+    // The join back is fp → one keeper row (AQE splits a skewed probe).
+    val keepers = flagged.filter(col("ok"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    flagged
+      .join(keepers, Seq("fp"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         when(!col("ok"), "low_quality")
@@ -114,11 +119,14 @@ object TrainingPipeline {
       .withColumn("__cont", lit(true))
     val ok = TextOps.tokenCount(col("text")) >= minTokens &&
       TextOps.langId(col("text"), langMinStopwords) === "en"
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    docs
-      .select(col("doc_id"), col("source"), col("text"),
-        TextOps.fingerprint(col("text")).as("fp"), ok.as("ok"))
-      .withColumn("keeper", min(when(col("ok"), col("doc_id"))).over(w))
+    val flagged = docs.select(col("doc_id"), col("source"),
+      TextOps.fingerprint(col("text")).as("fp"), ok.as("ok"))
+    // Same de-skewed keeper election as [[ingestVerdicts]]: partial-agg
+    // per fingerprint, join back, never a window sort on fp.
+    val keepers = flagged.filter(col("ok"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    flagged
+      .join(keepers, Seq("fp"), "left")
       .join(near, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
@@ -203,6 +211,69 @@ object TrainingPipeline {
         shingleLen, k, bands, nearThreshold, seed, portableHash)
     }
 
+  /** [[dailyAdmission]] with the GPT-3 decontamination rule at admission
+    * time: `contaminated` = the admitted sliver shares ANY verbatim
+    * 13-token run with the frozen benchmark
+    * ([[Dedup.exactNgramCollisions]] — one equi-join on portable 32-bit
+    * shingle hashes), instead of the Jaccard near-dup sweep. This is the
+    * batch twin of the streaming `deconHitsExact` screen: the hard rule
+    * catches verbatim benchmark leakage that sits far below any
+    * whole-document similarity bar.
+    */
+  def dailyAdmissionHard13(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      evalSet: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      nearThreshold: Double = 0.6,
+      deconNgram: Int = 13,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame =
+    admissionLadderWith(incoming)({ passed =>
+      Dedup.ingestIncrement(
+        corpus, passed, id, text, shingleLen, k, bands, nearThreshold, seed, portableHash)
+    }, { admitted =>
+      Dedup.exactNgramCollisions(admitted, evalSet, id, text, deconNgram, portableHash = true)
+        .select(col("train_id").as("doc_id"))
+    }, id, text)
+
+  /** [[dailyAdmissionHard13]] against stored corpus artifacts, with the
+    * 13-gram screen running through its bloom-pruned 100 TB form
+    * ([[Dedup.exactNgramCollisionsBloom]] — codegen'd `might_contain`
+    * kills almost every train shingle before any exchange; the exact
+    * join behind it removes the false positives, so this twin shares
+    * [[dailyAdmissionHard13]]'s oracle exactly).
+    */
+  def dailyAdmissionHard13Indexed(
+      corpusFps: DataFrame,
+      corpusHashes: DataFrame,
+      corpusBands: DataFrame,
+      incoming: DataFrame,
+      evalSet: DataFrame,
+      id: Column,
+      text: Column,
+      shingleLen: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      nearThreshold: Double = 0.6,
+      deconNgram: Int = 13,
+      expectedEvalShingles: Long = 1000000L,
+      seed: Long = 42L,
+      portableHash: Boolean = false): DataFrame =
+    admissionLadderWith(incoming)({ passed =>
+      Dedup.ingestIncrementIndexed(
+        corpusFps, corpusHashes, corpusBands, passed, id, text,
+        shingleLen, k, bands, nearThreshold, seed, portableHash)
+    }, { admitted =>
+      Dedup.exactNgramCollisionsBloom(
+          admitted, evalSet, id, text, deconNgram, expectedEvalShingles, portableHash = true)
+        .select(col("train_id").as("doc_id"))
+    }, id, text)
+
   /** The shared admission ladder: quality gate in, dedup screen via
     * `screen` (recompute or stored-index), decontamination of the
     * admitted sliver, verdict assembly with the declared precedence.
@@ -219,7 +290,22 @@ object TrainingPipeline {
       id: Column,
       text: Column,
       deconShingleLen: Int,
-      deconThreshold: Double)(screen: DataFrame => DataFrame): DataFrame = {
+      deconThreshold: Double)(screen: DataFrame => DataFrame): DataFrame =
+    admissionLadderWith(incoming)(screen, { admitted =>
+      Dedup
+        .crossCorpusNearDups(admitted, evalSet, id, text, deconShingleLen, deconThreshold)
+        .select(col("train_id").as("doc_id"))
+    }, id, text)
+
+  /** The ladder with a pluggable decontamination screen: `contaminate`
+    * maps the admitted sliver to the (doc_id) rows that hit the
+    * benchmark — Jaccard sweep for [[dailyAdmission]], the exact-13-gram
+    * rule for [[dailyAdmissionHard13]]. */
+  private def admissionLadderWith(incoming: DataFrame)(
+      screen: DataFrame => DataFrame,
+      contaminate: DataFrame => DataFrame,
+      id: Column,
+      text: Column): DataFrame = {
     val quality = TextOps.gopherSignals(incoming, id, text)
       .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
     val passed = incoming.join(
@@ -229,9 +315,7 @@ object TrainingPipeline {
     val admitted = passed.join(
       dedup.filter(col("__dedup_verdict") === "admitted").select(col("doc_id").as("__a_id")),
       id === col("__a_id"), "left_semi")
-    val contaminated = Dedup
-      .crossCorpusNearDups(admitted, evalSet, id, text, deconShingleLen, deconThreshold)
-      .select(col("train_id").as("doc_id"))
+    val contaminated = contaminate(admitted)
       .distinct()
       .withColumn("__cont", lit(true))
     incoming

@@ -290,14 +290,19 @@ object StateMachines {
   }
 
   case class WindowTopNState(counts: Map[String, Long])
+  case class PaneTopNState(counts: Map[String, Long], emitted: Boolean)
   case class WindowTopRow(window_start: Timestamp, item: String, cnt: Long, rank: Int)
 
   /** Streaming per-window top-N, TWO-STAGE — the reference's own shape
     * (`HotItemApp.java:62` pre-aggregates per (itemId, window) with an
     * incremental `AggregateFunction` BEFORE `:64`'s `keyBy(windowEnd)`
-    * collector sees anything): a watermark-final built-in sliding-window
-    * aggregation produces per-(window, item) counts, and only those
-    * FINALS flow into the window-keyed top-N collector.
+    * collector sees anything): a watermark-final built-in PANE
+    * aggregation (tumbling, slide-width) produces per-(pane, item)
+    * counts; a stateless explode maps each pane final into the
+    * size/slide sliding windows containing it; and the window-keyed
+    * collector folds pane counts until the window completes
+    * ([[graft.ops.WindowAggs.slidingCountPanes]]' trick in streaming
+    * form).
     *
     * Why two stages at 100 TB: the single-machine form
     * ([[windowTopNEventGrain]]) keys raw events by window start, so every
@@ -305,64 +310,117 @@ object StateMachines {
     * lands on ONE state partition whose state row is the whole counter
     * map. Here stage 1 is a native streaming aggregation — partial
     * (map-side) combine BEFORE its shuffle, state distributed across all
-    * (window, item) keys — and stage 2's exchange carries one row per
-    * DISTINCT item per window. Per-window event volume stops being a
-    * shuffle or state hot-spot; only per-window CARDINALITY reaches the
-    * collector, exactly like the reference.
+    * (pane, item) keys — and stage 2's exchange carries only pane
+    * CARDINALITY, never event volume. Pane grain (vs the sliding
+    * size/slide grouping, kept runnable for the scale foils) writes ONE
+    * state row per event instead of size/slide of them — 12× fewer
+    * state-store writes for the 1h/5m shape — and holds 12× fewer rows
+    * in stage-1 state.
     *
     * Collector contract: an Append-mode streaming aggregation emits a
-    * window's finals exactly once, all in the micro-batch where the
-    * eviction watermark first passes windowEnd — so the collector's group
-    * iterator IS the complete window and it emits immediately. A
-    * `ValueState` marker + GC timer guard exactly-once emission against
-    * beyond-contract stragglers (rows later than the watermark delay),
-    * which are dropped like any other too-late data.
+    * pane's finals exactly once, in the micro-batch whose eviction
+    * watermark first passes the pane end. The LAST pane of a window ends
+    * exactly at windowEnd, so the batch that delivers it is the batch
+    * whose watermark passed windowEnd — the collector emits immediately
+    * when it sees the watermark beyond windowEnd, and otherwise arms an
+    * event-time timer at windowEnd + 1 ms (the reference's `onTimer`
+    * deadline) to cover windows whose final pane is empty. An `emitted`
+    * marker + GC timer guard exactly-once emission against
+    * beyond-contract stragglers, which are dropped like any other
+    * too-late data.
     *
     * Sentinel rows must flow INTO the aggregate and be excluded there
     * (conditional count + cnt>0 filter): a plain filter would be pushed
-    * below the watermark node and the last window would never finalize
+    * below the watermark node and the last pane would never finalize
     * (same rule as every aggregation pipeline over [[Replay]]).
+    *
+    * `paneStage1 = false` runs stage 1 as the round-12 sliding-window
+    * grouping instead (every event updates size/slide window states) —
+    * probe-only, so docs/SCALE.md can keep measuring the pane rewrite
+    * against its predecessor; both forms share this collector (under
+    * sliding stage 1 a window's finals all arrive in the emit-now batch,
+    * so the fold degenerates to the old immediate emission).
     */
   def windowTopN(
       events: Dataset[KeyedEvent],
       sizeUs: Long,
       slideUs: Long,
       n: Int,
-      watermarkDelay: String = "2 seconds"): Dataset[WindowTopRow] = {
+      watermarkDelay: String = "2 seconds",
+      paneStage1: Boolean = true): Dataset[WindowTopRow] = {
     require(sizeUs % slideUs == 0, "window size must be a multiple of slide")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val finals = events
-      .withWatermark("ts", watermarkDelay)
-      .groupBy(
-        window(col("ts"), s"$sizeUs microseconds", s"$slideUs microseconds"),
-        col("key").as("item"))
-      .agg(count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"))
-      .filter(col("cnt") > 0)
-      // window_time (= window.end − 1 µs) keeps a watermark-tagged
-      // event-time attribute in the collector's input — EventTimeTimeout
-      // requires one to be visible on the stateful op's child
-      .select(
-        unix_micros(col("window.start")).as("win"), col("item"), col("cnt"),
-        window_time(col("window")).as("wt"))
-      .as[(Long, String, Long, Timestamp)]
+    val nW = (sizeUs / slideUs).toInt
+    val watermarked = events.withWatermark("ts", watermarkDelay)
+    // window_time (= window.end − 1 µs) keeps a watermark-tagged
+    // event-time attribute in the collector's input — EventTimeTimeout
+    // requires one to be visible on the stateful op's child. The pane →
+    // windows explode is Column-based for the same reason (a typed map
+    // would strip the watermark metadata).
+    val finals =
+      if (paneStage1)
+        watermarked
+          .groupBy(window(col("ts"), s"$slideUs microseconds"), col("key").as("item"))
+          .agg(count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"))
+          .filter(col("cnt") > 0)
+          .select(
+            explode(array((0 until nW).map(i =>
+              unix_micros(col("window.start")) - lit(i.toLong * slideUs)): _*)).as("win"),
+            col("item"), col("cnt"),
+            window_time(col("window")).as("wt"))
+          .as[(Long, String, Long, Timestamp)]
+      else
+        watermarked
+          .groupBy(
+            window(col("ts"), s"$sizeUs microseconds", s"$slideUs microseconds"),
+            col("key").as("item"))
+          .agg(count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"))
+          .filter(col("cnt") > 0)
+          .select(
+            unix_micros(col("window.start")).as("win"), col("item"), col("cnt"),
+            window_time(col("window")).as("wt"))
+          .as[(Long, String, Long, Timestamp)]
+    def top(counts: Map[String, Long], winStartUs: Long): Iterator[WindowTopRow] =
+      counts.toSeq
+        .sortBy { case (item, cnt) => (-cnt, item) }
+        .take(n)
+        .iterator
+        .zipWithIndex
+        .map { case ((item, cnt), i) => WindowTopRow(tsOf(winStartUs), item, cnt, i + 1) }
     finals
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, WindowTopRow](
+      .flatMapGroupsWithState[PaneTopNState, WindowTopRow](
         OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)((winStartUs, it, state) => {
-        if (state.hasTimedOut) { state.remove(); Iterator.empty }
-        else if (state.exists) Iterator.empty // beyond-contract straggler: too late
-        else {
-          state.update(true) // emitted marker; GC'd one window-length later
+        def markEmitted(): Unit = {
+          state.update(PaneTopNState(Map.empty, emitted = true))
           state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + sizeUs / 1000L + 1L)
-          it.toSeq
-            .sortBy { case (_, item, cnt, _) => (-cnt, item) }
-            .take(n)
-            .iterator
-            .zipWithIndex
-            .map { case ((_, item, cnt, _), i) => WindowTopRow(tsOf(winStartUs), item, cnt, i + 1) }
+        }
+        if (state.hasTimedOut) {
+          val st = state.get
+          if (st.emitted) { state.remove(); Iterator.empty } // marker GC
+          else { markEmitted(); top(st.counts, winStartUs) } // final pane was empty
+        } else {
+          val st = state.getOption.getOrElse(PaneTopNState(Map.empty, emitted = false))
+          if (st.emitted) Iterator.empty // beyond-contract straggler: too late
+          else {
+            var m = st.counts
+            for ((_, item, cnt, _) <- it) m = m.updated(item, m.getOrElse(item, 0L) + cnt)
+            if (state.getCurrentWatermarkMs() * 1000L >= winStartUs + sizeUs) {
+              // this batch delivered the window's last pane: complete now
+              markEmitted(); top(m, winStartUs)
+            } else {
+              state.update(PaneTopNState(m, emitted = false))
+              // windowEnd + 1 ms, clamped above the watermark (late panes
+              // inside the delay margin re-arm an expired deadline)
+              state.setTimeoutTimestamp(math.max(
+                (winStartUs + sizeUs) / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+              Iterator.empty
+            }
+          }
         }
       })
   }

@@ -287,8 +287,14 @@ case class AdcScore(left: Expression, right: Expression)
 
 /** Nearest centroid over an integer-quantized vector: argmin_c Σ_j
   * (qv[j] - cents[c][j])² with ties to the LOWEST centroid index, packed
-  * as `dist · 16 + list_id` in one long (k ≤ 16; with 1e6-grid 64-dim
-  * unit-scale vectors dist ≤ ~2.6e14, so the pack never overflows).
+  * as `dist · 2^14 + list_id` in one long (k ≤ 16384 — sized for
+  * thousand-cluster 100 TB curation fits, not a demo constant). The
+  * argmin compares EXACT 64-bit distances; only the distance that rides
+  * the pack saturates, at 2^49 − 1 ≈ 5.6e14 — for 1e-6-grid 64-dim
+  * unit-scale vectors dist ≤ ~2.6e14, so within that envelope the pack
+  * is exact and never overflows (beyond it — higher dims or
+  * larger-magnitude vectors — list_id stays correct and dist clamps;
+  * quantize coarser if exact inertia is needed there).
   *
   * Why integers: the distributed k-means fit must be replayable by an
   * external SQL oracle, and floating-point distance sums accumulate in
@@ -304,7 +310,7 @@ case class NearestCentroid(child: Expression, cents: Array[Long], k: Int, d: Int
     extends UnaryExpression
     with ExpectsInputTypes {
 
-  require(k > 0 && k <= 16, "NearestCentroid packs list_id in 4 bits: k must be 1..16")
+  require(k > 0 && k <= 16384, "NearestCentroid packs list_id in 14 bits: k must be 1..16384")
   require(cents.length == k * d, "cents must be k*d flattened")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
@@ -329,7 +335,7 @@ case class NearestCentroid(child: Expression, cents: Array[Long], k: Int, d: Int
       if (dist < bd) { bd = dist; best = c }
       c += 1
     }
-    bd * 16L + best
+    (math.min(bd, (1L << 49) - 1) << 14) + best
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -358,7 +364,7 @@ case class NearestCentroid(child: Expression, cents: Array[Long], k: Int, d: Int
          |  }
          |  if ($dist < $bd) { $bd = $dist; $best = $c; }
          |}
-         |${ev.value} = $bd * 16L + $best;
+         |${ev.value} = (java.lang.Math.min($bd, (1L << 49) - 1) << 14) + $best;
        """.stripMargin
     })
   }

@@ -355,6 +355,25 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"the collision join must stay a hash equi-join:\n$p")
   }
 
+  test("chunk dedup accounting: no window sort on the chunk fingerprint") {
+    // A boilerplate chunk duplicated across the corpus must never land
+    // its whole copy set in one task: the owner election has to be a
+    // map-side-combined aggregate (partial min per task), not a
+    // row_number/min over Window.partitionBy(fp).
+    val p = plan("d_chunk_dedup")
+    assert(!p.contains("Window ["), s"fingerprint-grain window sort crept back:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"owner election must partial-aggregate before the fp exchange:\n$p")
+  }
+
+  test("ingest verdict labeling: keeper election is a partial aggregate, not a window") {
+    for (q <- Seq("p_ingest_stream", "p_ingest_decon_stream")) {
+      val p = plan(q)
+      assert(!p.contains("Window ["),
+        s"$q: keeper-per-fingerprint must not plan a window sort on fp:\n$p")
+    }
+  }
+
   test("latest snapshot: WindowGroupLimit prunes per-key history before the exchange") {
     val p = plan("q_latest_snapshot")
     assert(p.contains("WindowGroupLimit"),

@@ -421,6 +421,24 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 0L)))
   }
 
+  test("bloom decon twins: an empty eval side yields empty results, not a null bloom") {
+    // bloomAgg over zero rows returns a null sketch; the twins must
+    // degrade to the plain sweeps' empty-join result instead of feeding
+    // might_contain a null filter
+    val train = Seq(
+      (1L, (1 to 20).map(i => s"tok$i").mkString(" ")),
+      (3L, "wholly clean document text here")).toDF("doc_id", "text")
+    val noEval = train.filter(lit(false))
+    val hard = Dedup.exactNgramCollisionsBloom(
+      train, noEval, col("doc_id"), col("text"), n = 13,
+      expectedEvalShingles = 100L, portableHash = true)
+    assert(hard.isEmpty && hard.columns.toSeq == Seq("train_id", "eval_id"))
+    val near = Dedup.crossCorpusNearDupsBloom(
+      train, noEval, col("doc_id"), col("text"), n = 3, threshold = 0.5,
+      expectedEvalShingles = 100L)
+    assert(near.isEmpty && near.columns.toSeq == Seq("train_id", "eval_id", "jaccard"))
+  }
+
   test("ngramJaccardPairs finds the planted near-dup pair only") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and often" // 1 word off
@@ -1069,8 +1087,8 @@ class OpsSpec extends SparkSpec {
         (array_position(ds, array_min(ds)) - 1).cast("int").as("list"),
         array_min(ds).as("dist"))).as("hof"))
     assert(both.filter(
-      col("packed").bitwiseAND(lit(15L)).cast("int") =!= col("hof.list") ||
-        shiftright(col("packed"), 4) =!= col("hof.dist")).isEmpty,
+      col("packed").bitwiseAND(lit(16383L)).cast("int") =!= col("hof.list") ||
+        shiftright(col("packed"), 14) =!= col("hof.dist")).isEmpty,
       "native argmin/dist differ from the HOF formulation")
     // explicit tie: a point equidistant from centroids 0 and 1 picks 0
     val tiePoint = Seq(Tuple1(Seq(5L, 0L))).toDF("qv")
@@ -1078,8 +1096,16 @@ class OpsSpec extends SparkSpec {
     val packed = tiePoint
       .select(VectorFunctions.nearestCentroid(col("qv"), tieCents, 3, 2))
       .head().getLong(0)
-    assert((packed & 15L) == 0L && (packed >> 4) == 25L,
+    assert((packed & 16383L) == 0L && (packed >> 14) == 25L,
       s"tie must keep the lowest centroid index: got $packed")
+    // a fit wider than the old 4-bit pack: k = 64 centroids resolve and
+    // the pack round-trips list ids above 15
+    val wideCents: Array[Long] = (0 until 64).flatMap(c => Seq(c * 10L, 0L)).toArray
+    val widePacked = Seq(Tuple1(Seq(501L, 0L))).toDF("qv")
+      .select(VectorFunctions.nearestCentroid(col("qv"), wideCents, 64, 2))
+      .head().getLong(0)
+    assert((widePacked & 16383L) == 50L && (widePacked >> 14) == 1L,
+      s"k=64 pack must decode (list=50, dist=1): got $widePacked")
   }
 
   test("kMeansFitStats matches a local Lloyd reference on a deterministic frame") {

@@ -282,9 +282,15 @@ class StateMachinesSpec extends SparkSpec {
       StateMachines.windowTopN(_, sizeUs = 1800000000L, slideUs = 600000000L, n = 3).toDF())
     val eventGrain = rows(
       StateMachines.windowTopNEventGrain(_, sizeUs = 1800000000L, slideUs = 600000000L, n = 3).toDF())
+    // the probe-only sliding-stage-1 foil (the round-12 shape) must stay
+    // row-identical too — docs/SCALE.md measures the pane rewrite against it
+    val slidingStage1 = rows(
+      StateMachines.windowTopN(
+        _, sizeUs = 1800000000L, slideUs = 600000000L, n = 3, paneStage1 = false).toDF())
     assert(twoStage.nonEmpty, "gate is vacuous: no windows emitted")
     assert(twoStage.exists(_._4 > 1), "fixture must rank >1 item per window")
     assert(twoStage == eventGrain)
+    assert(slidingStage1 == eventGrain)
   }
 
   test("retentionDays(stream): cohort final at watermark, days emit once, late day buffers") {
