@@ -191,6 +191,71 @@ class PipelineSpec extends SparkSpec {
     assert(leaks == 0)
   }
 
+  test("property: hard-13 ladder verdicts partition; a verbatim span flags where Jaccard can't") {
+    // the GPT-3-rule ladder inherits the partition invariant, and its
+    // differentiator is on the record: a doc embedding ONE verbatim
+    // 13-token benchmark run — far below any whole-doc Jaccard bar —
+    // must land `contaminated` under hard13 while the Jaccard ladder
+    // admits it
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 200).map(i => s"word$i")
+    def doc(): String =
+      (0 until 20).map(_ => s"the ${vocab(rnd.nextInt(vocab.size))} and").mkString(" ")
+    def mutate(s: String): String = {
+      val w = s.split(" "); w(w.length - 2) = "mutant"; w.mkString(" ")
+    }
+    val corpusDocs = (0 until 12).map(i => (i * 10L, doc()))
+    val evalDocs = (0 until 6).map(i => (1000L + i, doc()))
+    val base = (0 until 15).map(i => (5000L + i * 10, doc()))
+    val span13 = evalDocs(2)._2.split(" ").take(13).mkString(" ")
+    val incomingDocs = base ++ Seq(
+      (6000L, corpusDocs(4)._2), // exact corpus dup
+      (6010L, mutate(corpusDocs(7)._2)), // near corpus dup
+      (6020L, base(3)._2), // exact in-batch dup
+      (6040L, s"${doc()} $span13 ${doc()}"), // verbatim 13-gram leak only
+      (6050L, "## ##")) // junk
+    val corpusDf = corpusDocs.toDF("doc_id", "text")
+    val evalDf = evalDocs.toDF("doc_id", "text")
+    val incoming = incomingDocs.toDF("doc_id", "text")
+    val got = TrainingPipeline
+      .dailyAdmissionHard13(corpusDf, incoming, evalDf, col("doc_id"), col("text"),
+        portableHash = true)
+      .as[(Long, String)].collect()
+    // (a) exactly one verdict per incoming doc, from the declared ladder
+    assert(got.map(_._1).sorted.toSeq == incomingDocs.map(_._1).sorted)
+    val classes = Set("rejected_quality", "dup_exact", "near_dup_corpus",
+      "near_dup_batch", "contaminated", "admitted")
+    assert(got.forall(v => classes(v._2)), got.mkString(","))
+    val byId = got.toMap
+    // (b) the span leak is caught by the hard rule...
+    assert(byId(6040L) == "contaminated", s"span leak got ${byId(6040L)}")
+    assert(byId(6000L) == "dup_exact" && byId(6010L) == "near_dup_corpus" &&
+      byId(6050L) == "rejected_quality", byId.mkString(","))
+    // ...and sails through the Jaccard ladder — the two rules measure
+    // different leakage, which is why both are declared
+    val jaccard = TrainingPipeline
+      .dailyAdmission(corpusDf, incoming, evalDf, col("doc_id"), col("text"),
+        portableHash = true)
+      .as[(Long, String)].collect().toMap
+    assert(jaccard(6040L) == "admitted",
+      s"span doc should clear the 0.5-Jaccard decon, got ${jaccard(6040L)}")
+    // (c) no admit shares ANY verbatim 13-gram with the benchmark
+    val admittedIds = got.collect { case (i, "admitted") => i }
+    assert(admittedIds.nonEmpty)
+    val admitted = incoming.filter(col("doc_id").isin(admittedIds: _*))
+    assert(Dedup.exactNgramCollisions(
+      admitted, evalDf, col("doc_id"), col("text"), 13, portableHash = true).isEmpty)
+    // (d) the stored-artifact + bloom-pruned twin lands identical verdicts
+    val (hx, bx) = Dedup.nearDupIndex(corpusDf, col("doc_id"), col("text"),
+      shingleLen = 3, k = 64, bands = 16, portableHash = true)
+    val gotIndexed = TrainingPipeline
+      .dailyAdmissionHard13Indexed(
+        Dedup.fingerprintSet(corpusDf, col("text")), hx, bx,
+        incoming, evalDf, col("doc_id"), col("text"), portableHash = true)
+      .as[(Long, String)].collect().toMap
+    assert(gotIndexed == byId)
+  }
+
   test("zorder2 matches the per-bit reference and nulls out-of-range input") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L

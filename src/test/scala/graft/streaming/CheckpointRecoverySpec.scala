@@ -188,6 +188,83 @@ class CheckpointRecoverySpec extends SparkSpec {
     } finally spark.conf.unset(ProviderConf)
   }
 
+  test("lshIndexResumed (initial state, RocksDB) survives kill+restart: the rebased index persists") {
+    // initial state + checkpoint recovery must COMPOSE: a resumed
+    // admission query (batch-rebuilt index loaded through the
+    // initial-state channel at batch 0) killed mid-stream has to come
+    // back with the rebased buckets still in the store — not silently
+    // re-initialize — and keep screening arrivals against both the
+    // at-rest corpus and earlier streamed arrivals. The decisive pin is
+    // a POST-restart hit against a PRE-split doc: only surviving rebased
+    // state can produce one, because the restarted query never sees the
+    // initial-state channel again (Spark applies it at batch 0 only).
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val sigs = graft.ops.Dedup.minhashSignatures(
+        Tables(spark, dir).documents, col("doc_id"), col("text"),
+        shingleLen = 3, k = 64, portableHash = true)
+      def bandKey(j: Int) = concat_ws("|", lit(j),
+        md5(concat_ws("|", (4 * j until 4 * j + 4).map(i => col(s"m$i").cast("string")): _*)))
+      val events = sigs.select(
+          col("doc_id"),
+          explode(array((0 until 16).map(bandKey): _*)).as("key"),
+          array((0 until 64).map(i => col(s"m$i")): _*).as("sig"))
+        .select(col("key"), timestamp_seconds(col("doc_id")).as("ts"),
+          col("doc_id").cast("string").as("id"), col("sig"))
+      val split = Tables(spark, dir).documents
+        .selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)")
+        .head.getDouble(0).toLong
+      val init = StreamingDedup.indexState(events.filter(col("id").cast("long") < split))
+      val post = events.filter(col("id").cast("long") >= split)
+        .as[BandEvent].collect().sortBy(e => (e.ts.getTime, e.id, e.key)).toSeq
+      require(post.size > 100, s"need a real banded corpus, got ${post.size} rows")
+      val quarters = post.grouped((post.size + 3) / 4).toSeq
+      val bandSchema = Seq.empty[BandEvent].toDF().schema
+      val base = Files.createTempDirectory("graft-recover-rebase").toString
+
+      def writeBand(rows: Seq[BandEvent], d: String, i: Int): Unit = {
+        rows.toDF().repartition(1).write.mode("overwrite").parquet(s"$d/c$i")
+        new java.io.File(s"$d/c$i").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(p =>
+            Files.move(p.toPath, java.nio.file.Paths.get(s"$d/in_$i.parquet")))
+        Thread.sleep(5)
+      }
+      def resumed(df: DataFrame): DataFrame =
+        StreamingDedup
+          .lshIndexResumed(
+            df.as[BandEvent], init, k = 64, thresholdNumer = 3, thresholdDenom = 5)
+          .toDF()
+      def hits(out: String): Set[(Int, Long, Long, Int)] =
+        spark.read.parquet(out).as[(Int, String, String, Int)]
+          .collect().map { case (b, a, bb, n) => (b, a.toLong, bb.toLong, n) }.toSet
+
+      val refIn = s"$base/ref_in"; new java.io.File(refIn).mkdirs()
+      quarters.zipWithIndex.foreach { case (c, i) => writeBand(c, refIn, i + 1) }
+      runPhase(refIn, s"$base/ref_out", s"$base/ref_ckpt", bandSchema)(resumed)
+      val want = hits(s"$base/ref_out")
+
+      val rIn = s"$base/r_in"; new java.io.File(rIn).mkdirs()
+      quarters.take(2).zipWithIndex.foreach { case (c, i) => writeBand(c, rIn, i + 1) }
+      runPhase(rIn, s"$base/r_out", s"$base/r_ckpt", bandSchema)(resumed)
+      val phase1 = hits(s"$base/r_out")
+      quarters.drop(2).zipWithIndex.foreach { case (c, i) => writeBand(c, rIn, i + 3) }
+      runPhase(rIn, s"$base/r_out", s"$base/r_ckpt", bandSchema)(resumed)
+      val got = hits(s"$base/r_out")
+
+      assert(want.nonEmpty, "rebased reference run produced no hits")
+      assert(phase1.size < want.size,
+        "restart boundary must land mid-work (phase 1 already emitted everything)")
+      assert(got == want,
+        s"restarted resumed-index output != uninterrupted (${got.size} vs ${want.size})")
+      val postRestart = got -- phase1
+      assert(postRestart.exists { case (_, a, _, _) => a < split },
+        "no post-restart hit against a pre-split doc: the rebased index " +
+          "did not survive the restart (or the fixture is vacuous)")
+    } finally spark.conf.unset(ProviderConf)
+  }
+
   test("Tws matchWithTimeout (RocksDB) survives kill+restart: named states and timers recover") {
     // same machine as the fGWS test on purpose: the variable under test
     // is the STATE BACKEND + API (named states, named timers, RocksDB

@@ -318,6 +318,62 @@ class StreamingBackendsSpec extends SparkSpec {
       assert(e2e.committed("uv_daily") >= 1L)
     } finally q.stop()
   }
+
+  test("served daily UV over the real events table: the STORE's final contents equal the batch answer") {
+    // the round-12 gap: streamingKvUpsert was exactly-once-proven but
+    // composed with no real pipeline. Here q_uv_hourly's declared
+    // distinct-count op at daily grain runs as its streaming twin
+    // (watermark → per-(day, user) dedup → watermark-final daily count)
+    // over the REAL sf0.001 events replayed in chronological chunks, and
+    // the assertion reads the SERVED state — the KV store a dashboard
+    // would query — against WindowAggs.tumblingCountDistinct over the
+    // same table. Not the sink file: the store.
+    import graft.io.Sinks
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables(spark, dir).events
+    val truth = graft.ops.WindowAggs
+      .tumblingCountDistinct(events, col("ts"), "1 day", col("user_id"))
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"), col("uv"))
+      .as[(String, Long)].collect().toMap
+    assert(truth.size > 1, s"vacuous fixture: ${truth.size} days")
+
+    val rows = events.select(
+        col("user_id").cast("string").as("key"), col("ts"),
+        lit("e").as("kind"), col("event_id").cast("string").as("id"))
+      .as[KeyedEvent].collect().sortBy(e => (e.ts.getTime, e.id)).toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+    val chunks = rows.grouped((rows.size + 3) / 4).toSeq ++ (0 until 2).map(j =>
+      Seq(KeyedEvent(
+        Replay.Sentinel,
+        new java.sql.Timestamp(maxTs + 30L * 86400 * 1000 + j * 1000),
+        Replay.Sentinel, s"s$j")))
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val uv = input.toDS().toDF()
+      .withWatermark("ts", "2 seconds")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .dropDuplicates("day", "key")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(when(col("key") =!= Replay.Sentinel, 1)).as("uv"))
+      .filter(col("uv") > 0)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("uv"))
+    val store = KvRegistry.fresh()
+    val q = Sinks.streamingKvUpsert(
+      uv, store.store, "uv_daily_served", "day",
+      java.nio.file.Files.createTempDirectory("graft-kv-uv-ckpt").toString)
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      val served = store.snapshot()
+      assert(served.keySet == truth.keySet,
+        s"served day set != batch (${served.keySet.size} vs ${truth.size})")
+      for ((day, n) <- truth)
+        assert(served(day).contains(s""""uv":$n"""),
+          s"served $day = ${served(day)}, batch uv = $n")
+      assert(store.committed("uv_daily_served") >= 1L)
+    } finally q.stop()
+  }
 }
 
 /** JVM-global in-memory serving store for the sink spec: executors in
