@@ -381,21 +381,44 @@ object Tws {
     }
   }
 
-  /** Stage-2 collector of the two-stage [[windowTopN]]: receives the
-    * watermark-final per-(window, item) counts the built-in aggregation
-    * emits — a window's rows arrive complete, in one micro-batch, exactly
-    * once (Append-mode eviction) — sorts, takes N, and emits immediately.
-    * A `ValueState` marker + named GC timer guard exactly-once emission
-    * against beyond-contract stragglers (dropped, like any too-late row).
+  /** Stage-2 collector of the two-stage [[windowTopN]]: folds the
+    * watermark-final per-(pane, item) counts the built-in PANE
+    * aggregation emits (exploded into containing windows upstream) into
+    * a named `MapState`, and emits the top N when the window completes —
+    * immediately in the batch whose watermark passed windowEnd (that
+    * batch delivered the last pane's finals), or at the windowEnd + 1 ms
+    * timer when the final pane was empty. An `emitted` marker + GC timer
+    * guard exactly-once emission against beyond-contract stragglers
+    * (dropped, like any too-late row). The round-12 sliding-stage-1 form
+    * delivered a window's finals all in one batch; this collector
+    * handles that delivery too (the fold degenerates to immediate
+    * emission), which is how the `paneStage1 = false` foil shares it.
     */
   class WindowTopNCollector(sizeUs: Long, n: Int)
       extends StatefulProcessor[Long, (Long, String, Long, Timestamp), StateMachines.WindowTopRow] {
     import StateMachines.tsOf
 
     @transient private var emitted: ValueState[Boolean] = _
+    @transient private var counts: MapState[String, Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       emitted = getHandle.getValueState[Boolean]("emitted", Encoders.scalaBoolean, TTLConfig.NONE)
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def emitTop(winStartUs: Long, wmMs: Long): Iterator[StateMachines.WindowTopRow] = {
+      val top = counts.iterator().toSeq
+        .sortBy { case (item, cnt) => (-cnt, item) }
+        .take(n)
+      counts.clear()
+      emitted.update(true) // marker; GC'd one window-length later
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(wmMs + sizeUs / 1000L + 1L)
+      top.iterator.zipWithIndex.map { case ((item, cnt), i) =>
+        StateMachines.WindowTopRow(tsOf(winStartUs), item, cnt, i + 1)
+      }
+    }
 
     override def handleInputRows(
         winStartUs: Long,
@@ -403,16 +426,24 @@ object Tws {
         timerValues: TimerValues): Iterator[StateMachines.WindowTopRow] = {
       if (emitted.exists()) Iterator.empty // beyond-contract straggler: too late
       else {
-        emitted.update(true) // marker; GC'd one window-length later
-        getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + sizeUs / 1000L + 1L)
-        rows.toSeq
-          .sortBy { case (_, item, cnt, _) => (-cnt, item) }
-          .take(n)
-          .iterator
-          .zipWithIndex
-          .map { case ((_, item, cnt, _), i) =>
-            StateMachines.WindowTopRow(tsOf(winStartUs), item, cnt, i + 1)
-          }
+        // pre-combine locally: one point read + write per distinct item
+        val batch = scala.collection.mutable.Map.empty[String, Long]
+        for ((_, item, cnt, _) <- rows)
+          batch.update(item, batch.getOrElse(item, 0L) + cnt)
+        for ((item, c) <- batch) {
+          val prev = if (counts.containsKey(item)) counts.getValue(item) else 0L
+          counts.updateValue(item, prev + c)
+        }
+        val wmMs = timerValues.getCurrentWatermarkInMs()
+        if (wmMs * 1000L >= winStartUs + sizeUs) emitTop(winStartUs, wmMs)
+        else {
+          // windowEnd + 1 ms, clamped above the watermark (late panes
+          // inside the delay margin re-arm an expired deadline)
+          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+          getHandle.registerTimer(math.max(
+            (winStartUs + sizeUs) / 1000L + 1L, wmMs + 1L))
+          Iterator.empty
+        }
       }
     }
 
@@ -420,17 +451,22 @@ object Tws {
         winStartUs: Long,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[StateMachines.WindowTopRow] = {
-      emitted.clear()
-      Iterator.empty
+      if (emitted.exists()) { // marker GC
+        emitted.clear()
+        counts.clear()
+        Iterator.empty
+      } else // the window's final pane was empty: emit at the deadline
+        emitTop(winStartUs, timerValues.getCurrentWatermarkInMs())
     }
   }
 
   /** [[StateMachines.windowTopN]] (two-stage: built-in watermark-final
-    * per-(window, item) aggregation → window-keyed collector) on
-    * `transformWithState` — identical stage-1 plan; only the collector's
-    * state backend changes. See the fGWS twin for the scale rationale:
-    * stage 2's exchange carries one row per distinct item per window,
-    * never raw events. */
+    * PANE aggregation → explode into containing windows → window-keyed
+    * pane-folding collector) on `transformWithState` — identical stage-1
+    * plan; only the collector's state backend changes. See the fGWS twin
+    * for the scale rationale: stage 1 writes ONE state row per event
+    * (pane grain, not size/slide sliding states), and stage 2's exchange
+    * carries pane cardinality, never raw events. */
   def windowTopN(
       events: Dataset[KeyedEvent],
       sizeUs: Long,
@@ -441,17 +477,19 @@ object Tws {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    val nW = (sizeUs / slideUs).toInt
     val finals = events
       .withWatermark("ts", watermarkDelay)
-      .groupBy(
-        window(col("ts"), s"$sizeUs microseconds", s"$slideUs microseconds"),
-        col("key").as("item"))
+      .groupBy(window(col("ts"), s"$slideUs microseconds"), col("key").as("item"))
       .agg(count(when(col("kind") =!= Replay.Sentinel, 1)).as("cnt"))
       .filter(col("cnt") > 0)
       // window_time keeps a watermark-tagged event-time attribute visible
-      // on the stateful op's input (required for TimeMode.EventTime)
+      // on the stateful op's input (required for TimeMode.EventTime); the
+      // pane → windows explode is Column-based for the same reason
       .select(
-        unix_micros(col("window.start")).as("win"), col("item"), col("cnt"),
+        explode(array((0 until nW).map(i =>
+          unix_micros(col("window.start")) - lit(i.toLong * slideUs)): _*)).as("win"),
+        col("item"), col("cnt"),
         window_time(col("window")).as("wt"))
       .as[(Long, String, Long, Timestamp)]
     finals
