@@ -41,7 +41,13 @@ import graft.streaming.{KeyedEvent, Replay, StateMachines}
   * (3 replays; `sec` = fastest pass, `passes` on the record, `spread` +
   * `spread_flagged` at the batch side's 1.5× gate) — the r12 driver run
   * showed single-pass stream rows swinging >2× under contention with no
-  * flag. No gate on the totals — visibility for the state-machine path
+  * flag. Also since round 13 the replay scratch (chunk files +
+  * checkpoint) goes to /dev/shm when writable, disclosed in the JSON as
+  * `replay_scratch` — measured on an idle-CPU host, co-tenant I/O put
+  * ~4 ms on every checkpoint fsync and swung stream passes 4×, i.e. the
+  * rows measured the virtual disk, not the state machines (the
+  * correctness-gate replays still exercise the real disk). No gate on
+  * the totals — visibility for the state-machine path
   * the batch queries don't time.
   *
   * Reporting channel: the JSON line goes to stdout AND to the file named
@@ -85,7 +91,12 @@ object Bench {
     // measures the replay harness's scheduling, not engine throughput, so
     // the bench covers the batch headline queries and reports the skips —
     // the state-machine path is measured separately below (`stream`).
-    val (streamNames, names) = SparkEntry.queries.keys.toSeq.sorted.partition(_.endsWith("_stream"))
+    val (streamNames, allNames) = SparkEntry.queries.keys.toSeq.sorted.partition(_.endsWith("_stream"))
+    // dev knob: SPARK_GRAFT_STREAM_ONLY=1 skips the batch sweep so the
+    // stream-throughput phase can be iterated on / re-measured alone
+    // (the driver never sets it — the default path is unchanged)
+    val names =
+      if (sys.env.get("SPARK_GRAFT_STREAM_ONLY").contains("1")) Nil else allNames
     def loadavgNow: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadavgStart = loadavgNow
@@ -159,6 +170,16 @@ object Bench {
     * and sink.
     */
   private def streamThroughput(spark: SparkSession, sfDir: String): String = try {
+    // Redirect replay scratch (chunk files + checkpoint) to a tmpfs when
+    // one exists: round-13 measurement showed the host disk's fsync
+    // latency swinging stream rows 4× between passes while CPU sat idle
+    // (4 kB-dsync probe: ~4 ms/sync under co-tenant I/O), i.e. the rows
+    // measured the virtual disk, not the operators. The correctness-gate
+    // replays keep exercising the real disk (the property is bench-local
+    // and disclosed in the JSON as "replay_scratch").
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      sys.props("graft.replay.tmpdir") = shm.toString
     val keyed = Tables(spark, sfDir).events.select(
       col("user_id").cast("string").as("key"),
       col("ts"),
@@ -199,7 +220,9 @@ object Bench {
         StateMachines.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()),
       oneRocksDb("funnel_tws")(s =>
         graft.streaming.Tws.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()),
-      ingestRow(spark, sfDir))
+      ingestRow(spark, sfDir),
+      "\"replay_scratch\":\"" +
+        sys.props.get("graft.replay.tmpdir").fold("default-tmp")(_ => "tmpfs") + "\"")
       .mkString("{", ",", "}")
   } catch {
     // Round-7 lesson: an AnalysisException in the events load / count()

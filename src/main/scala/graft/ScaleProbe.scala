@@ -91,6 +91,22 @@ object ScaleProbe {
           F.sum(F.when(F.col("__rn") > 1, F.col("n_tokens")).otherwise(0L)).as("dup_tokens"))
     }
 
+    // 400 chunk rows per corpus doc, every even row THE one hot chunk:
+    // |docs|·200 copies of a single fingerprint (10M at the 10x dir),
+    // odd rows unique. n_tokens constant so both accountings return the
+    // same doc-grain totals.
+    def synthChunks(s: SparkSession, dir: String): DataFrame = {
+      val nDocs = graft.io.Tables(s, dir).documents.count()
+      val per = 400L
+      s.range(nDocs * per).select(
+        (F.col("id") / per).cast("long").as("doc_id"),
+        (F.col("id") % per).cast("long").as("chunk_id"),
+        F.lit(32L).as("n_tokens"),
+        F.when(F.col("id") % 2 === 0,
+            F.lit("the one boilerplate chunk every doc in the corpus shares"))
+          .otherwise(F.concat(F.lit("unique "), F.col("id").cast("string"))).as("chunk"))
+    }
+
     Map(
       // the single-machine per-window top-N (raw events keyed by window
       // start): the round-12 two-stage q_hot_items_stream replaced it as
@@ -115,6 +131,21 @@ object ScaleProbe {
           graft.ops.Chunking.chunkDedupStats(boilerChunks(s, dir))),
       "probe_chunk_dedup_boiler_window" ->
         ((s: SparkSession, dir: String) => chunkDedupStatsWindowed(boilerChunks(s, dir))),
+      // the ISOLATED skew axis for the same pair: the boiler rows above
+      // are chunking-scan-dominated (the 45 hot fingerprints top out at
+      // |docs| copies — a trivial sort task locally), so they bound the
+      // end-to-end cost but can't expose the accounting plans' divergence.
+      // This synthetic chunk frame (pure compute, no chunker) gives ONE
+      // fingerprint half of all 400·|docs| chunk rows — 10M copies at the
+      // 10x dir — which is exactly the shape a boilerplate chunk takes at
+      // 100 TB: the window foil must sort the whole copy set in one task,
+      // the declared partial-agg form collapses it map-side to one row
+      // per task before the exchange.
+      "probe_chunk_acct_synth" ->
+        ((s: SparkSession, dir: String) =>
+          graft.ops.Chunking.chunkDedupStats(synthChunks(s, dir))),
+      "probe_chunk_acct_synth_window" ->
+        ((s: SparkSession, dir: String) => chunkDedupStatsWindowed(synthChunks(s, dir))),
       "probe_hot_items_stream_eventgrain_rocksdb" ->
         ((s: SparkSession, dir: String) => withRocksDb(s)(eventGrain(s, dir))),
       "probe_hot_items_stream_rocksdb" ->

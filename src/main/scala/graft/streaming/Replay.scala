@@ -178,7 +178,17 @@ object Replay {
       sentinel: (Timestamp, Int) => DataFrame)(
       pipeline: DataFrame => DataFrame): DataFrame = {
     val spark = src.sparkSession
-    val tmp = Files.createTempDirectory("graft-replay")
+    // `graft.replay.tmpdir` redirects the replay scratch space (chunk
+    // files + streaming checkpoint). The bench sets it to a tmpfs so its
+    // stream-throughput rows measure the operators, not the host disk's
+    // fsync latency (measured swinging 4× under co-tenant I/O while CPU
+    // sat idle — see docs/SCALE.md). Unset (the default, and what the
+    // correctness gate uses), replays exercise the real disk.
+    val tmp = sys.props.get("graft.replay.tmpdir")
+      .map(java.nio.file.Paths.get(_))
+      .filter(Files.isDirectory(_))
+      .map(Files.createTempDirectory(_, "graft-replay"))
+      .getOrElse(Files.createTempDirectory("graft-replay"))
 
     def writeOne(df: DataFrame, i: Int): Unit = {
       // repartition(1), not coalesce(1): keep the upstream sort parallel,
@@ -220,6 +230,13 @@ object Replay {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // the scratch space is dead once the query stopped (results live in
+    // the memory sink) — delete eagerly so tmpfs-redirected replays don't
+    // accumulate across a bench sweep; best-effort, never fails a replay
+    scala.util.Try {
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
     spark.table(name)
   }
 }
