@@ -246,7 +246,7 @@ object Bench {
   private val STREAM_PASSES = 3
   private def streamEntry(name: String, nRows: Long, extraJson: String)(
       replay: => Unit): String = {
-    val times = (1 to STREAM_PASSES).map { _ =>
+    def onePass(): Double = {
       val t0 = System.nanoTime()
       try { replay; (System.nanoTime() - t0) / 1e9 }
       catch {
@@ -255,6 +255,15 @@ object Bench {
           -1.0
       }
     }
+    // adaptive retry: contention only ever INFLATES a pass, so when the
+    // base passes disagree >1.5× the entry buys up to 2 more — a burst
+    // that straddled all three base passes can still be outrun, and a
+    // genuinely slow machine just reproduces the number (all passes on
+    // the record either way)
+    var times = (1 to STREAM_PASSES).map(_ => onePass())
+    while (times.size < STREAM_PASSES + 2 && !times.exists(_ < 0) &&
+        times.max / times.min > 1.5)
+      times = times :+ onePass()
     val passesJson = times.map(t => f"$t%.2f").mkString("[", ",", "]")
     if (times.exists(_ < 0))
       s""""$name":{"rows":$nRows,"sec":-1,"rows_per_sec":-1,"passes":$passesJson$extraJson}"""

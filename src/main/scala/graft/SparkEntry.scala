@@ -1632,6 +1632,32 @@ object SparkEntry {
           col("eval_id").cast("long").as("eval_id"))
         .distinct()
     }),
+    "d_decon_spans" -> ((s, dir) => {
+      // WHERE the leaks are: every exact-13-gram collision located at
+      // its token offset, padded 5 tokens each side, overlapping windows
+      // merged — the span report behind redaction-grain cleanup (GPT-3
+      // removes a window AROUND each collision, not the whole doc). Hit
+      // join = d_decontaminate_hard13's (broadcast benchmark, 32-bit
+      // portable hashes); the merge is a per-DOC gaps-and-islands
+      // window, bounded by one doc's hits — never corpus-wide.
+      val docs = Tables(s, dir).documents
+      Dedup.contaminatedSpans(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), n = 13, padTokens = 5)
+    }),
+    "d_decon_redact" -> ((s, dir) => {
+      // redaction-grain decontamination: cut the d_decon_spans windows
+      // out and keep the clean complement pieces of ≥ 20 tokens — one
+      // whole piece for untouched docs, nothing for blanketed ones. The
+      // complement is a pure array expression over each doc's collected
+      // spans; no shuffle beyond the span merge.
+      val docs = Tables(s, dir).documents
+      Dedup.decontaminateByRedaction(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), n = 13, padTokens = 5, minPieceTokens = 20)
+    }),
     "d_decontaminate_bloom" -> ((s, dir) => {
       // the 100 TB decontamination plan: the train explode filters
       // through a codegen'd might_contain over the benchmark's shingle
@@ -5100,8 +5126,73 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
          |FROM e a JOIN e b ON a.h = b.h
          |  AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin
 
+  /** Shared CTE chain for the span-grain decontamination pair
+    * (d_decon_spans / d_decon_redact): positioned train shingle hashes →
+    * benchmark hash set → hit offsets → merged padded spans
+    * (gaps-and-islands per doc; merge gap = n + 2·pad = 23). */
+  private lazy val deconSpansPrefix: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokensExpr AS w FROM documents
+       |), tr AS (
+       |  SELECT doc_id, w, len(w) AS ln FROM d WHERE doc_id % 2 = 1
+       |), gtr AS (
+       |  SELECT doc_id, u['p'] AS pos,
+       |    CAST(concat('0x', substring(md5(u['s']), 1, 8)) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(CASE WHEN ln >= 13
+       |      THEN [{'p': i - 1, 's': array_to_string(w[i:i+12], ' ')} for i in range(1, ln - 11)]
+       |      ELSE [{'p': 0, 's': array_to_string(w, ' ')}] END) AS u
+       |    FROM tr)
+       |), ev AS (
+       |  SELECT DISTINCT CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT unnest(CASE WHEN len(w) >= 13
+       |      THEN list_distinct([array_to_string(w[i:i+12], ' ') for i in range(1, len(w) - 11)])
+       |      ELSE [array_to_string(w, ' ')] END) AS s
+       |    FROM d WHERE doc_id % 2 = 0
+       |  )
+       |), hits AS (
+       |  SELECT DISTINCT doc_id, pos FROM gtr WHERE h IN (SELECT h FROM ev)
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > 23 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits)
+       |), sp AS (
+       |  SELECT i.doc_id, greatest(min(pos) - 5, 0) AS s, least(max(pos) + 18, t.ln) AS e
+       |  FROM isl i JOIN tr t ON i.doc_id = t.doc_id
+       |  GROUP BY i.doc_id, g, t.ln
+       |)""".stripMargin
+
+  private lazy val deconSpansSql: String =
+    deconSpansPrefix +
+      """
+        |SELECT doc_id AS train_id, CAST(s AS BIGINT) AS span_start,
+        |  CAST(e AS BIGINT) AS span_end
+        |FROM sp""".stripMargin
+
+  private lazy val deconRedactSql: String =
+    deconSpansPrefix +
+      """, pc AS (
+        |  SELECT doc_id,
+        |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ps, s AS pe
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT sp.doc_id, max(sp.e), t.ln
+        |  FROM sp JOIN tr t ON sp.doc_id = t.doc_id GROUP BY sp.doc_id, t.ln
+        |  UNION ALL
+        |  SELECT doc_id, 0, ln FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM sp)
+        |), kept AS (SELECT * FROM pc WHERE pe - ps >= 20)
+        |SELECT doc_id AS train_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ps) - 1 AS BIGINT) AS piece_id,
+        |  CAST(ps AS BIGINT) AS piece_start, CAST(pe AS BIGINT) AS piece_end,
+        |  CAST(pe - ps AS BIGINT) AS piece_tokens
+        |FROM kept""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_pv_hourly" -> pvHourlySql,
+    "d_decon_spans" -> deconSpansSql,
+    "d_decon_redact" -> deconRedactSql,
     "q_pv_hourly_stream" -> pvHourlySql,
     "q_sessions_stream" -> sessionsSql,
     "q_login_fail_stream" -> loginFailSql,

@@ -1079,6 +1079,118 @@ object Dedup {
       .distinct()
   }
 
+  /** WHERE the leaks are, not just which docs leak: every exact n-gram
+    * collision with the benchmark located at its token offset, padded by
+    * `padTokens` on each side, and overlapping/touching hit windows
+    * merged into maximal spans — (train_id, span_start, span_end),
+    * 0-based token offsets, end-exclusive, clamped to the doc. This is
+    * the span report behind redaction-grain decontamination
+    * ([[decontaminateByRedaction]]): GPT-3's actual cleanup (Brown et
+    * al. 2020, App. C) removes a window AROUND each leaked 13-gram and
+    * keeps the rest of the document — doc-grain dropping
+    * ([[exactNgramCollisions]] + anti-join) throws away an entire long
+    * document for one quoted benchmark sentence.
+    *
+    * Scale: the hit join is [[exactNgramCollisions]]'s (32-bit shingle
+    * hashes; tiny benchmark side broadcasts, the train explode never
+    * shuffles on anything wider). The span merge is a per-DOC
+    * gaps-and-islands window — partitioned by train doc, so the sort is
+    * bounded by a single document's hit count, never corpus-wide (the
+    * chunk-accounting skew lesson does not apply: doc_id is the
+    * partition key, and a doc is a bounded object).
+    */
+  def contaminatedSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 13,
+      padTokens: Int = 0,
+      portableHash: Boolean = true): DataFrame = {
+    require(portableHash, "span decontamination is declared on the portable hash")
+    val trainPos = TextOps.portableShingleHashPosRows(train, id, text, n)
+    val evalH = TextOps.portableShingleHashRows(eval, id, text, n)
+      .select(col("s")).distinct()
+    val hits = trainPos
+      .join(evalH, Seq("s"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    // hit at pos covers raw tokens [pos - pad, pos + n + pad); with every
+    // window the same width, a gap-with-previous test merges exactly:
+    // new island iff this start clears the previous window's end
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val width = n + 2L * padTokens
+    val spansRaw = hits
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn(
+        "__new",
+        when(col("__prev").isNull || col("pos") - col("__prev") > width, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(
+        (min(col("pos")) - padTokens).as("__raw_start"),
+        (max(col("pos")) + n + padTokens).as("__raw_end"))
+    spansRaw
+      .join(
+        train.select(id.cast("long").as("doc_id"), TextOps.tokenCount(text).cast("long").as("__len")),
+        Seq("doc_id"))
+      .select(
+        col("doc_id").as("train_id"),
+        greatest(col("__raw_start"), lit(0L)).as("span_start"),
+        least(col("__raw_end"), col("__len")).as("span_end"))
+  }
+
+  /** Redaction-grain decontamination — keep the CLEAN pieces: cut every
+    * [[contaminatedSpans]] window out of each train doc and emit the
+    * surviving complement intervals of at least `minPieceTokens` tokens
+    * as (train_id, piece_id, piece_start, piece_end, piece_tokens);
+    * piece_id is the 0-based index among a doc's surviving pieces in
+    * offset order. A doc with no hits survives as one whole piece (iff
+    * long enough); a doc blanketed by spans emits nothing — exactly the
+    * GPT-3 discipline (remove a window around each collision, discard
+    * fragments too short to train on) at token grain.
+    *
+    * Scale: spans collapse to one array per contaminated doc (bounded by
+    * the doc, like every per-doc aggregate here); the complement is a
+    * pure array expression (zip of span ends with next span starts) — no
+    * additional shuffle beyond the span merge, and the final explode is
+    * output-bound.
+    */
+  def decontaminateByRedaction(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 13,
+      padTokens: Int = 0,
+      minPieceTokens: Int = 1,
+      portableHash: Boolean = true): DataFrame = {
+    val spans = contaminatedSpans(train, eval, id, text, n, padTokens, portableHash)
+      .groupBy(col("train_id"))
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end")))).as("__sp"))
+    val empty = array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    val docs = train.select(
+      id.cast("long").as("train_id"), TextOps.tokenCount(text).cast("long").as("__len"))
+    val pieces = docs
+      .join(spans, Seq("train_id"), "left")
+      .withColumn("__sp", coalesce(col("__sp"), empty))
+      .withColumn(
+        "__pieces",
+        filter(
+          zip_with(
+            concat(array(lit(0L)), transform(col("__sp"), s => s.getField("span_end"))),
+            concat(transform(col("__sp"), s => s.getField("span_start")), array(col("__len"))),
+            (a, b) => struct(a.as("s"), b.as("e"))),
+          p => p.getField("e") - p.getField("s") >= minPieceTokens))
+    pieces
+      .select(col("train_id"), posexplode(col("__pieces")).as(Seq("piece_id", "__p")))
+      .select(
+        col("train_id"),
+        col("piece_id").cast("long").as("piece_id"),
+        col("__p.s").as("piece_start"),
+        col("__p.e").as("piece_end"),
+        (col("__p.e") - col("__p.s")).as("piece_tokens"))
+  }
+
   /** [[crossCorpusNearDups]]'s 100 TB plan: prune the TRAIN explode
     * through a bloom filter of the eval corpus's distinct shingle hashes
     * BEFORE any join — the benchmark side is tiny (that's what makes it

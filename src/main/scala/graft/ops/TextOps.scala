@@ -96,12 +96,23 @@ object TextOps {
     shingleHashRowsWith(df, id, text, n,
       sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
 
+  /** [[portableShingleHashRows]] keeping each shingle's 0-based token
+    * offset — (doc_id, pos, s). The position is what span-grain
+    * decontamination ([[Dedup.contaminatedSpans]]) redacts around; the
+    * plan is the same single window-lead pass, pos just isn't dropped.
+    */
+  def portableShingleHashPosRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    shingleHashRowsWith(df, id, text, n,
+      sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"), keepPos = true)
+
   private def shingleHashRowsWith(
       df: DataFrame, id: Column, text: Column, n: Int,
-      hashFn: Column => Column): DataFrame = {
+      hashFn: Column => Column, keepPos: Boolean = false): DataFrame = {
     require(n >= 1, "shingle length must be >= 1")
+    val outCols =
+      if (keepPos) Seq(col("doc_id"), col("pos"), col("s")) else Seq(col("doc_id"), col("s"))
     val toks = df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "w")))
-    if (n == 1) toks.select(col("doc_id"), hashFn(col("w")).as("s"))
+    if (n == 1) toks.withColumn("s", hashFn(col("w"))).select(outCols: _*)
     else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
       val leads = (1 until n).map(i => lead(col("w"), i).over(w))
@@ -114,7 +125,7 @@ object TextOps {
             leads.last.isNotNull || col("pos") === 0,
             hashFn(concat_ws(" ", (col("w") +: leads): _*))))
         .filter(col("s").isNotNull)
-        .select(col("doc_id"), col("s"))
+        .select(outCols: _*)
     }
   }
 

@@ -421,6 +421,51 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 0L)))
   }
 
+  test("contaminatedSpans: offsets, padding, merge, clamp — planted leaks land exactly") {
+    val span = (1 to 13).map(i => s"leak$i").mkString(" ")
+    val evalDoc = s"benchmark question about $span and its answer"
+    // train 1: the leak at tokens [4, 17) of a 40-token doc → padded span
+    // [max(0,4-2), min(40,16+13+2))... pad=2: hits at pos 4 only, span
+    // [2, 19). train 3: TWO leaks close enough to merge (second run
+    // starts 13 tokens after the first: consecutive verbatim runs give
+    // hits at every pos in [2, 2+14), one island). train 5: clean.
+    // train 7: leak at pos 0 of a short 15-token doc → clamped at 0.
+    val t1 = ((1 to 4).map(i => s"a$i") ++ span.split(" ") ++ (1 to 23).map(i => s"b$i")).mkString(" ")
+    val t3 = ((1 to 2).map(i => s"c$i") ++ span.split(" ") ++ span.split(" ") ++ (1 to 10).map(i => s"d$i")).mkString(" ")
+    val t7 = (span.split(" ") ++ Seq("x1", "x2")).mkString(" ")
+    val df = Seq(
+      (0L, evalDoc),
+      (1L, t1), (3L, t3), (5L, "wholly clean document text here"), (7L, t7))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminatedSpans(
+        df.filter(col("doc_id") % 2 === 1), df.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), n = 13, padTokens = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // t1: 40 tokens, hit at 4 → [2, 19); t3: 38 tokens, hits at 2 and 15
+    // (the doubled span repeats the verbatim 13-gram 13 tokens later),
+    // gap 13 ≤ 17 merges → [0, 30); t7: 15 tokens, hit at 0 → [0, 15)
+    assert(got == Set((1L, 2L, 19L), (3L, 0L, 30L), (7L, 0L, 15L)))
+  }
+
+  test("decontaminateByRedaction: clean pieces survive, blanketed docs vanish") {
+    val span = (1 to 13).map(i => s"leak$i").mkString(" ")
+    val evalDoc = s"benchmark question about $span and its answer"
+    val t1 = ((1 to 30).map(i => s"a$i") ++ span.split(" ") ++ (1 to 30).map(i => s"b$i")).mkString(" ")
+    val t7 = (span.split(" ") ++ Seq("x1", "x2")).mkString(" ") // blanketed
+    val clean = (1 to 25).map(i => s"e$i").mkString(" ")
+    val df = Seq((0L, evalDoc), (1L, t1), (7L, t7), (9L, clean)).toDF("doc_id", "text")
+    val got = Dedup.decontaminateByRedaction(
+        df.filter(col("doc_id") % 2 === 1), df.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), n = 13, padTokens = 2, minPieceTokens = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // t1: 73 tokens, hit at 30 → span [28, 45); pieces [0,28) and
+    // [45,73), both ≥ 20. t7: span covers the whole doc → nothing.
+    // clean 25-token doc → one whole piece.
+    assert(got == Set(
+      (1L, 0L, 0L, 28L, 28L), (1L, 1L, 45L, 73L, 28L),
+      (9L, 0L, 0L, 25L, 25L)))
+  }
+
   test("bloom decon twins: an empty eval side yields empty results, not a null bloom") {
     // bloomAgg over zero rows returns a null sketch; the twins must
     // degrade to the plain sweeps' empty-join result instead of feeding
