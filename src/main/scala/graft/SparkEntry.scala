@@ -1470,6 +1470,23 @@ object SparkEntry {
         v.filter(col("id") % 2 === 0), v.filter(col("id") % 2 === 1), 0.40,
         dim = 64, nPlanes = 4, nTables = 16)
     }),
+    "d_decon_embed_ivf" -> ((s, dir) => {
+      // the LOOSE-τ scale path of d_decon_embed (r13 verdict ask #5):
+      // sign-LSH at τ=0.40 on near-uniform vectors needs the 4-plane ×
+      // 16-table setting whose candidate volume measured SLOWER than
+      // brute at 10× (SCALE.md), so this twin blocks through an IVF
+      // coarse quantizer instead — k=64 centroids co-fit over the full
+      // vector set (the deconIvfCentroids oracle literals), train on its
+      // nearest list, eval multi-probing 24 (recall 0.93 at gate scale;
+      // 16-list/4-probe measured 0.67 — near-uniform vectors at loose τ
+      // need fine lists + wide probes). Candidate volume ≈ 24/64 of the
+      // cross product. Acceptance (ApproxGatesSpec): output ⊆ brute
+      // pairs, recall ≥ 0.9.
+      val v = embeddingsIdVec(Tables(s, dir))
+      Similarity.crossCorpusCosinePairsIVF(
+        v.filter(col("id") % 2 === 0), v.filter(col("id") % 2 === 1), 0.40,
+        nLists = 64, nProbe = 24)
+    }),
     "d_dedup_embed_lsh_stream" -> ((s, dir) => {
       // the embedding sibling of d_dedup_lsh_stream: admission-time
       // near-dup over an accumulating SIGN-LSH index (same 4-plane ×
@@ -3823,6 +3840,29 @@ SELECT query_id, rank, nbr_id, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
   FROM scored) ranked
 WHERE rank <= 5"""
+
+  /** d_decon_embed_ivf oracle: centroid assignment against the k=64
+    * deconIvfCentroids literals (the quantizer co-fits over train ∪ eval
+    * = the full embeddings table, so one artifact serves both sides) —
+    * train keeps its r=1 list, eval multi-probes r ≤ 24, co-assigned
+    * pairs verify by exact quantized cosine at τ=0.40. */
+  private lazy val deconEmbedIvfSql: String = {
+    val vals = FittedArtifacts.deconIvfCentroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlList(c)})" }.mkString(", ")
+    s"""WITH cent(list_id, c) AS (VALUES $vals),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+rk AS (
+  SELECT vec_id, e, list_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY ${cosQ("e", "c")} DESC, list_id) AS r
+  FROM v, cent),
+tr AS (SELECT vec_id AS train_id, list_id FROM rk WHERE r = 1 AND vec_id % 2 = 0),
+ev2 AS (SELECT vec_id AS eval_id, list_id FROM rk WHERE r <= 24 AND vec_id % 2 = 1),
+pairs AS (SELECT DISTINCT train_id, eval_id FROM tr JOIN ev2 USING (list_id)),
+scored AS (SELECT train_id, eval_id, ${cosQ("va.e", "vb.e")} AS sim
+  FROM pairs JOIN v va ON va.vec_id = train_id JOIN v vb ON vb.vec_id = eval_id)
+SELECT train_id, eval_id, sim FROM scored WHERE sim >= 4000"""
+  }
 
   private lazy val dedupSemanticSql: String =
     s"""WITH $centAssignCte,
@@ -6888,6 +6928,7 @@ FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"""
         |FROM v a JOIN v b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
         |WHERE CAST(floor(list_cosine_similarity(a.e, b.e) * 10000) AS BIGINT) >= 4000""".stripMargin,
     "d_decon_embed_lsh" -> deconEmbedLshSql,
+    "d_decon_embed_ivf" -> deconEmbedIvfSql,
     "m_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

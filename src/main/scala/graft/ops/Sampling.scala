@@ -203,18 +203,21 @@ object Sampling {
     * guarantees negative ≠ anchor, md5 makes the draw reproducible and
     * engine-portable. Returns (doc_id, j, neg_id).
     *
-    * Scale: ranks come from ONE global row_number over the id column —
-    * a |corpus|-row range-partitioned sort paid once (reuse a persisted
-    * rank table across epochs/variants at 100 TB; with dense ids skip it
-    * entirely); the probe is then a rank-grain equi-join, and uniformity
-    * of the hash ring needs no global shuffle of the data itself.
+    * Scale: ranks come from [[Ranks.zeroBasedRank]]'s two-phase rank
+    * (equi-depth bucket + literal offsets + per-bucket row_number) — no
+    * single-partition window anywhere; the only corpus-width exchange is
+    * the bucket hash partitioning, parallel across all buckets (reuse a
+    * persisted rank table across epochs/variants at 100 TB; with dense
+    * ids skip it entirely). The probe is then a rank-grain equi-join, and
+    * uniformity of the hash ring needs no global shuffle of the data
+    * itself. The rank frame persists: it is consumed twice (anchor ranks
+    * + the negative-id probe side).
     */
   def negativeSamples(df: DataFrame, id: Column, k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(id)
-    val ranked = df
-      .select(id.as("doc_id"))
-      .withColumn("__r", row_number().over(w).cast("long") - 1)
+    val ranked = Ranks
+      .zeroBasedRank(df.select(id.as("doc_id")), col("doc_id"), "__r")
+      .persist()
     val tot = ranked.agg(count(lit(1)).as("__n"))
     ranked
       .crossJoin(broadcast(tot))

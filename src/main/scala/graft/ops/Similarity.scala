@@ -240,6 +240,21 @@ object Similarity {
     v.sparkSession.createDataFrame(cents).toDF("list_id", "cent")
   }
 
+  /** Multi-probe centroid assignment: each row joined to the broadcast
+    * codebook, ranked by quantized cosine (desc, list_id tie-break — the
+    * replayable integer ranking), keep the `n` nearest lists. Shared by
+    * [[ivfTopK]] and [[crossCorpusCosinePairsIVF]]; mirrors the oracle's
+    * centroid-assignment CTE exactly. */
+  private def nearestLists(centDf: DataFrame)(
+      df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
+    df.join(broadcast(centDf))
+      .withColumn("__sim", quantize(cosine(col(vecCol), col("cent"))))
+      .withColumn(
+        "__r",
+        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("list_id"))))
+      .filter(col("__r") <= n)
+      .drop("cent", "__sim", "__r")
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -251,18 +266,9 @@ object Similarity {
     val c = corpus.select(col("id").as("nbr_id"), col("vec").cast("array<double>").as("nbr_vec"))
     val centDf = fitCentroids(c, "nbr_id", "nbr_vec", nLists)
 
-    def nearestLists(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
-      df.join(broadcast(centDf))
-        .withColumn("__sim", quantize(cosine(col(vecCol), col("cent"))))
-        .withColumn(
-          "__r",
-          row_number().over(Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("list_id"))))
-        .filter(col("__r") <= n)
-        .drop("cent", "__sim", "__r")
-
-    val listed = nearestLists(c, "nbr_id", "nbr_vec", 1)
+    val listed = nearestLists(centDf)(c, "nbr_id", "nbr_vec", 1)
     val q = queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("q_vec"))
-    val probes = nearestLists(q, "query_id", "q_vec", nProbe)
+    val probes = nearestLists(centDf)(q, "query_id", "q_vec", nProbe)
     val joined = probes
       .join(listed, "list_id")
       .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
@@ -653,6 +659,55 @@ object Similarity {
         lshBucket(col(vecCol), dim, nPlanes, seed + t * 7919L)): _*)).as(Seq("tbl", "bucket")))
     banded(tv, "train_id", "tv")
       .join(banded(ev, "eval_id", "ev"), Seq("tbl", "bucket"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+      .join(tv, "train_id")
+      .join(ev, "eval_id")
+      .withColumn("sim", quantize(cosine(col("tv"), col("ev"))))
+      .filter(col("sim") >= lit((threshold * 10000).toLong))
+      .select(col("train_id"), col("eval_id"), col("sim"))
+  }
+
+  /** [[crossCorpusCosinePairs]]'s IVF-blocked scale path for LOOSE
+    * thresholds — the round-13 measured corner where sign-LSH loses:
+    * recall at τ ≈ 0.40 on near-uniform vectors needs shallow-plane /
+    * many-table settings (4×16) whose candidate volume exceeds the brute
+    * product itself (82.6 s vs 9.2 s brute at 10×, docs/SCALE.md). Here
+    * the blocking stage is [[ivfTopK]]'s k-means coarse quantizer
+    * instead: train vectors carry their single nearest centroid list,
+    * the (tiny) eval side multi-probes its `nProbe` nearest, candidates
+    * must share a list, then exact cosine verify — precision 1 by
+    * construction, recall gated in ApproxGatesSpec. The quantizer co-fits
+    * over train ∪ eval so both sides rank against the same anchors (and
+    * the gate-scale centroids embed in oracle SQL as literals — the
+    * round-10 fitted-artifact discipline; at the declared query's split
+    * the union IS the embeddings table, so the s_knn_ivf artifact is
+    * reused verbatim).
+    *
+    * Scale: the codebook broadcasts (k·d doubles), assignment is a
+    * map-side argmax, and the only train-corpus exchange is the list_id
+    * equi-join whose other side is |eval|·nProbe rows — broadcast under
+    * AQE. Candidate work is Σ_lists n_list·m_list instead of
+    * |train|·|eval|, and nProbe (not plane geometry) is the recall knob —
+    * it degrades gracefully toward brute as it approaches nLists.
+    */
+  def crossCorpusCosinePairsIVF(
+      train: DataFrame,
+      eval: DataFrame,
+      threshold: Double,
+      nLists: Int,
+      nProbe: Int = 4): DataFrame = {
+    val tv = train.select(col("id").as("train_id"), col("vec").cast("array<double>").as("tv"))
+    val ev = eval.select(col("id").as("eval_id"), col("vec").cast("array<double>").as("ev"))
+    val all = tv.select(col("train_id").as("id"), col("tv").as("v"))
+      .unionByName(ev.select(col("eval_id").as("id"), col("ev").as("v")))
+    val centDf = fitCentroids(all, "id", "v", nLists)
+    nearestLists(centDf)(tv.select(col("train_id"), col("tv").as("__v")), "train_id", "__v", 1)
+      .select(col("train_id"), col("list_id"))
+      .join(
+        nearestLists(centDf)(ev.select(col("eval_id"), col("ev").as("__v")), "eval_id", "__v", nProbe)
+          .select(col("eval_id"), col("list_id")),
+        Seq("list_id"))
       .select(col("train_id"), col("eval_id"))
       .distinct()
       .join(tv, "train_id")

@@ -838,10 +838,11 @@ object TextOps {
     *
     * Scale: one (word)-grain aggregate finds each type's first doc rank
     * (min over an id-rank column), one bucket-grain count, and a running
-    * sum over |buckets| rows — the corpus tokenizes once; the global
-    * id-rank uses a dense_rank window documented like
-    * [[graft.ops.Sampling.negativeSamples]]'s (range-partitioned sort,
-    * reusable).
+    * sum over |buckets| CURVE POINTS (the query's own output grain — the
+    * one unpartitioned window left, bounded by construction) — the corpus
+    * tokenizes once; the global id-rank is [[Ranks.zeroBasedRank]]'s
+    * two-phase rank (equi-depth bucket + literal offsets + per-bucket
+    * row_number), so no corpus-width single-partition stage exists.
     */
   def vocabGrowth(
       df: DataFrame,
@@ -849,9 +850,7 @@ object TextOps {
       text: Column,
       bucket: Int): DataFrame = {
     require(bucket >= 1, "need bucket >= 1")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(id)
-    val ranked = df
-      .withColumn("__r", row_number().over(w).cast("long") - 1)
+    val ranked = Ranks.zeroBasedRank(df, id, "__r")
       .select(col("__r"), explode(tokens(text)).as("__w"))
       .filter(col("__w") =!= "")
     val firstSeen = ranked

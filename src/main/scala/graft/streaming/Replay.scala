@@ -166,6 +166,58 @@ object Replay {
       df => pipeline(df.as[DocEvent]))
   }
 
+  /** A pre-chopped replay input: chunk files + sentinel batches written
+    * once, replayable any number of times — each [[replay]] starts from a
+    * FRESH checkpoint (state begins empty). Chunking is harness cost, not
+    * operator cost, so the bench chops once and times only the streaming
+    * runs; the single-shot wrappers ([[keyedEvents]] etc., what the
+    * correctness gate calls) prepare + replay + close in one call as
+    * before.
+    */
+  final class Prepared[T] private[streaming] (
+      private[streaming] val spark: org.apache.spark.sql.SparkSession,
+      private[streaming] val dir: java.nio.file.Path,
+      private[streaming] val schema: org.apache.spark.sql.types.StructType,
+      private[streaming] val typed: DataFrame => Dataset[T]) {
+    def replay(pipeline: Dataset[T] => DataFrame): DataFrame =
+      Replay.runPrepared(spark, dir, schema, df => pipeline(typed(df)))
+    def close(): Unit = Replay.deleteTree(dir)
+  }
+
+  /** [[keyedEvents]]' input, prepared once for many replays. */
+  def prepareKeyed(
+      events: DataFrame,
+      nChunks: Int = 10,
+      orderJitterSec: Long = 0L): Prepared[KeyedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(
+      col("key").cast("string").as("key"),
+      col("ts"),
+      col("kind").cast("string").as("kind"),
+      col("id").cast("string").as("id"))
+    val dir = prepareCore(src, nChunks, orderJitterSec,
+      (sTs, j) => Seq(KeyedEvent(Sentinel, sTs, Sentinel, s"s$j")).toDF())
+    new Prepared[KeyedEvent](spark, dir, src.schema, _.as[KeyedEvent])
+  }
+
+  /** [[docEvents]]' input, prepared once for many replays. */
+  def prepareDocs(
+      events: DataFrame,
+      nChunks: Int = 10,
+      orderJitterSec: Long = 0L): Prepared[DocEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(
+      col("key").cast("string").as("key"),
+      col("ts"),
+      col("id").cast("string").as("id"),
+      col("text").cast("string").as("text"))
+    val dir = prepareCore(src, nChunks, orderJitterSec,
+      (sTs, j) => Seq(DocEvent(Sentinel, sTs, s"s$j", "")).toDF())
+    new Prepared[DocEvent](spark, dir, src.schema, _.as[DocEvent])
+  }
+
   /** Shared replay machinery: chunked chronological write-out, two
     * sentinel batches, memory-sink collection. `src` must already carry
     * (ts, id) columns; `sentinel(ts, j)` builds the j-th sentinel frame
@@ -177,13 +229,25 @@ object Replay {
       orderJitterSec: Long,
       sentinel: (Timestamp, Int) => DataFrame)(
       pipeline: DataFrame => DataFrame): DataFrame = {
-    val spark = src.sparkSession
+    val dir = prepareCore(src, nChunks, orderJitterSec, sentinel)
+    try runPrepared(src.sparkSession, dir, src.schema, pipeline)
+    finally deleteTree(dir)
+  }
+
+  /** Chop `src` into `nChunks` mtime-ordered chunk files + two sentinel
+    * batches under a fresh scratch dir; returns the dir. */
+  private def prepareCore(
+      src: DataFrame,
+      nChunks: Int,
+      orderJitterSec: Long,
+      sentinel: (Timestamp, Int) => DataFrame): java.nio.file.Path = {
     // `graft.replay.tmpdir` redirects the replay scratch space (chunk
-    // files + streaming checkpoint). The bench sets it to a tmpfs so its
-    // stream-throughput rows measure the operators, not the host disk's
+    // files + streaming checkpoint). Bench AND Verify set it to a tmpfs
+    // (round 13/14) so replays measure the operators, not the host disk's
     // fsync latency (measured swinging 4× under co-tenant I/O while CPU
-    // sat idle — see docs/SCALE.md). Unset (the default, and what the
-    // correctness gate uses), replays exercise the real disk.
+    // sat idle — see docs/SCALE.md). Scratch placement cannot change
+    // streaming semantics; checkpoint RECOVERY keeps its own real-disk
+    // specs (CheckpointRecoverySpec).
     val tmp = sys.props.get("graft.replay.tmpdir")
       .map(java.nio.file.Paths.get(_))
       .filter(Files.isDirectory(_))
@@ -216,27 +280,50 @@ object Replay {
       val sTs = new Timestamp(maxTs.getTime + 30L * 86400 * 1000 + j * 1000)
       writeOne(sentinel(sTs, j).select(src.columns.map(col): _*), nChunks + 1 + j)
     }
+    tmp
+  }
 
+  /** One streaming run over a prepared chunk dir: fresh checkpoint (a
+    * subdir of the scratch, deleted after — state always starts empty),
+    * memory-sink collection, returned as a batch frame. The chunk files
+    * are left in place for further replays; [[Prepared.close]] /
+    * [[replayCore]]'s finally owns their deletion. */
+  private def runPrepared(
+      spark: org.apache.spark.sql.SparkSession,
+      tmp: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      pipeline: DataFrame => DataFrame): DataFrame = {
     val stream = spark.readStream
-      .schema(src.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$tmp/in_*.parquet")
+      .parquet(s"$tmp/in_*.parquet") // glob: the ckpt subdir never matches
     val name = s"graft_replay_${counter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory(tmp, "ckpt")
     val q = pipeline(stream).writeStream
       .format("memory")
       .queryName(name)
       .outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt") // self-contained: no session-level default needed
+      .option("checkpointLocation", ckpt.toString) // self-contained: no session-level default needed
       .start()
     try q.processAllAvailable()
-    finally q.stop()
-    // the scratch space is dead once the query stopped (results live in
-    // the memory sink) — delete eagerly so tmpfs-redirected replays don't
-    // accumulate across a bench sweep; best-effort, never fails a replay
-    scala.util.Try {
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { Files.deleteIfExists(p); () })
+    finally {
+      q.stop()
+      // the checkpoint is dead once the query stopped (results live in
+      // the memory sink) — delete eagerly, INSIDE the finally, so a failed
+      // replay (which callers catch and retry) can't leak a RAM-backed dir
+      // under the tmpfs redirect; best-effort, never fails a replay.
+      deleteTree(ckpt)
     }
     spark.table(name)
   }
+
+  /** Best-effort recursive delete; the walk stream is closed explicitly —
+    * java.util.stream holds the dir handles open until then. */
+  private[streaming] def deleteTree(p: java.nio.file.Path): Unit =
+    scala.util.Try {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { Files.deleteIfExists(x); () })
+      finally walk.close()
+    }
 }

@@ -22,6 +22,15 @@ class FittedArtifactsSpec extends SparkSpec {
     assert(refit.map(_.toSeq).toSeq == FittedArtifacts.ivfCentroids.map(_.toSeq).toSeq)
   }
 
+  test("decon IVF centroids (k=64): refit == embedded literals (bit-exact)") {
+    val t = graft.io.Tables(spark, sfDir)
+    val c = t.embeddings.select(
+      col("vec_id").as("nbr_id"),
+      col("embedding").cast("array<double>").as("nbr_vec"))
+    val refit = graft.ops.Similarity.fitCentroidsArray(c, "nbr_id", "nbr_vec", k = 64)
+    assert(refit.map(_.toSeq).toSeq == FittedArtifacts.deconIvfCentroids.map(_.toSeq).toSeq)
+  }
+
   test("PQ codebooks: refit == embedded literals (bit-exact)") {
     val t = graft.io.Tables(spark, sfDir)
     val cNv = t.embeddings.select(

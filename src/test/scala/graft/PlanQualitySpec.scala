@@ -768,6 +768,42 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(!e.output.exists(_.name == "chunk"), s"chunk text must not shuffle:\n$e")
   }
 
+  test("p_negatives / q_vocab_growth: no single-partition window over the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the rank frame persist()s, so the window lives inside the cached
+    // relation's plan — traverse into InMemoryTableScan subtrees too
+    def allWindows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      collect(p) { case w: WindowExec => w } ++
+        collect(p) { case s: InMemoryTableScanExec => s }
+          .flatMap(s => allWindows(s.relation.cachedPlan))
+    // p_negatives: every window in the plan must be partitioned — the
+    // round-13 defect was `row_number().over(Window.orderBy(id))` moving
+    // the whole corpus to ONE task (WindowExec: No Partition Defined)
+    val dfN = SparkEntry.queries("p_negatives")(spark, dir)
+    val winsN = allWindows(dfN.queryExecution.executedPlan)
+    assert(winsN.nonEmpty, "expected the bucket-partitioned rank window in p_negatives")
+    for (w <- winsN)
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned (single-task) window in p_negatives:\n$w")
+    // q_vocab_growth: the id-rank window must be partitioned; the ONE
+    // allowed unpartitioned window is the cumulative sum over the curve's
+    // own bucket-grain output (its subtree contains the bucket aggregate,
+    // never the raw corpus scan alone)
+    val dfV = SparkEntry.queries("q_vocab_growth")(spark, dir)
+    val winsV = collect(dfV.queryExecution.executedPlan) { case w: WindowExec => w }
+    val unpart = winsV.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size <= 1, s"more than one unpartitioned window:\n${unpart.mkString("\n")}")
+    for (w <- unpart)
+      assert(
+        w.find {
+          case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+          case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+          case _ => false
+        }.isDefined,
+        s"the unpartitioned window must consume the bucket-grain aggregate, not the corpus:\n$w")
+  }
+
   test("streaming decon screen: the benchmark band table broadcasts (stream-static shape)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

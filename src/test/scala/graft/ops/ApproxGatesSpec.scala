@@ -126,6 +126,24 @@ class ApproxGatesSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
   }
 
+  test("d_decon_embed_ivf: output subset of brute cross pairs, recall >= 0.9") {
+    // SparkEntry params: threshold 0.40, 64 lists, eval multi-probes 24 —
+    // the loose-τ corner where sign-LSH's candidate volume beats brute
+    // (SCALE.md); the IVF quantizer must hold the recall floor instead
+    // (coarser settings measured under it: 16/4 → 0.67, 16/8 → 0.85)
+    def xp(df: DataFrame): Set[(Long, Long)] =
+      df.select("train_id", "eval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val train = v.filter(col("id") % 2 === 0)
+    val eval = v.filter(col("id") % 2 === 1)
+    val truth = xp(Similarity.crossCorpusCosinePairs(train, eval, 0.40))
+    val got = xp(Similarity.crossCorpusCosinePairsIVF(
+      train, eval, 0.40, nLists = 64, nProbe = 24))
+    assert(truth.nonEmpty, "gate is vacuous: no cross-corpus cosine pairs in testdata")
+    assert(got.subsetOf(truth), s"precision violated: ${(got -- truth).take(5)}")
+    assert(recall(got, truth) >= 0.9, s"recall ${recall(got, truth)} < 0.9")
+  }
+
   test("d_dedup_bow_lsh: output subset of exact bow pairs, recall >= 0.9 at 12 planes x 16 tables") {
     // SparkEntry params: threshold=0.95, dim=64, nPlanes=12, nTables=16
     // over the SAME hashed-BoW vectors as the exact d_dedup_bow baseline
