@@ -209,9 +209,12 @@ object Bench {
     try Seq(
       one("windowTopN")(s =>
         StateMachines.windowTopN(s, sizeUs = 3600000000L, slideUs = 300000000L, n = 5).toDF()),
-      // the same two-stage plan on transformWithState + RocksDB: the
-      // head-to-head for the API migration — compare against the fGWS
-      // row above (both run the round-12 agg→collector dataflow)
+      // the two-stage plan on transformWithState + RocksDB: the
+      // head-to-head for the API migration. Stage-1 grains differ BY
+      // DESIGN (r14 profile): the fGWS row above runs sliding stage 1
+      // (GroupState's whole-map rewrite makes pane folding slower there);
+      // this row folds pane partials through MapState point writes —
+      // measured fastest of the three forms (docs/SCALE.md)
       oneRocksDb("windowTopN_tws")(s =>
         graft.streaming.Tws
           .windowTopN(s, sizeUs = 3600000000L, slideUs = 300000000L, n = 5).toDF()),

@@ -310,12 +310,25 @@ object StateMachines {
     * lands on ONE state partition whose state row is the whole counter
     * map. Here stage 1 is a native streaming aggregation — partial
     * (map-side) combine BEFORE its shuffle, state distributed across all
-    * (pane, item) keys — and stage 2's exchange carries only pane
-    * CARDINALITY, never event volume. Pane grain (vs the sliding
-    * size/slide grouping, kept runnable for the scale foils) writes ONE
-    * state row per event instead of size/slide of them — 12× fewer
-    * state-store writes for the 1h/5m shape — and holds 12× fewer rows
-    * in stage-1 state.
+    * window/pane × item keys — and stage 2's exchange carries only
+    * aggregate CARDINALITY, never event volume.
+    *
+    * Stage-1 grain — the round-13/14 profiled trade. `paneStage1 = true`
+    * aggregates slide-width TUMBLING panes (one stage-1 state row per
+    * event instead of size/slide of them — 12× fewer writes at 1h/5m)
+    * and lets the collector FOLD pane partials per window. But on THIS
+    * API the fold is the bottleneck, not stage 1: `GroupState` can only
+    * rewrite the window's whole counter map, so every batch that
+    * delivers a pane re-serializes every item seen so far — measured
+    * 4,252 rows/s pane vs 6,198 sliding at sf0.1 (100k events, min of
+    * 3). The default is therefore the SLIDING stage 1 (every window's
+    * finals arrive in one batch; the collector emits immediately and
+    * writes only a one-bit marker), and the pane form stays runnable as
+    * the probe flag. The pane-grain plan IS the declared one on
+    * `transformWithState` ([[graft.streaming.Tws.windowTopN]]): RocksDB
+    * `MapState` folds panes with per-item point writes and measured
+    * 7,799 rows/s — fastest of all three, and the 100 TB shape (stage-1
+    * writes AND collector writes both per-distinct-item).
     *
     * Collector contract: an Append-mode streaming aggregation emits a
     * pane's finals exactly once, in the micro-batch whose eviction
@@ -334,12 +347,10 @@ object StateMachines {
     * below the watermark node and the last pane would never finalize
     * (same rule as every aggregation pipeline over [[Replay]]).
     *
-    * `paneStage1 = false` runs stage 1 as the round-12 sliding-window
-    * grouping instead (every event updates size/slide window states) —
-    * probe-only, so docs/SCALE.md can keep measuring the pane rewrite
-    * against its predecessor; both forms share this collector (under
-    * sliding stage 1 a window's finals all arrive in the emit-now batch,
-    * so the fold degenerates to the old immediate emission).
+    * Both forms share this collector — under sliding stage 1 a window's
+    * finals all arrive in the emit-now batch, so the fold degenerates to
+    * immediate emission; the oracle rows are identical either way
+    * (StateMachinesSpec pins it).
     */
   def windowTopN(
       events: Dataset[KeyedEvent],
@@ -347,7 +358,7 @@ object StateMachines {
       slideUs: Long,
       n: Int,
       watermarkDelay: String = "2 seconds",
-      paneStage1: Boolean = true): Dataset[WindowTopRow] = {
+      paneStage1: Boolean = false): Dataset[WindowTopRow] = {
     require(sizeUs % slideUs == 0, "window size must be a multiple of slide")
     val spark = events.sparkSession
     import spark.implicits._
