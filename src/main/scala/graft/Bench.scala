@@ -326,17 +326,21 @@ object Bench {
       }
     }
     try {
-      // two disclosed rows: the session default (32 — what every other
-      // stream row runs at) and a state-partition count sized to the
+      // three disclosed rows: the session default (32 — what every other
+      // stream row runs at) and two state-partition counts sized to the
       // BATCH, not the box. At this batch size the pipeline is RocksDB
       // per-partition fixed cost (open/commit/snapshot × 2 stateful ops
-      // × partitions × micro-batches), not row work: measured 28.8 s @32
-      // → 13.0 s @8 → 10.6 s @4 (r13, chunk prep included). Stateful-op
-      // partitioning is pinned at first run by the checkpoint, so the
-      // sizing rule (partitions track state volume / executor count, not
-      // the shuffle default) is a DEPLOYMENT decision — the bench reports
-      // both so the knob's value is on the record.
-      pass("ingestGate", defaultParts.toInt) + "," + pass("ingestGate_p8", 8)
+      // × partitions × micro-batches), not row work: r13 measured 28.8 s
+      // @32 → 13.0 s @8 → 10.6 s @4 (chunk prep then still in the timed
+      // pass). Stateful-op partitioning is pinned at first run by the
+      // checkpoint, so the sizing rule (partitions track state volume /
+      // executor count, not the shuffle default) is a DEPLOYMENT
+      // decision — the bench reports the sweep so the knob's value is on
+      // the record; p4 is the declared small-batch config.
+      Seq(
+        pass("ingestGate", defaultParts.toInt),
+        pass("ingestGate_p8", 8),
+        pass("ingestGate_p4", 4)).mkString(",")
     } finally {
       spark.conf.unset(key)
       spark.conf.set(partsKey, defaultParts)

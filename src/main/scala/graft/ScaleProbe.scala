@@ -107,7 +107,29 @@ object ScaleProbe {
           .otherwise(F.concat(F.lit("unique "), F.col("id").cast("string"))).as("chunk"))
     }
 
+    // the round-14 rank axis, isolated (pure compute, no text scan):
+    // 1000 order-scrambled unique ids per corpus doc (odd-multiplier
+    // wrap is bijective mod 2^64), ranked end-to-end. The global-window
+    // foil is the round-13 defect (`row_number().over(Window.orderBy)`
+    // = the whole set in ONE sort task); the declared two-phase form
+    // (Ranks.zeroBasedRank) buckets by equi-depth quantile cuts and
+    // ranks per bucket in parallel.
+    def synthIds(s: SparkSession, dir: String): DataFrame = {
+      val n = graft.io.Tables(s, dir).documents.count() * 1000L
+      s.range(n).select((F.col("id") * F.lit(2654435761L)).as("doc_id"))
+    }
+
     Map(
+      "probe_rank_globalwindow" ->
+        ((s: SparkSession, dir: String) =>
+          synthIds(s, dir).withColumn(
+            "__r",
+            F.row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(F.col("doc_id")))
+              .cast("long") - 1)),
+      "probe_rank_twophase" ->
+        ((s: SparkSession, dir: String) =>
+          graft.ops.Ranks.zeroBasedRank(synthIds(s, dir), F.col("doc_id"), "__r")),
       // the single-machine per-window top-N (raw events keyed by window
       // start): the round-12 two-stage q_hot_items_stream replaced it as
       // the declared plan; these rows are its scaling foils — on the

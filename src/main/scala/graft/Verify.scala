@@ -108,9 +108,21 @@ object Verify {
     }
     logLine(s"""{"run":"start","sf":${q(sfDir)},"declared":${ordered.size},"par":$par,"replay_scratch":${q(scratch)}}""")
 
+    // Stream replays run at a REDUCED state-partition count (default 8):
+    // at gate scale every micro-batch pays a fixed per-partition state
+    // store open/commit across each stateful op, and that fixed cost —
+    // not row work — dominated the round-13 gate (per-batch profile:
+    // 3-4 s/batch on 21-row batches at 32 partitions; the ingestGate
+    // p32→p8 bench rows show the same knee). Partition count is a
+    // deployment knob sized to state volume (docs/SCALE.md), results are
+    // partition-count-invariant, and the oracle hash-compare is the
+    // proof per query per run.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
     def runOne(name: String): Unit = {
       val sess = spark.newSession()
-      sess.conf.set("spark.sql.shuffle.partitions", cpus)
+      sess.conf.set("spark.sql.shuffle.partitions",
+        if (name.endsWith("_stream")) streamParts else cpus)
       sess.conf.set("spark.sql.session.timeZone", "UTC")
       Files.deleteIfExists(Paths.get(s"$outDir/$name.error")) // no stale tombstones
       val tq = System.nanoTime()
