@@ -685,11 +685,18 @@ object Similarity {
     * reused verbatim).
     *
     * Scale: the codebook broadcasts (k·d doubles), assignment is a
-    * map-side argmax, and the only train-corpus exchange is the list_id
-    * equi-join whose other side is |eval|·nProbe rows — broadcast under
-    * AQE. Candidate work is Σ_lists n_list·m_list instead of
-    * |train|·|eval|, and nProbe (not plane geometry) is the recall knob —
-    * it degrades gracefully toward brute as it approaches nLists.
+    * map-side argmax, and the only exchange is the list_id equi-join
+    * (train rows carry their vector THROUGH it — one shuffle each side,
+    * no candidate-pair materialization). Because the train side keeps
+    * exactly ONE list and the eval probes are DISTINCT lists, a
+    * (train, eval) pair can match at most once — no dedup step exists
+    * (the LSH twin needs a `distinct` over its 16-table OR, which is
+    * what made it slower than brute on this corner). Candidate work is
+    * Σ_lists n_list·m_list instead of |train|·|eval|, and nProbe (not
+    * plane geometry) is the recall knob — it degrades gracefully toward
+    * brute as it approaches nLists. Size nLists well above the cluster's
+    * partition count at scale: the join key has only nLists distinct
+    * values.
     */
   def crossCorpusCosinePairsIVF(
       train: DataFrame,
@@ -702,16 +709,8 @@ object Similarity {
     val all = tv.select(col("train_id").as("id"), col("tv").as("v"))
       .unionByName(ev.select(col("eval_id").as("id"), col("ev").as("v")))
     val centDf = fitCentroids(all, "id", "v", nLists)
-    nearestLists(centDf)(tv.select(col("train_id"), col("tv").as("__v")), "train_id", "__v", 1)
-      .select(col("train_id"), col("list_id"))
-      .join(
-        nearestLists(centDf)(ev.select(col("eval_id"), col("ev").as("__v")), "eval_id", "__v", nProbe)
-          .select(col("eval_id"), col("list_id")),
-        Seq("list_id"))
-      .select(col("train_id"), col("eval_id"))
-      .distinct()
-      .join(tv, "train_id")
-      .join(ev, "eval_id")
+    nearestLists(centDf)(tv, "train_id", "tv", 1)
+      .join(nearestLists(centDf)(ev, "eval_id", "ev", nProbe), Seq("list_id"))
       .withColumn("sim", quantize(cosine(col("tv"), col("ev"))))
       .filter(col("sim") >= lit((threshold * 10000).toLong))
       .select(col("train_id"), col("eval_id"), col("sim"))
