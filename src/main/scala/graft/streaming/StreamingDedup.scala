@@ -327,7 +327,8 @@ object StreamingDedup {
       bands: Int = 16,
       thresholdNumer: Int = 3,
       thresholdDenom: Int = 5,
-      ttl: TTLConfig = TTLConfig.NONE): Dataset[LshDupRow] = {
+      ttl: TTLConfig = TTLConfig.NONE,
+      sigPartitions: Int = 0): Dataset[LshDupRow] = {
     import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, TextOps}
     val spark = docs.sparkSession
@@ -341,7 +342,17 @@ object StreamingDedup {
         col("ts"), col("id").cast("string").as("id"), col("text"))
       .as[DocEvent]
     val first = firstPerKey(gated, ttl).toDF()
-    val sig = first.withColumn("__sig", Dedup.portableMinhashSignature(col("text"), k = k))
+    // sigPartitions > 0 decouples COMPUTE width from STATE width: the
+    // k-hash shingling below is the pipeline's CPU (27M hash evals per
+    // ~800-doc batch at k=64) but it inherits the fingerprint op's state
+    // partitioning, which small-batch deployments size DOWN (state
+    // open/commit fixed cost — the p32→p4 bench sweep). One text-grain
+    // exchange here lets state partitions track state volume while the
+    // shingling uses every core; 0 (the default, what the correctness
+    // twins run) leaves the plan untouched.
+    val sigInput =
+      if (sigPartitions > 0) first.repartition(sigPartitions, col("id")) else first
+    val sig = sigInput.withColumn("__sig", Dedup.portableMinhashSignature(col("text"), k = k))
     val events = sig
       .select(
         col("ts"), col("id"), col("__sig").as("sig"),

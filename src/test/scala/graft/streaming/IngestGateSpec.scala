@@ -56,6 +56,42 @@ class IngestGateSpec extends SparkSpec {
     } finally spark.conf.unset(ProviderConf)
   }
 
+  test("sigPartitions decouples compute width without changing verdicts") {
+    spark.conf.set(ProviderConf, RocksDb)
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away to the quiet green hills beyond the river"
+      val near = "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away to the quiet green hills beyond the valley"
+      val docs = Seq(
+        (10L, "web", base),
+        (11L, "web", base),
+        (12L, "web", near),
+        (13L, "web", "short"),
+        (14L, "web", "completely different words entirely fresh content " +
+          "with the usual amount of and of the stopword glue in it")
+      ).toDF("doc_id", "source", "text")
+      val events = docs.select(
+        lit("").as("key"),
+        timestamp_seconds(col("doc_id")).as("ts"),
+        col("doc_id").cast("string").as("id"),
+        col("text"))
+      // the tuned bench config repartitions the signature stage wider than
+      // the state width; a hash exchange between the two state machines
+      // must be invisible in the verdicts (state keying and intra-batch
+      // ordering are ts-driven, not partition-driven)
+      val wide = Replay.docEvents(events, nChunks = 1) { stream =>
+        StreamingDedup.ingestGate(stream.toDF(), sigPartitions = 7).toDF()
+      }
+      val got = TrainingPipeline.ingestVerdicts(docs, wide)
+        .as[(Long, String, String)].collect()
+        .map { case (id, _, v) => id -> v }.toMap
+      assert(got == Map(
+        10L -> "admitted", 11L -> "dup_exact", 12L -> "near_dup",
+        13L -> "low_quality", 14L -> "admitted"), s"got $got")
+    } finally spark.conf.unset(ProviderConf)
+  }
+
   test("stream-safe signature column == batch minhashSignatures (portable family)") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.io.Tables(spark, dir).documents.limit(200)
