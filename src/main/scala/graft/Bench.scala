@@ -55,9 +55,36 @@ import graft.streaming.{KeyedEvent, Replay, StateMachines}
   * sbt wraps stdout in `[info]` prefixes that broke the driver's parser
   * in round 1. `failed` counts queries that errored in either pass;
   * their per-query value is -1 and they are excluded from totals.
+  *
+  * Deadline discipline (round 14 — the r13 driver bench died rc=124 on a
+  * ~4×-contended host with NOTHING on the record because the only write
+  * happened after the stream phase): (a) a partial record is checkpointed
+  * to the out file after the warm pass and after EVERY timed pass
+  * (`mode` marks it partial, `stream` carries `{"status":"pending"}`), so
+  * a kill at any point leaves the freshest complete phase on disk; (b) a
+  * wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 3300 —
+  * inside the driver's observed one-hour kill window) stops opening new
+  * timed passes past 55% of budget and new stream passes/entries past
+  * 100%, each skip disclosed on the record (`deadline_cut`,
+  * per-entry `"skipped":"deadline"`), so on a contended host the bench
+  * degrades to fewer passes instead of an empty record. Budget pressure
+  * can only SHRINK the sample the min is taken over — it never alters a
+  * measured pass.
   */
 object Bench {
+  private var benchStart: Long = System.nanoTime()
+  private var budgetSec: Double = 3300.0
+  private var outPath: String = "bench_out.json"
+  private def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+  private def overBudget: Boolean = elapsedSec > budgetSec
+  private def writeRecord(line: String): Unit =
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+
   def main(args: Array[String]): Unit = {
+    benchStart = System.nanoTime()
+    budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300").toDouble
+    outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -108,60 +135,75 @@ object Bench {
       names.map(n => n -> (if (cold(n) < 0) -1.0 else runOne(n))) // keep failures marked
     def totalOf(p: Seq[(String, Double)]): Double =
       p.collect { case (_, v) if v >= 0 => v }.sum
+    val skipped = streamNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // first checkpoint: warm-pass numbers only — a kill during timed
+    // pass 1 still leaves the full per-query sweep on disk
+    writeRecord(
+      s"""{"metric":"total","value":null,"unit":"sec","protocol":"PARTIAL: warm pass only (killed mid-run)","queries":${jsonMap(names.map(n => n -> cold(n)))},"sf":"$sfDir","mode":"partial-warm","cold_sec":$coldSec,"budget_sec":$budgetSec,"loadavg_start":$loadavgStart,"stream":{"status":"pending"},"skipped_stream_replays":$skipped}""")
+
     var passes = List(timedPass()) // newest first
     var totals = List(totalOf(passes.head))
     var totalsAgree = false
-    while (!totalsAgree && totals.size < 3) {
-      val next = timedPass()
-      val nt = totalOf(next)
-      totalsAgree = math.abs(nt - totals.head) / math.max(1e-9, math.min(nt, totals.head)) <= 0.15
-      passes = next :: passes
-      totals = nt :: totals
+    var deadlineCut = false
+
+    // assemble the record from the passes measured SO FAR — called after
+    // every timed pass (checkpoint) and once at the end (final line)
+    def assemble(streamJson: String, mode: String): String = {
+      // headline = per-query MIN across all timed passes: a deterministic
+      // computation's fastest observation is its least-contended one, so
+      // host contention can only push the headline UP via queries it hit
+      // in every pass — the round-11 adjudication (one contended snapshot,
+      // 11 false regressions) can't recur from a single loaded interval
+      val perPass = passes.reverse.map(_.toMap) // chronological
+      val results = names.map { n =>
+        val vs = perPass.map(_(n))
+        n -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+      }
+      // per-query spread: a query ≥ 0.5 s whose max/min across timed
+      // passes exceeds 1.5× saw materially different host conditions
+      val spreads = names.flatMap { n =>
+        val vs = perPass.map(_(n))
+        if (vs.exists(_ < 0) || vs.min < 0.5) None else Some(n -> vs.max / vs.min)
+      }
+      val spreadFlagged = spreads.count(_._2 > 1.5)
+      val stable = totalsAgree && spreadFlagged <= math.max(1, spreads.size / 10)
+      val passesJson = perPass.map(p => jsonMap(names.map(n => n -> p(n))))
+        .mkString("[", ",", "]")
+      val total = totalOf(results)
+      val failed = results.count(_._2 < 0)
+      // a partial total must never be comparable to a complete one: any
+      // failure nulls the headline value (per-query numbers stay reported)
+      val value = if (failed > 0) "null" else total.toString
+      val steadyTotals = totals.reverse.mkString("[", ",", "]")
+      s"""{"metric":"total","value":$value,"unit":"sec","protocol":"per-query min across ${perPass.size} timed passes","queries":${jsonMap(results)},"passes":$passesJson,"sf":"$sfDir","mode":"$mode","cold_sec":$coldSec,"failed":$failed,"steady_totals":$steadyTotals,"stable":$stable,"totals_agree":$totalsAgree,"spread_flagged":$spreadFlagged,"spread_basis":${spreads.size},"budget_sec":$budgetSec,"elapsed_sec":${"%.1f".format(elapsedSec)},"deadline_cut":$deadlineCut,"loadavg_start":$loadavgStart,"loadavg":$loadavgNow,"stream":$streamJson,"skipped_stream_replays":$skipped}"""
     }
 
-    // headline = per-query MIN across all timed passes: a deterministic
-    // computation's fastest observation is its least-contended one, so
-    // host contention can only push the headline UP via queries it hit in
-    // every pass — the round-11 adjudication (one contended snapshot, 11
-    // false regressions) can't recur from a single loaded interval
-    val perPass = passes.reverse.map(_.toMap) // chronological
-    val results = names.map { n =>
-      val vs = perPass.map(_(n))
-      n -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    writeRecord(assemble("{\"status\":\"pending\"}", "partial-batch"))
+    while (!totalsAgree && totals.size < 3 && !deadlineCut) {
+      // extra timed passes are a sample-size luxury: past 55% of budget,
+      // keep what's measured and leave room for the stream phase
+      if (elapsedSec > budgetSec * 0.55) deadlineCut = true
+      else {
+        val next = timedPass()
+        val nt = totalOf(next)
+        totalsAgree =
+          math.abs(nt - totals.head) / math.max(1e-9, math.min(nt, totals.head)) <= 0.15
+        passes = next :: passes
+        totals = nt :: totals
+        writeRecord(assemble("{\"status\":\"pending\"}", "partial-batch"))
+      }
     }
-    // per-query spread: a query ≥ 0.5 s whose max/min across timed passes
-    // exceeds 1.5× saw materially different host conditions per pass
-    val spreads = names.flatMap { n =>
-      val vs = perPass.map(_(n))
-      if (vs.exists(_ < 0) || vs.min < 0.5) None else Some(n -> vs.max / vs.min)
-    }
-    val spreadFlagged = spreads.count(_._2 > 1.5)
-    val stable = totalsAgree && spreadFlagged <= math.max(1, spreads.size / 10)
-
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val passesJson = perPass.map(p =>
-      names.map(n => s"\"" + n + "\":" + p(n)).mkString("{", ",", "}"))
-      .mkString("[", ",", "]")
-    val total = totalOf(results)
-    val failed = results.count(_._2 < 0)
-    // a partial total must never be comparable to a complete one: any
-    // failure nulls the headline value (per-query numbers stay reported)
-    val value = if (failed > 0) "null" else total.toString
-    val skipped = streamNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val steadyTotals = totals.reverse.mkString("[", ",", "]")
-    val loadavg = loadavgNow
 
     val streamJson = streamThroughput(spark, sfDir)
 
-    val line =
-      s"""{"metric":"total","value":$value,"unit":"sec","protocol":"per-query min across ${perPass.size} timed passes","queries":$qs,"passes":$passesJson,"sf":"$sfDir","mode":"steady-state","cold_sec":$coldSec,"failed":$failed,"steady_totals":$steadyTotals,"stable":$stable,"totals_agree":$totalsAgree,"spread_flagged":$spreadFlagged,"spread_basis":${spreads.size},"loadavg_start":$loadavgStart,"loadavg":$loadavg,"stream":$streamJson,"skipped_stream_replays":$skipped}"""
+    val line = assemble(streamJson, "steady-state")
     println(line)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    writeRecord(line)
     spark.stop()
   }
+
+  private def jsonMap(kvs: Seq[(String, Double)]): String =
+    kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
   /** rows/sec of three representative streaming state machines over the
     * full events table at `sfDir` — the windowed top-N collector (largest
@@ -170,6 +212,11 @@ object Bench {
     * and sink.
     */
   private def streamThroughput(spark: SparkSession, sfDir: String): String = try {
+    // past the wall-clock budget the whole phase is skipped (disclosed):
+    // the batch record landing beats an unfinished stream sweep that dies
+    // with the process (r13's rc=124 was killed exactly here)
+    if (overBudget)
+      return s"""{"status":"skipped_deadline","elapsed_sec":${"%.1f".format(elapsedSec)}}"""
     // Redirect replay scratch (chunk files + checkpoint) to a tmpfs when
     // one exists: round-13 measurement showed the host disk's fsync
     // latency swinging stream rows 4× between passes while CPU sat idle
@@ -263,10 +310,18 @@ object Bench {
     * is dropped (the base passes already produced valid data — a
     * transient failure in a pass bought only to outrun contention must
     * not invalidate them); only a base-pass failure marks the entry -1.
+    * Under budget pressure (round 14) an entry runs fewer base passes
+    * (min 1) and an entry reached past the deadline is skipped whole —
+    * both visible on the record (`passes` length / `"skipped"`).
     */
   private val STREAM_PASSES = 3
   private def streamEntry(name: String, nRows: Long, extraJson: String)(
       replay: => Unit): String = {
+    // budget discipline: an entry reached past the deadline is skipped
+    // whole (disclosed), and an entry mid-flight stops opening passes —
+    // at least one pass always runs so a reached entry is never empty
+    if (overBudget)
+      return s""""$name":{"skipped":"deadline","elapsed_sec":${"%.1f".format(elapsedSec)}}"""
     def onePass(): Double = {
       val t0 = System.nanoTime()
       try { replay; (System.nanoTime() - t0) / 1e9 }
@@ -276,10 +331,12 @@ object Bench {
           -1.0
       }
     }
-    var times = (1 to STREAM_PASSES).map(_ => onePass())
+    var times = Vector(onePass())
+    while (times.size < STREAM_PASSES && !overBudget)
+      times = times :+ onePass()
     val baseFailed = times.exists(_ < 0)
     var retriesOk = true // a failed retry is dropped and ends retrying
-    while (retriesOk && !baseFailed && times.size < STREAM_PASSES + 2 &&
+    while (retriesOk && !baseFailed && !overBudget && times.size < STREAM_PASSES + 2 &&
         times.max / times.min > 1.5) {
       val t = onePass()
       if (t < 0) {
@@ -302,6 +359,8 @@ object Bench {
     * event machines above don't cover. RocksDB-backed like its
     * correctness twin. */
   private def ingestRow(spark: SparkSession, sfDir: String): String = {
+    if (overBudget) // skip the corpus prep too, not just the entries
+      return s""""ingestGate":{"skipped":"deadline","elapsed_sec":${"%.1f".format(elapsedSec)}}"""
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sfDir).documents
     val nRows = docs.count()
