@@ -152,12 +152,17 @@ object Dedup {
     // candidate pair (~2⁻⁶⁴ per shingle pair) — negligible.
     // distinct + per-doc count reuse the shingle stage's doc_id
     // partitioning — one exchange total before the pair join.
+    // persisted: the self-join reads this frame twice, and only the
+    // doc_id exchange below the window is subject to exchange reuse —
+    // the distinct + window + per-side s-exchange re-ran per side
+    // (round-14 measure). One materialization, both sides stream it.
     val exploded = TextOps
       .shingleHashRows(df, id, text, n)
       .distinct()
       .withColumn(
         "n_sh",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .persist()
     // |A∩B| falls straight out of the candidate join: shingle arrays are
     // distinct, so the number of joined rows per (a,b) pair IS the
     // intersection size — no per-pair array re-comparison ever runs.
@@ -262,6 +267,11 @@ object Dedup {
       // the incompatible 17M out of the join entirely)
       .withColumn("__band", floor(col("__len") / (t + 1)))
       .select(col("doc_id"), col("__len"), col("g"), col("oi"), col("__band"))
+      // persisted (round-14): the candidate join reads the prefix frame
+      // on BOTH sides (probe explode + build), and each unpersisted
+      // reference re-ran the gram-frequency join + per-doc rank window
+      // above the occ cache; ≤ t·q+1 rows per doc, tiny to hold
+      .persist()
     val probes = pref.withColumn(
       "__pb", explode(array(col("__band") - 1, col("__band"), col("__band") + 1)))
     val cand = probes.as("l")
@@ -360,12 +370,16 @@ object Dedup {
       text: Column,
       n: Int,
       threshold: Double): DataFrame = {
+    // persisted for the same two-sided self-join reason as
+    // [[ngramJaccardPairs]] (round-14): exchange reuse covers only the
+    // doc_id exchange, not the distinct+window recompute per side
     val exploded = TextOps
       .shingleHashRows(df, id, text, n)
       .distinct()
       .withColumn(
         "n_sh",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .persist()
     exploded
       .as("l")
       .join(exploded.as("r"), col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
@@ -646,7 +660,10 @@ object Dedup {
 
   private def candidatesFromSignatures(
       sigs: DataFrame, k: Int, bands: Int, portableHash: Boolean): DataFrame = {
-    val banded = bandedFromSignatures(sigs, k, bands, portableHash)
+    // persisted (round-14): the bucket self-join reads the band table on
+    // both sides, and each unpersisted side re-ran the k-minima signature
+    // aggregate upstream; `bands` small rows per doc
+    val banded = bandedFromSignatures(sigs, k, bands, portableHash).persist()
     banded
       .as("l")
       .join(
@@ -849,8 +866,14 @@ object Dedup {
       exC: DataFrame,
       bndC: DataFrame,
       exB: DataFrame,
-      bndB: DataFrame,
+      bndB0: DataFrame,
       threshold: Double): DataFrame = {
+    // the batch band table feeds THREE join sides (corpus-candidates
+    // probe, both sides of the in-batch self-join) and each reference
+    // re-runs the k-minima signature aggregate (64 pmod-min columns)
+    // above the persisted hash rows — persist the (doc_id, band, hash)
+    // rows instead: 16 small rows per batch doc, one signature pass
+    val bndB = bndB0.persist()
     val candCorpus = bndC
       .as("l")
       .join(bndB.as("r"),
@@ -1308,7 +1331,10 @@ object Dedup {
       id: Column,
       text: Column,
       shingleLen: Int = 16): DataFrame = {
-    val sh = TextOps.shingleHashRows(df, id, text, shingleLen).distinct()
+    // persisted (round-14): sh feeds the doc-frequency aggregate AND the
+    // join probe — unpersisted, the tokenize→window→hash→distinct stage
+    // ran twice per query
+    val sh = TextOps.shingleHashRows(df, id, text, shingleLen).distinct().persist()
     val docFreq = sh.groupBy("s").agg(count(lit(1)).as("nd"))
     sh.join(docFreq, "s")
       .groupBy("doc_id")
@@ -1352,16 +1378,22 @@ object Dedup {
       text: Column,
       shingleLen: Int = 16): DataFrame = {
     require(shingleLen >= 2, "shingleLen must be >= 2")
+    // toks persists (round-14): it feeds the shingle window AND the
+    // kept anti-join — unpersisted, the corpus tokenized + exploded twice
     val toks = df.select(
       id.as("doc_id"), posexplode(TextOps.tokens(text)).as(Seq("pos", "w")))
+      .persist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 until shingleLen).map(i => lead(col("w"), i).over(w))
+    // sh persists too: read by the dup-shingle aggregate and the covered
+    // join — each re-run pays the per-doc sort + 16-token concat + hash
     val sh = toks
       .withColumn(
         "s",
         when(leads.last.isNotNull, xxhash64(concat_ws(" ", (col("w") +: leads): _*))))
       .filter(col("s").isNotNull)
       .select(col("doc_id"), col("pos"), col("s"))
+      .persist()
     val dup = sh
       .select(col("doc_id"), col("s")).distinct()
       .groupBy(col("s")).agg(count(lit(1)).as("nd"))
@@ -1703,7 +1735,10 @@ object Dedup {
       text: Column,
       maxHamming: Int,
       portableHash: Boolean = false): DataFrame = {
-    val docs = simhashDocs(df, id, text, portableHash)
+    // persisted (round-14): one (doc_id, sh) row per doc, read by both
+    // sides of the band self-join — unpersisted, the 64-bit-vote
+    // aggregation (16 packed sums over every token) executed twice
+    val docs = simhashDocs(df, id, text, portableHash).persist()
     val banded = docs.select(
       col("doc_id"),
       col("sh"),

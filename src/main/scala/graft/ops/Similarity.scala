@@ -596,11 +596,14 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val v = df.select(col("id"), col("vec").cast("array<double>").as("v"))
     // candidates carry only ids through the bucket join + distinct (arrays
-    // never cross that exchange); vectors join back for verification
+    // never cross that exchange); vectors join back for verification.
+    // banded persists (round-14): the self-join reads it twice and each
+    // unpersisted side re-ran the nTables × nPlanes sign projections
     val banded = v.select(
       col("id"),
       posexplode(array((0 until nTables).map(t =>
         lshBucket(col("v"), dim, nPlanes, seed + t * 7919L)): _*)).as(Seq("tbl", "bucket")))
+      .persist()
     banded
       .as("l")
       .join(

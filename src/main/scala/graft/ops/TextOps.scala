@@ -395,11 +395,15 @@ object TextOps {
     * it at any realistic scale. No all-pairs anything.
     */
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // tf persists (round-14): it feeds the vocabulary aggregate AND the
+    // score join — unpersisted, the corpus explode+count ran twice
     val tf = df
       .select(id.as("doc_id"), explode(tokens(text)).as("w"))
       .groupBy("doc_id", "w")
       .agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy("w").agg(sum(col("tf")).as("c"))
+      .persist()
+    // vocab (word-grain, small) persists for its two consumers (total, join)
+    val vocab = tf.groupBy("w").agg(sum(col("tf")).as("c")).persist()
     val tot = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     tf.join(vocab, "w")
       .crossJoin(broadcast(tot))
@@ -590,7 +594,10 @@ object TextOps {
     val base = df.select(id.as("doc_id"), label.as("__lab"), text.as("__txt"))
     val tok = base.select(col("doc_id"), col("__lab"), explode(tokens(col("__txt"))).as("t"))
     val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val ltc = tok.groupBy(col("__lab"), col("t")).agg(count(lit(1)).as("c"))
+    // ltc persists (round-14): three consumers (per-label totals, the
+    // vocabulary, the dense term table) each re-ran the corpus explode +
+    // (label, token) aggregate; (label × vocab)-grain, small
+    val ltc = tok.groupBy(col("__lab"), col("t")).agg(count(lit(1)).as("c")).persist()
     val nl = ltc.groupBy(col("__lab")).agg(sum(col("c")).as("n_l"))
     val vocab = ltc.select(col("t")).distinct()
     val vCount = vocab.agg(count(lit(1)).as("v"))

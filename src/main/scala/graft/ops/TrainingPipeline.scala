@@ -306,12 +306,22 @@ object TrainingPipeline {
       contaminate: DataFrame => DataFrame,
       id: Column,
       text: Column): DataFrame = {
+    // quality and dedup are each read by TWO consumers (the stage filter
+    // and the final verdict join). Both are one-row-per-doc verdict
+    // frames — persisting them costs |incoming| tiny rows and stops the
+    // regex quality gate and the ENTIRE dedup screen (fingerprint +
+    // 64-hash MinHash + LSH joins) from executing twice per run (round-14
+    // measured: the un-persisted screen re-ran whole; exchange reuse does
+    // not cover it because the two consumers need different join keys).
+    // Runner-scoped cache lifecycle as everywhere else (clearCache).
     val quality = TextOps.gopherSignals(incoming, id, text)
       .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
+      .persist()
     val passed = incoming.join(
       quality.filter(col("keep")).select(col("doc_id").as("__q_id")),
       id === col("__q_id"), "left_semi")
     val dedup = screen(passed).withColumnRenamed("verdict", "__dedup_verdict")
+      .persist()
     val admitted = passed.join(
       dedup.filter(col("__dedup_verdict") === "admitted").select(col("doc_id").as("__a_id")),
       id === col("__a_id"), "left_semi")
