@@ -795,25 +795,37 @@ object SparkEntry {
       // TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
       // multi-supplier order — the double-correlation (EXISTS another
       // supplier / NOT EXISTS another late supplier) decorrelated into
-      // ONE order-grain aggregate (distinct suppliers, distinct late
-      // suppliers) joined back to the late lines. One fact-fact shuffle
-      // builds the (order, supplier, late) view; the aggregate and the
-      // culprit-distinct REUSE its l_orderkey exchange; supplier
-      // broadcasts onto the result. Top-50 plans as
+      // ONE order-grain aggregate joined back to the late pairs.
+      // Round 14: the fact stream collapses to (order, supplier, any
+      // late) grain ONCE — count_distinct over fact rows became count
+      // over the pair grain (no Expand), the late-pair distinct became a
+      // filter of the same frame (lineitem scanned once, not twice), and
+      // the single repartition on l_orderkey alone satisfies every
+      // downstream clustering (the pair groupBy, the order-grain
+      // aggregate, the culprit join) — one fact-grain exchange total.
+      // l_suppkey is non-null, so pair-grain count ≡ count_distinct.
+      // The pair frame persists (within-query, the runners clearCache):
+      // its two consumers prune different columns, so their subtrees
+      // diverge and ReuseExchange cannot fire — unpersisted, lineitem
+      // scans and the fact exchange both ran twice.
+      // Supplier broadcasts onto the result. Top-50 plans as
       // TakeOrderedAndProject on (n_waits desc, s_suppkey).
       val t = Tables(s, dir)
-      val lo = t.lineitem
+      val perSupp = t.lineitem
         .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
-      val perOrder = lo.groupBy(col("l_orderkey"))
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+        .persist()
+      val perOrder = perSupp.groupBy(col("l_orderkey"))
         .agg(
-          count_distinct(col("l_suppkey")).as("n_supp"),
-          count_distinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-      lo.filter(col("late"))
+          count(lit(1)).as("n_supp"),
+          count(when(col("late"), lit(1))).as("n_late"))
+      perSupp.filter(col("late"))
         .select(col("l_orderkey"), col("l_suppkey"))
-        .distinct()
         .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1), "l_orderkey")
         .join(broadcast(Tables(s, dir).supplier), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
@@ -1089,6 +1101,12 @@ object SparkEntry {
       // counts sum) and the join shuffle + 3-way Expand then carry one
       // row per order instead of one per lineitem — at cluster scale
       // that's the fact-table grain off the wire.
+      // Round 14: the rollup dims are (region, nation) — 25 distinct
+      // values — so the joined stream pre-aggregates to THAT grain first
+      // (map-side-combined, a plain hash agg) and the Expand triples 25
+      // rows instead of every order-grain row. Exact by associativity:
+      // decimal sums of sums, counts of counts; a NULL dim value would
+      // group identically under both forms.
       val t = Tables(s, dir)
       val perOrder = t.lineitem
         .groupBy(col("l_orderkey"))
@@ -1098,9 +1116,11 @@ object SparkEntry {
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("ord_rev")).as("nat_rev"), sum(col("ord_items")).as("nat_items"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(col("ord_rev")).cast("double").as("revenue"),
-          sum(col("ord_items")).as("n_items"))
+        .agg(sum(col("nat_rev")).cast("double").as("revenue"),
+          sum(col("nat_items")).as("n_items"))
     }),
     "q_pivot_daily" -> ((s, dir) => {
       // OLAP pivot: the reference's DWS wide tables (one counter column
@@ -1326,14 +1346,22 @@ object SparkEntry {
       // full cube over (event_type, day): all four grouping sets in ONE
       // Expand + one agg exchange, same single-scan plan family as
       // q_rollup_revenue — the declarative answer to the reference
-      // maintaining each marginal as its own DWS app
+      // maintaining each marginal as its own DWS app.
+      // Round 14 (the q_rollup_revenue treatment): events pre-aggregate
+      // to the finest grouping-set grain (type, day) — map-side-combined
+      // plain hash agg — so the Expand quadruples |types|·|days| rows,
+      // never event-grain rows. Exact: counts and decimal sums associate.
       Tables(s, dir).events
-        .cube(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         // decimal before the sum: exact integer-scaled addition is
         // order-independent, so the hash matches any engine (q1 pattern)
         .agg(
-          count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          count(lit(1)).as("td_cnt"),
+          sum(col("value").cast("decimal(18,6)")).as("td_sum"))
+        .cube(col("event_type"), col("day"))
+        .agg(
+          sum(col("td_cnt")).as("cnt"),
+          sum(col("td_sum")).cast("double").as("sum_value"))
     }),
     "q_top_orders" -> ((s, dir) => {
       // T1 batch flavor on relational data: top-10 orders by price per priority
