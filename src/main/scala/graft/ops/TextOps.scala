@@ -395,15 +395,17 @@ object TextOps {
     * it at any realistic scale. No all-pairs anything.
     */
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
-    // tf persists (round-14): it feeds the vocabulary aggregate AND the
-    // score join — unpersisted, the corpus explode+count ran twice
+    // tf feeds the vocabulary aggregate AND the score join; AQE exchange
+    // reuse serves the second consumer from the one shuffle (ReusedExchange,
+    // pinned in PlanQualitySpec), so no persist — an interleaved A/B
+    // measured the cached form ~35% slower (t_unigram_lm 1.00 → 1.40 s,
+    // p_lm_filter 1.16 → 1.56 s at sf0.1): cache write + columnar read
+    // cost more than re-reading reused shuffle output
     val tf = df
       .select(id.as("doc_id"), explode(tokens(text)).as("w"))
       .groupBy("doc_id", "w")
       .agg(count(lit(1)).as("tf"))
-      .persist()
-    // vocab (word-grain, small) persists for its two consumers (total, join)
-    val vocab = tf.groupBy("w").agg(sum(col("tf")).as("c")).persist()
+    val vocab = tf.groupBy("w").agg(sum(col("tf")).as("c"))
     val tot = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     tf.join(vocab, "w")
       .crossJoin(broadcast(tot))
@@ -594,10 +596,13 @@ object TextOps {
     val base = df.select(id.as("doc_id"), label.as("__lab"), text.as("__txt"))
     val tok = base.select(col("doc_id"), col("__lab"), explode(tokens(col("__txt"))).as("t"))
     val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    // ltc persists (round-14): three consumers (per-label totals, the
-    // vocabulary, the dense term table) each re-ran the corpus explode +
-    // (label, token) aggregate; (label × vocab)-grain, small
-    val ltc = tok.groupBy(col("__lab"), col("t")).agg(count(lit(1)).as("c")).persist()
+    // ltc is consumed three times (per-label totals, the vocabulary, the
+    // dense term table) — AQE exchange reuse serves the repeats from the
+    // one shuffle, so no persist: an interleaved A/B measured the cached
+    // form 15-30% SLOWER (cache write + columnar read cost more than
+    // re-reading reused shuffle output; contrast the admission-family
+    // persists, where diverging subtrees block reuse entirely)
+    val ltc = tok.groupBy(col("__lab"), col("t")).agg(count(lit(1)).as("c"))
     val nl = ltc.groupBy(col("__lab")).agg(sum(col("c")).as("n_l"))
     val vocab = ltc.select(col("t")).distinct()
     val vCount = vocab.agg(count(lit(1)).as("v"))
